@@ -1,0 +1,27 @@
+"""Optimizers: Adam and L-BFGS with backtracking line search (ggml_opt
+parity, Ggml.cs:1604-2325)."""
+
+from .params import (
+    AdamParams,
+    LBFGSParams,
+    LineSearch,
+    OptParams,
+    OptResult,
+    opt_default_params,
+)
+from .adam import opt_adam
+from .lbfgs import opt_lbfgs
+from .facade import opt, opt_fn
+
+__all__ = [
+    "AdamParams",
+    "LBFGSParams",
+    "LineSearch",
+    "OptParams",
+    "OptResult",
+    "opt",
+    "opt_adam",
+    "opt_default_params",
+    "opt_fn",
+    "opt_lbfgs",
+]

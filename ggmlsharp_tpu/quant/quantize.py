@@ -1,0 +1,445 @@
+"""quantize_row / dequantize_row for every block format — pure jnp, vmappable.
+
+Semantics follow upstream ggml (and the reference port where it is faithful;
+the port's q8 bugs — unsigned lanes and skipped odd lanes, Ggml.cs:756-760,
+805-818 — are deliberately NOT replicated, per SURVEY §2.3):
+
+  * Q4_0  (Ggml.cs:334-377):  signed-absmax ``d = max/-8``; ``q = min(15,
+    floor(x/d + 8.5))``; 32-elem blocks.
+  * Q4_1  (Ggml.cs:482-530):  affine min/max, ``d = (max-min)/15``.
+  * Q4_2  (Ggml.cs:560-610):  Q4_0 with 16-elem blocks, f16 scale.
+  * Q4_3:  Q4_1 with 16-elem blocks, f16 scale/min (declared in the reference's
+    type tables but its quantize_fns row is empty, Ggml.cs:248 — implemented
+    here as first-class).
+  * Q5_0  (Ggml.cs:612-668):  ``d = max/-16``; 5-bit values, high bit in qh.
+  * Q5_1  (Ggml.cs:670-730):  affine, ``d = (max-min)/31``.
+  * Q8_0  (Ggml.cs:733-770):  ``d = amax/127``; signed int8 lanes.
+  * Q8_1  (Ggml.cs:772-834):  Q8_0 + precomputed ``s = d*sum(q)`` correction
+    (the reference keeps per-half s0/s1; a single full-block sum is the
+    mathematically identical modern-ggml form and is what our dots consume).
+  * Q4_K / Q6_K / Q8_K: llama.cpp k-quant superblocks (256 elems), absent from
+    the reference, required by BASELINE config 3. Dequantization matches
+    llama.cpp exactly; our quantizer uses per-subblock min/max with 6-bit
+    (Q4_K) / int8 (Q6_K) scale quantization (llama.cpp's iterative
+    make_qkx2_quants search is an offline-quality refinement, not needed for
+    GGUF import where blocks arrive pre-quantized).
+
+Scale storage is float16 (modern ggml/GGUF convention) except Q8_1/Q8_K whose
+f32 scales match upstream. All dequantization returns float32.
+
+Rounding conventions (ties): nibble offsets use ``floor(v + off + .5)``
+(upstream's ``(int8_t)(x + 8.5f)`` pattern); signed q8 uses round-half-away
+(upstream ``roundf``).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..dtypes import GType
+from .formats import (
+    QTensor,
+    check_last_axis,
+    pack_nibbles,
+    unpack_nibbles,
+)
+
+F32 = jnp.float32
+
+
+def _round_half_away(v):
+    return jnp.sign(v) * jnp.floor(jnp.abs(v) + 0.5)
+
+
+def _blocks(x, bs):
+    """(..., n) -> (..., nb, bs) float32."""
+    *lead, n = x.shape
+    return x.astype(F32).reshape(*lead, n // bs, bs)
+
+
+def _signed_absmax(b):
+    """Value with the largest magnitude in each block (sign preserved),
+    matching the reference's amax/max scan (Ggml.cs:343-354)."""
+    idx = jnp.argmax(jnp.abs(b), axis=-1, keepdims=True)
+    return jnp.take_along_axis(b, idx, axis=-1)[..., 0]
+
+
+def _safe_inv(d):
+    return jnp.where(d != 0.0, 1.0 / jnp.where(d != 0.0, d, 1.0), 0.0)
+
+
+# --- Q4_0 family (signed absmax, offset nibbles) -------------------------
+
+def _quantize_q4_sym(x, bs, denom):
+    """Shared Q4_0/Q4_2 math: d = max/-denom, q = min(2*denom-1, floor(v+denom+.5))."""
+    b = _blocks(x, bs)
+    maxv = _signed_absmax(b)
+    d = maxv / -denom
+    iq = jnp.floor(b * _safe_inv(d)[..., None] + (denom + 0.5))
+    q = jnp.clip(iq, 0, 2 * denom - 1).astype(jnp.int32)
+    return q, d.astype(jnp.float16)
+
+
+def quantize_row_q4_0(x) -> QTensor:
+    check_last_axis(x, GType.Q4_0)
+    q, d = _quantize_q4_sym(x, 32, 8)
+    *lead, nb, _ = q.shape
+    qs = pack_nibbles(q.reshape(*lead, nb * 32))
+    return QTensor(GType.Q4_0, x.shape, {"qs": qs, "d": d})
+
+
+def dequantize_row_q4_0(qt: QTensor):
+    n = qt.shape[-1]
+    v = unpack_nibbles(qt["qs"], n) - 8
+    d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
+    return (v.astype(F32) * d).reshape(qt.shape)
+
+
+def quantize_row_q4_2(x) -> QTensor:
+    check_last_axis(x, GType.Q4_2)
+    q, d = _quantize_q4_sym(x, 16, 8)
+    *lead, nb, _ = q.shape
+    qs = pack_nibbles(q.reshape(*lead, nb * 16))
+    return QTensor(GType.Q4_2, x.shape, {"qs": qs, "d": d})
+
+
+def dequantize_row_q4_2(qt: QTensor):
+    n = qt.shape[-1]
+    v = unpack_nibbles(qt["qs"], n) - 8
+    d = jnp.repeat(qt["d"].astype(F32), 16, axis=-1)
+    return (v.astype(F32) * d).reshape(qt.shape)
+
+
+# --- Q4_1 family (affine min/max nibbles) --------------------------------
+
+def _quantize_q4_aff(x, bs):
+    b = _blocks(x, bs)
+    mn = jnp.min(b, axis=-1)
+    mx = jnp.max(b, axis=-1)
+    d = (mx - mn) / 15.0
+    iq = jnp.floor((b - mn[..., None]) * _safe_inv(d)[..., None] + 0.5)
+    q = jnp.clip(iq, 0, 15).astype(jnp.int32)
+    return q, d.astype(jnp.float16), mn.astype(jnp.float16)
+
+
+def quantize_row_q4_1(x) -> QTensor:
+    check_last_axis(x, GType.Q4_1)
+    q, d, m = _quantize_q4_aff(x, 32)
+    *lead, nb, _ = q.shape
+    qs = pack_nibbles(q.reshape(*lead, nb * 32))
+    return QTensor(GType.Q4_1, x.shape, {"qs": qs, "d": d, "m": m})
+
+
+def dequantize_row_q4_1(qt: QTensor):
+    n = qt.shape[-1]
+    v = unpack_nibbles(qt["qs"], n)
+    d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
+    m = jnp.repeat(qt["m"].astype(F32), 32, axis=-1)
+    return (v.astype(F32) * d + m).reshape(qt.shape)
+
+
+def quantize_row_q4_3(x) -> QTensor:
+    check_last_axis(x, GType.Q4_3)
+    q, d, m = _quantize_q4_aff(x, 16)
+    *lead, nb, _ = q.shape
+    qs = pack_nibbles(q.reshape(*lead, nb * 16))
+    return QTensor(GType.Q4_3, x.shape, {"qs": qs, "d": d, "m": m})
+
+
+def dequantize_row_q4_3(qt: QTensor):
+    n = qt.shape[-1]
+    v = unpack_nibbles(qt["qs"], n)
+    d = jnp.repeat(qt["d"].astype(F32), 16, axis=-1)
+    m = jnp.repeat(qt["m"].astype(F32), 16, axis=-1)
+    return (v.astype(F32) * d + m).reshape(qt.shape)
+
+
+# --- Q5 family (5-bit: nibble plane + high-bit plane) --------------------
+
+def _pack_high_bits(q5):
+    """(..., nb, 32) 5-bit values -> per-block uint32 qh (bit l = high bit of
+    element l), matching the reference's qh packing (Ggml.cs:644-651)."""
+    hb = ((q5 >> 4) & 1).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32).reshape((1,) * (q5.ndim - 1) + (32,))
+    out = hb << shifts
+    acc = out[..., 0]
+    for j in range(1, 32):
+        acc = acc | out[..., j]
+    return acc
+
+
+def _unpack_high_bits(qh):
+    shifts = jnp.arange(32, dtype=jnp.uint32).reshape((1,) * qh.ndim + (32,))
+    return ((qh[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int32)
+
+
+def quantize_row_q5_0(x) -> QTensor:
+    check_last_axis(x, GType.Q5_0)
+    b = _blocks(x, 32)
+    maxv = _signed_absmax(b)
+    d = maxv / -16.0
+    iq = jnp.floor(b * _safe_inv(d)[..., None] + 16.5)
+    q = jnp.clip(iq, 0, 31).astype(jnp.int32)
+    qh = _pack_high_bits(q)
+    *lead, nb, _ = q.shape
+    qs = pack_nibbles((q & 0xF).reshape(*lead, nb * 32))
+    return QTensor(GType.Q5_0, x.shape, {"qs": qs, "qh": qh, "d": d.astype(jnp.float16)})
+
+
+def dequantize_row_q5_0(qt: QTensor):
+    n = qt.shape[-1]
+    lo = unpack_nibbles(qt["qs"], n).reshape(*qt["qh"].shape, 32)
+    v = (lo | (_unpack_high_bits(qt["qh"]) << 4)) - 16
+    d = qt["d"].astype(F32)[..., None]
+    return (v.astype(F32) * d).reshape(qt.shape)
+
+
+def quantize_row_q5_1(x) -> QTensor:
+    check_last_axis(x, GType.Q5_1)
+    b = _blocks(x, 32)
+    mn = jnp.min(b, axis=-1)
+    mx = jnp.max(b, axis=-1)
+    d = (mx - mn) / 31.0
+    iq = jnp.floor((b - mn[..., None]) * _safe_inv(d)[..., None] + 0.5)
+    q = jnp.clip(iq, 0, 31).astype(jnp.int32)
+    qh = _pack_high_bits(q)
+    *lead, nb, _ = q.shape
+    qs = pack_nibbles((q & 0xF).reshape(*lead, nb * 32))
+    return QTensor(
+        GType.Q5_1,
+        x.shape,
+        {"qs": qs, "qh": qh, "d": d.astype(jnp.float16), "m": mn.astype(jnp.float16)},
+    )
+
+
+def dequantize_row_q5_1(qt: QTensor):
+    n = qt.shape[-1]
+    lo = unpack_nibbles(qt["qs"], n).reshape(*qt["qh"].shape, 32)
+    v = lo | (_unpack_high_bits(qt["qh"]) << 4)
+    d = qt["d"].astype(F32)[..., None]
+    m = qt["m"].astype(F32)[..., None]
+    return (v.astype(F32) * d + m).reshape(qt.shape)
+
+
+# --- Q8 family (signed int8 lanes) ---------------------------------------
+
+def quantize_row_q8_0(x) -> QTensor:
+    check_last_axis(x, GType.Q8_0)
+    b = _blocks(x, 32)
+    amax = jnp.max(jnp.abs(b), axis=-1)
+    d = amax / 127.0
+    q = _round_half_away(b * _safe_inv(d)[..., None])
+    qs = jnp.clip(q, -128, 127).astype(jnp.int8)
+    *lead, nb, _ = qs.shape
+    return QTensor(
+        GType.Q8_0,
+        x.shape,
+        {"qs": qs.reshape(*lead, nb * 32), "d": d.astype(jnp.float16)},
+    )
+
+
+def dequantize_row_q8_0(qt: QTensor):
+    d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
+    return (qt["qs"].astype(F32) * d).reshape(qt.shape)
+
+
+def quantize_row_q8_1(x) -> QTensor:
+    """Activation-side format: f32 scale + block-sum correction ``s = d*Σq``
+    (reference keeps s0/s1 halves, Ggml.cs:805-821; the sum is equivalent)."""
+    check_last_axis(x, GType.Q8_1)
+    b = _blocks(x, 32)
+    amax = jnp.max(jnp.abs(b), axis=-1)
+    d = amax / 127.0
+    q = jnp.clip(_round_half_away(b * _safe_inv(d)[..., None]), -128, 127)
+    s = d * jnp.sum(q, axis=-1)
+    qs = q.astype(jnp.int8)
+    *lead, nb, _ = qs.shape
+    return QTensor(
+        GType.Q8_1,
+        x.shape,
+        {"qs": qs.reshape(*lead, nb * 32), "d": d.astype(F32), "s": s.astype(F32)},
+    )
+
+
+def dequantize_row_q8_1(qt: QTensor):
+    """The reference leaves this null ("TODO", Ggml.cs:278-282); implemented
+    here as first-class."""
+    d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
+    return (qt["qs"].astype(F32) * d).reshape(qt.shape)
+
+
+# --- k-quant superblocks (llama.cpp; BASELINE config 3) ------------------
+
+def quantize_row_q4_k(x) -> QTensor:
+    """Q4_K: 256-elem superblocks, 8 sub-blocks of 32 with 6-bit quantized
+    scale/min against per-superblock f16 d/dmin; w = d*sc*q - dmin*m."""
+    check_last_axis(x, GType.Q4_K)
+    b = _blocks(x, 256)
+    *lead, nsb, _ = b.shape
+    sb = b.reshape(*lead, nsb, 8, 32)
+    mn = jnp.minimum(jnp.min(sb, axis=-1), 0.0)  # mins stored non-negative (as -min)
+    mx = jnp.max(sb, axis=-1)
+    scales = (mx - mn) / 15.0  # per-sub-block real scale
+    mins = -mn  # >= 0
+    d = jnp.max(scales, axis=-1) / 63.0
+    dmin = jnp.max(mins, axis=-1) / 63.0
+    sc = jnp.clip(_round_half_away(scales * _safe_inv(d)[..., None]), 0, 63)
+    m = jnp.clip(_round_half_away(mins * _safe_inv(dmin)[..., None]), 0, 63)
+    eff_d = d[..., None] * sc
+    eff_m = dmin[..., None] * m
+    iq = jnp.floor((sb + eff_m[..., None]) * _safe_inv(eff_d)[..., None] + 0.5)
+    q = jnp.clip(iq, 0, 15).astype(jnp.int32)
+    qs = pack_nibbles(q.reshape(*lead, nsb * 256))
+    return QTensor(
+        GType.Q4_K,
+        x.shape,
+        {
+            "qs": qs,
+            "d": d.astype(jnp.float16),
+            "dmin": dmin.astype(jnp.float16),
+            "sc": sc.astype(jnp.uint8).reshape(*lead, nsb * 8),
+            "m": m.astype(jnp.uint8).reshape(*lead, nsb * 8),
+        },
+    )
+
+
+def dequantize_row_q4_k(qt: QTensor):
+    n = qt.shape[-1]
+    nsb = n // 256
+    *lead, _ = qt["sc"].shape
+    q = unpack_nibbles(qt["qs"], n).reshape(*lead, nsb, 8, 32).astype(F32)
+    d = qt["d"].astype(F32)[..., None]
+    dmin = qt["dmin"].astype(F32)[..., None]
+    sc = qt["sc"].astype(F32).reshape(*lead, nsb, 8)
+    m = qt["m"].astype(F32).reshape(*lead, nsb, 8)
+    w = (d * sc)[..., None] * q - (dmin * m)[..., None]
+    return w.reshape(qt.shape)
+
+
+def quantize_row_q6_k(x) -> QTensor:
+    """Q6_K: 256-elem superblocks, 16 sub-blocks of 16; signed 6-bit values
+    with per-sub-block int8 scale against superblock f16 d; w = d*sc*q."""
+    check_last_axis(x, GType.Q6_K)
+    b = _blocks(x, 256)
+    *lead, nsb, _ = b.shape
+    sb = b.reshape(*lead, nsb, 16, 16)
+    maxv = _signed_absmax(sb)
+    scales = maxv / -32.0
+    d = _signed_absmax(scales.reshape(*lead, nsb, 16)) / -127.0
+    sc = jnp.clip(_round_half_away(scales * _safe_inv(d)[..., None]), -128, 127)
+    eff = d[..., None] * sc
+    iq = jnp.clip(_round_half_away(sb * _safe_inv(eff)[..., None]), -32, 31)
+    q = (iq + 32).astype(jnp.int32)  # store biased [0, 63]
+    flat = q.reshape(*lead, nsb * 256)
+    ql = pack_nibbles(flat & 0xF)
+    qh = _pack_2bit(flat >> 4)
+    return QTensor(
+        GType.Q6_K,
+        x.shape,
+        {
+            "ql": ql,
+            "qh": qh,
+            "d": d.astype(jnp.float16),
+            "sc": sc.astype(jnp.int8).reshape(*lead, nsb * 16),
+        },
+    )
+
+
+def _pack_2bit(vals):
+    *lead, n = vals.shape
+    assert n % 16 == 0
+    v = vals.astype(jnp.uint32).reshape(*lead, n // 16, 16)
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2).reshape((1,) * (len(lead) + 1) + (16,))
+    out = v << shifts
+    acc = out[..., 0]
+    for j in range(1, 16):
+        acc = acc | out[..., j]
+    return acc
+
+
+def _unpack_2bit(packed, n):
+    *lead, nw = packed.shape
+    assert nw * 16 == n
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2).reshape((1,) * (len(lead) + 1) + (16,))
+    vals = (packed[..., None] >> shifts) & jnp.uint32(0x3)
+    return vals.reshape(*lead, n).astype(jnp.int32)
+
+
+def dequantize_row_q6_k(qt: QTensor):
+    n = qt.shape[-1]
+    nsb = n // 256
+    *lead, _ = qt["sc"].shape
+    q = (unpack_nibbles(qt["ql"], n) | (_unpack_2bit(qt["qh"], n) << 4)) - 32
+    q = q.reshape(*lead, nsb, 16, 16).astype(F32)
+    d = qt["d"].astype(F32)[..., None]
+    sc = qt["sc"].astype(F32).reshape(*lead, nsb, 16)
+    return ((d * sc)[..., None] * q).reshape(qt.shape)
+
+
+def quantize_row_q8_k(x) -> QTensor:
+    """Q8_K activation format for k-quant dots: f32 d = amax/127 over 256,
+    int8 lanes, int16 16-group sums (llama.cpp block_q8_K)."""
+    check_last_axis(x, GType.Q8_K)
+    b = _blocks(x, 256)
+    amax = jnp.max(jnp.abs(b), axis=-1)
+    d = amax / 127.0
+    q = jnp.clip(_round_half_away(b * _safe_inv(d)[..., None]), -128, 127)
+    *lead, nsb, _ = q.shape
+    bsums = jnp.sum(q.reshape(*lead, nsb, 16, 16), axis=-1).astype(jnp.int16)
+    return QTensor(
+        GType.Q8_K,
+        x.shape,
+        {
+            "qs": q.astype(jnp.int8).reshape(*lead, nsb * 256),
+            "d": d.astype(F32),
+            "bsums": bsums.reshape(*lead, nsb * 16),
+        },
+    )
+
+
+def dequantize_row_q8_k(qt: QTensor):
+    d = jnp.repeat(qt["d"].astype(F32), 256, axis=-1)
+    return (qt["qs"].astype(F32) * d).reshape(qt.shape)
+
+
+# --- dispatch ------------------------------------------------------------
+
+_QUANTIZE = {
+    GType.Q4_0: quantize_row_q4_0,
+    GType.Q4_1: quantize_row_q4_1,
+    GType.Q4_2: quantize_row_q4_2,
+    GType.Q4_3: quantize_row_q4_3,
+    GType.Q5_0: quantize_row_q5_0,
+    GType.Q5_1: quantize_row_q5_1,
+    GType.Q8_0: quantize_row_q8_0,
+    GType.Q8_1: quantize_row_q8_1,
+    GType.Q4_K: quantize_row_q4_k,
+    GType.Q6_K: quantize_row_q6_k,
+    GType.Q8_K: quantize_row_q8_k,
+}
+
+_DEQUANTIZE = {
+    GType.Q4_0: dequantize_row_q4_0,
+    GType.Q4_1: dequantize_row_q4_1,
+    GType.Q4_2: dequantize_row_q4_2,
+    GType.Q4_3: dequantize_row_q4_3,
+    GType.Q5_0: dequantize_row_q5_0,
+    GType.Q5_1: dequantize_row_q5_1,
+    GType.Q8_0: dequantize_row_q8_0,
+    GType.Q8_1: dequantize_row_q8_1,
+    GType.Q4_K: dequantize_row_q4_k,
+    GType.Q6_K: dequantize_row_q6_k,
+    GType.Q8_K: dequantize_row_q8_k,
+}
+
+
+def quantize(x, gtype: GType) -> QTensor:
+    """ggml_quantize_* analog: quantize along the last axis."""
+    gtype = GType(gtype)
+    if gtype not in _QUANTIZE:
+        raise ValueError(f"{gtype.name} is not a quantized format")
+    return _QUANTIZE[gtype](x)
+
+
+def dequantize(qt: QTensor):
+    """dequantize_row_* analog: back to float32."""
+    return _DEQUANTIZE[qt.gtype](qt)

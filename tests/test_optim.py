@@ -1,0 +1,158 @@
+"""Test2/Test3 parity: optimizer convergence oracles.
+
+Test2 (/root/reference/Test2/Program.cs): Adam on 4 objectives — least-squares
+line fit (t0=5, t1=10 within 1e-3), L1 line fit (1e-2), convex quadratic,
+Booth function. Test3 (/root/reference/Test3/Program.cs): L-BFGS on a
+4096×256 regularized linear classifier with deterministic LCG data, every
+weight within 1e-2 of ±1. Both via the graph facade AND the functional path.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ggmlsharp_tpu.graph import builders as B, leaf, set_param
+from ggmlsharp_tpu.optim import (
+    OptParams,
+    OptResult,
+    opt,
+    opt_default_params,
+    opt_fn,
+)
+
+
+from ggmlsharp_tpu.optim.params import OptType
+
+
+def _adam_params():
+    # Test2 overrides alpha to 0.01 (Test2/Program.cs:17)
+    p = OptParams()
+    p.adam.alpha = 0.01
+    return p
+
+XI = jnp.asarray([1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10], jnp.float32)
+YI = jnp.asarray([15.0, 25, 35, 45, 55, 65, 75, 85, 95, 105], jnp.float32)
+N = 10
+
+
+def test2_adam_least_squares_graph():
+    # f = sum((t0 + t1*x - y)^2) / (2n), start (0,0)
+    t0 = set_param(leaf(jnp.zeros((1,), jnp.float32)))
+    t1 = set_param(leaf(jnp.zeros((1,), jnp.float32)))
+    x, y = leaf(XI), leaf(YI)
+    f = B.div(
+        B.sum(
+            B.sqr(
+                B.sub(B.add(B.mul(x, B.repeat(t1, (N,))), B.repeat(t0, (N,))), y)
+            )
+        ),
+        leaf(jnp.asarray([2.0 * N], jnp.float32)),
+    )
+    res, fx = opt(f, _adam_params())
+    assert res == OptResult.OK
+    assert abs(float(t0.data[0]) - 5.0) < 1e-3
+    assert abs(float(t1.data[0]) - 10.0) < 1e-3
+
+
+def test2_adam_l1_fit():
+    # f = 0.5*sum(abs(t0 + t1*x - y))/n, start (-1, 9), tol 1e-2
+    def fun(p):
+        t0, t1 = p
+        return 0.5 * jnp.sum(jnp.abs(t0 + t1 * XI - YI)) / N
+
+    (t0, t1), fx, res, _ = opt_fn(fun, (jnp.float32(-1.0), jnp.float32(9.0)), _adam_params())
+    assert res == OptResult.OK
+    assert abs(float(t0) - 5.0) < 1e-2
+    assert abs(float(t1) - 10.0) < 1e-2
+
+
+def test2_adam_quadratic():
+    # f = (5t0 + t1 - 35)^2 + (t0 + 8t1 - 42)^2  → minimum f=0
+    def fun(p):
+        t0, t1 = p
+        return (5 * t0 + t1 - 35.0) ** 2 + (t0 + 8 * t1 - 42.0) ** 2
+
+    (t0, t1), fx, res, _ = opt_fn(fun, (jnp.float32(1.0), jnp.float32(1.0)), _adam_params())
+    assert res == OptResult.OK
+    assert fx < 1e-3
+
+
+def test2_adam_booth():
+    # Booth: (x+2y-7)^2 + (2x+y-5)^2, min at (1,3)
+    def fun(p):
+        x, y = p
+        return (x + 2 * y - 7.0) ** 2 + (2 * x + y - 5.0) ** 2
+
+    (x, y), fx, res, _ = opt_fn(fun, (jnp.float32(0.0), jnp.float32(0.0)), _adam_params())
+    assert res == OptResult.OK
+    assert abs(float(x) - 1.0) < 1e-2
+    assert abs(float(y) - 3.0) < 1e-2
+
+
+def _test3_data(np_, nf):
+    """Test3's deterministic data (Test3/Program.cs:33-42, 98-106): MSVC-LCG
+    noise over a block-indicator design; least-squares solution ≈ ±1."""
+    state = np.uint64(0)
+    a, c = np.uint64(214013), np.uint64(2531011)
+
+    def xrand():
+        nonlocal state
+        state = np.uint64((a * state + c) & np.uint64(0xFFFFFFFF))
+        return int((state >> np.uint64(16)) & np.uint64(0x7FFF))
+
+    F = np.zeros((np_, nf), np.float32)
+    l = np.zeros(np_, np.float32)
+    for j in range(np_):
+        ll = 1.0 if j < np_ // 2 else -1.0
+        l[j] = ll
+        for i in range(nf):
+            ind = 1.0 if (ll > 0 and i < nf // 2) or (ll < 0 and i >= nf // 2) else 0.0
+            F[j, i] = (ind + (xrand() / 32767.0 - 0.5) * 0.1) / (0.5 * nf)
+    return F, l
+
+
+@pytest.mark.slow
+def test3_lbfgs_linear_classifier():
+    # scaled-down Test3 (NP=512, NF=64 vs 4096×256): L-BFGS + mul_mat fit
+    # with L2 reg; first-half weights → +1, second half → -1 within 1e-2
+    NP_, NF = 512, 64
+    Fn, ln = _test3_data(NP_, NF)
+    F, l = jnp.asarray(Fn), jnp.asarray(ln)
+
+    def fun(w):
+        pred = F @ w
+        return jnp.sum((pred - l) ** 2) / NP_ + 1e-5 * jnp.sum(w * w)
+
+    p = opt_default_params(OptType.LBFGS)
+    w0 = jnp.zeros((NF,), jnp.float32)
+    w, fx, res, iters = opt_fn(fun, w0, p)
+    assert res in (OptResult.OK, OptResult.DID_NOT_CONVERGE)
+    w_true = np.where(np.arange(NF) < NF // 2, 1.0, -1.0)
+    np.testing.assert_allclose(np.asarray(w), w_true, atol=1e-2)
+
+
+def test_lbfgs_rosenbrock():
+    # beyond-reference: classic curvature stress test
+    def fun(p):
+        x, y = p
+        return (1 - x) ** 2 + 100.0 * (y - x * x) ** 2
+
+    prm = opt_default_params(OptType.LBFGS)
+    prm.lbfgs.n_iter = 200
+    (x, y), fx, res, _ = opt_fn(fun, (jnp.float32(-1.2), jnp.float32(1.0)), prm)
+    assert abs(float(x) - 1.0) < 1e-3
+    assert abs(float(y) - 1.0) < 1e-3
+
+
+def test_adam_past_window_stops_early():
+    p = OptParams()
+    p.past = 3
+    p.delta = 1e-3
+    p.adam.n_iter = 5000
+
+    def fun(t):
+        return jnp.sum(t * t)
+
+    t, fx, res, iters = opt_fn(fun, jnp.asarray([1.0, -2.0], jnp.float32), p)
+    assert res == OptResult.OK
+    assert iters < 5000
