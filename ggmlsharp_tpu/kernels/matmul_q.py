@@ -1,0 +1,233 @@
+"""Fused dequant-matmul Pallas kernels — the quantized-inference hot loop.
+
+TPU-native replacement for the reference's mul_mat_q_f32 row loop +
+vec_dot_q (Ggml.cs:6440-6712, 1125-1381): packed integer planes stay in HBM,
+each grid step DMAs one (TILE_N, K)-worth of packed blocks into VMEM, unpacks
+with lane-wise shifts, applies per-block scales, and feeds the MXU directly.
+No dequantized copy of the weights ever exists in HBM, so decode stays at the
+packed-bytes bandwidth roofline.
+
+Layout contract (quant.formats): integer planes are stored in block-
+transposed STORAGE ORDER, so inside the kernel
+  * nibble/2-bit unpack is shift+mask+concat along lanes (no shape casts
+    Mosaic rejects),
+  * per-block scale expansion is a lane TILE (pltpu.repeat),
+  * Q5 high-bit masks expand with 32 shift+concat ops.
+The activation tile is permuted to the same storage order OUTSIDE the kernel
+(one cheap XLA gather, fused into the activations' producer); a dot product
+is permutation-invariant, so results are unchanged.
+
+Numerics: blocks are dequantized to f32 inside VMEM (int values and f16
+scales are exact in f32) and the dot accumulates in f32 — bit-comparable to
+the jnp reference path modulo summation order. Activation quantization
+(ggml's INIT-phase trick, Ggml.cs:6641-6655) is applied outside by round-
+tripping activations through the companion Q8 format — mathematically
+identical to the integer-dot formulation (see ops.matmul docstring).
+
+Grid: 1-D over output tiles (TILE_N weight rows); the full K of one tile is
+unpacked at once (f32 scratch ≤ ~5.6 MB at K=11008). Larger K falls back.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..dtypes import GType
+from ..quant.formats import QTensor, to_storage_order
+from .config import interpret_mode
+
+TILE_N = 128
+MAX_K_F32 = 16384  # unpacked f32 tile must fit VMEM
+
+
+def _tile(x, n):
+    """Per-block scales [TN, C] → per-element [TN, n*C] in STORAGE order
+    (lane-axis tile: position t*C+c ← x[:, c])."""
+    return pltpu.repeat(x, n, axis=1)
+
+
+def _unpack4(qs_u32):
+    parts = [
+        ((qs_u32 >> jnp.uint32(4 * j)) & jnp.uint32(0xF)).astype(jnp.int32)
+        for j in range(8)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unpack2(qh_u32):
+    parts = [
+        ((qh_u32 >> jnp.uint32(2 * j)) & jnp.uint32(0x3)).astype(jnp.int32)
+        for j in range(16)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unpack_hb(qh_u32):
+    """Per-block 32-bit masks [TN, C] → 0/1 ints [TN, 32C] in storage order
+    (bit l of block c lands at position l*C+c)."""
+    parts = [
+        ((qh_u32 >> jnp.uint32(l)) & jnp.uint32(1)).astype(jnp.int32)
+        for l in range(32)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _decode_f16x2(ref):
+    """uint32 f16-pair scale plane [TN, C/2] → f32 [TN, C] (block order).
+
+    Mosaic (this libtpu) has no f16 vector type, so scale planes arrive as
+    packed uint32 pairs (formats.pack_f16_pairs) and are decoded with integer
+    lane math + one bitcast: rebias the exponent 15→127 and shift the
+    mantissa into f32 position; subnormal f16s (exp==0) are man·2⁻²⁴.
+    """
+    p = ref[:]
+    u = jnp.concatenate(
+        [p & jnp.uint32(0xFFFF), p >> jnp.uint32(16)], axis=1
+    )
+    sign_bits = (u & jnp.uint32(0x8000)) << jnp.uint32(16)
+    exp = (u >> jnp.uint32(10)) & jnp.uint32(0x1F)
+    # Mosaic has no uint32→f32 cast; hop through int32 (values ≤ 0x3FF)
+    man = (u & jnp.uint32(0x3FF)).astype(jnp.int32).astype(jnp.float32)
+    normal_bits = sign_bits | (
+        ((u & jnp.uint32(0x7FFF)) << jnp.uint32(13)) + jnp.uint32(112 << 23)
+    )
+    normal = pltpu.bitcast(normal_bits, jnp.float32)
+    sgn = jnp.where((u & jnp.uint32(0x8000)) > 0, -1.0, 1.0)
+    sub = sgn * man * jnp.float32(2.0 ** -24)
+    return jnp.where(exp == 0, sub, normal)
+
+
+# --- per-format tile dequantizers: refs → f32 (TILE_N, K) storage order ---
+
+def _dq_q8_0(qs, d):
+    return qs[:].astype(jnp.float32) * _tile(_decode_f16x2(d), 32)
+
+
+def _dq_q4_0(qs, d):
+    return (_unpack4(qs[:]) - 8).astype(jnp.float32) * _tile(_decode_f16x2(d), 32)
+
+
+def _dq_q4_1(qs, d, m):
+    v = _unpack4(qs[:]).astype(jnp.float32)
+    return v * _tile(_decode_f16x2(d), 32) + _tile(_decode_f16x2(m), 32)
+
+
+def _dq_q4_2(qs, d):
+    return (_unpack4(qs[:]) - 8).astype(jnp.float32) * _tile(_decode_f16x2(d), 16)
+
+
+def _dq_q4_3(qs, d, m):
+    v = _unpack4(qs[:]).astype(jnp.float32)
+    return v * _tile(_decode_f16x2(d), 16) + _tile(_decode_f16x2(m), 16)
+
+
+def _dq_q5_0(qs, qh, d):
+    v = (_unpack4(qs[:]) | (_unpack_hb(qh[:]) << 4)) - 16
+    return v.astype(jnp.float32) * _tile(_decode_f16x2(d), 32)
+
+
+def _dq_q5_1(qs, qh, d, m):
+    v = _unpack4(qs[:]) | (_unpack_hb(qh[:]) << 4)
+    return v.astype(jnp.float32) * _tile(_decode_f16x2(d), 32) + _tile(_decode_f16x2(m), 32)
+
+
+def _dq_q4_k(qs, kd, km):
+    v = _unpack4(qs[:]).astype(jnp.float32)
+    return v * _tile(_decode_f16x2(kd), 32) - _tile(_decode_f16x2(km), 32)
+
+
+def _dq_q6_k(ql, qh, kd):
+    v = (_unpack4(ql[:]) | (_unpack2(qh[:]) << 4)) - 32
+    return v.astype(jnp.float32) * _tile(_decode_f16x2(kd), 16)
+
+
+# gtype → (dequant fn, plane names, storage-order block granularity)
+_DEQUANT_TILE = {
+    GType.Q8_0: (_dq_q8_0, ("qs", "d_p"), 32),
+    GType.Q4_0: (_dq_q4_0, ("qs", "d_p"), 32),
+    GType.Q4_1: (_dq_q4_1, ("qs", "d_p", "m_p"), 32),
+    GType.Q4_2: (_dq_q4_2, ("qs", "d_p"), 16),
+    GType.Q4_3: (_dq_q4_3, ("qs", "d_p", "m_p"), 16),
+    GType.Q5_0: (_dq_q5_0, ("qs", "qh", "d_p"), 32),
+    GType.Q5_1: (_dq_q5_1, ("qs", "qh", "d_p", "m_p"), 32),
+    GType.Q4_K: (_dq_q4_k, ("qs", "kd_p", "km_p"), 32),
+    GType.Q6_K: (_dq_q6_k, ("ql", "qh", "kd_p"), 16),
+}
+
+
+def fused_supported(qt: QTensor) -> bool:
+    if qt.gtype not in _DEQUANT_TILE:
+        return False
+    if len(qt.shape) != 2:
+        return False
+    _, keys, _ = _DEQUANT_TILE[qt.gtype]
+    if any(key not in qt.planes for key in keys):
+        return False  # e.g. odd scale-plane length → no f16-pair plane
+    n, k = qt.shape
+    return n % TILE_N == 0 and k <= MAX_K_F32
+
+
+@functools.partial(jax.jit, static_argnames=("gtype", "n", "k", "plane_keys"))
+def _call_kernel(x_storage, planes, gtype, n, k, plane_keys):
+    dq, _, _ = _DEQUANT_TILE[gtype]
+    b = x_storage.shape[0]
+
+    def kernel(x_ref, *refs):
+        *w_refs, o_ref = refs
+        w = dq(*w_refs)  # (TILE_N, K) f32, storage order
+        o_ref[:] = jax.lax.dot_general(
+            x_ref[:], w,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    grid = (n // TILE_N,)
+    in_specs = [pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+    plane_vals = []
+    for key in plane_keys:
+        p = planes[key]
+        pk = p.shape[1]
+        in_specs.append(
+            pl.BlockSpec((TILE_N, pk), lambda i, pk=pk: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        plane_vals.append(p)
+    out_spec = pl.BlockSpec((b, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    flops = 2 * b * n * k
+    bytes_accessed = sum(p.size * p.dtype.itemsize for p in plane_vals) + b * k * 4 + b * n * 4
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        interpret=interpret_mode(),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+    )(x_storage, *plane_vals)
+
+
+def mul_mat_q_fused(a: QTensor, bx, quantize_acts: bool = True):
+    """a: QTensor [n_out, k]; bx: f32 [..., k] → [..., n_out]."""
+    from ..quant.quantize import dequantize
+    from ..ops.matmul import mul_mat_q, quantize_activations
+
+    if not fused_supported(a):
+        return mul_mat_q(a, bx, quantize_acts=quantize_acts)
+
+    n, k = a.shape
+    x = jnp.asarray(bx, jnp.float32)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, k)
+    if quantize_acts:
+        x2 = dequantize(quantize_activations(x2, a.gtype))
+    _, keys, bs = _DEQUANT_TILE[a.gtype]
+    x2 = to_storage_order(x2, bs)
+    out = _call_kernel(x2, dict(a.planes), a.gtype, n, k, keys)
+    return out.reshape(*lead, n)

@@ -1,0 +1,158 @@
+"""GPT-2 (BASELINE configs 1-2: 124M Q8_0 single-chip decode; 774M Q4 ppl).
+
+Classic architecture: learned position embeddings, pre-LN blocks, fused-QKV
+attention, GELU MLP, weight-tied LM head. Built from ggmlsharp_tpu ops so
+weight tensors can be dense arrays or QTensor block-quant planes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from .. import ops
+from ..quant.formats import QTensor
+from ..quant.quantize import dequantize, quantize
+from ..dtypes import GType
+from . import kv_cache as kvc
+from .common import cached_attention, linear, merge_heads, split_heads
+
+
+@dataclass(frozen=True)
+class GPT2Config:
+    n_vocab: int = 50257
+    n_ctx: int = 1024
+    n_embd: int = 768
+    n_head: int = 12
+    n_layer: int = 12
+    ln_eps: float = 1e-5
+
+    @property
+    def head_dim(self):
+        return self.n_embd // self.n_head
+
+
+GPT2_124M = GPT2Config()
+GPT2_355M = GPT2Config(n_embd=1024, n_head=16, n_layer=24)
+GPT2_774M = GPT2Config(n_embd=1280, n_head=20, n_layer=36)
+GPT2_1558M = GPT2Config(n_embd=1600, n_head=25, n_layer=48)
+
+
+def init_params(rng, cfg: GPT2Config, dtype=jnp.bfloat16):
+    """Random init (for benchmarking and tests; real weights via io.gguf /
+    io.hf)."""
+    ks = jax.random.split(rng, 4 + cfg.n_layer)
+    sd = 0.02
+
+    def w(key, *shape):
+        return (jax.random.normal(key, shape, jnp.float32) * sd).astype(dtype)
+
+    p = {
+        "wte": w(ks[0], cfg.n_vocab, cfg.n_embd),
+        "wpe": w(ks[1], cfg.n_ctx, cfg.n_embd),
+        "ln_f": {"g": jnp.ones((cfg.n_embd,), dtype), "b": jnp.zeros((cfg.n_embd,), dtype)},
+        "blocks": [],
+    }
+    for i in range(cfg.n_layer):
+        kk = jax.random.split(ks[4 + i], 4)
+        p["blocks"].append(
+            {
+                "ln_1": {"g": jnp.ones((cfg.n_embd,), dtype), "b": jnp.zeros((cfg.n_embd,), dtype)},
+                "attn": {
+                    "c_attn_w": w(kk[0], 3 * cfg.n_embd, cfg.n_embd),
+                    "c_attn_b": jnp.zeros((3 * cfg.n_embd,), dtype),
+                    "c_proj_w": w(kk[1], cfg.n_embd, cfg.n_embd),
+                    "c_proj_b": jnp.zeros((cfg.n_embd,), dtype),
+                },
+                "ln_2": {"g": jnp.ones((cfg.n_embd,), dtype), "b": jnp.zeros((cfg.n_embd,), dtype)},
+                "mlp": {
+                    "c_fc_w": w(kk[2], 4 * cfg.n_embd, cfg.n_embd),
+                    "c_fc_b": jnp.zeros((4 * cfg.n_embd,), dtype),
+                    "c_proj_w": w(kk[3], cfg.n_embd, 4 * cfg.n_embd),
+                    "c_proj_b": jnp.zeros((cfg.n_embd,), dtype),
+                },
+            }
+        )
+    return p
+
+
+def quantize_params(params, gtype: GType, min_cols: int = 256):
+    """Weight-only quantization of every matmul weight (embeddings included).
+    Biases/layernorms stay float (matching llama.cpp's policy)."""
+
+    def q(name, t):
+        if isinstance(t, QTensor) or t.ndim != 2 or t.shape[-1] % 256:
+            return t
+        if t.shape[-1] < min_cols:
+            return t
+        return quantize(t.astype(jnp.float32), gtype)
+
+    out = {
+        "wte": q("wte", params["wte"]),
+        "wpe": params["wpe"],
+        "ln_f": params["ln_f"],
+        "blocks": [],
+    }
+    for b in params["blocks"]:
+        out["blocks"].append(
+            {
+                "ln_1": b["ln_1"],
+                "attn": {
+                    "c_attn_w": q("attn", b["attn"]["c_attn_w"]),
+                    "c_attn_b": b["attn"]["c_attn_b"],
+                    "c_proj_w": q("attn", b["attn"]["c_proj_w"]),
+                    "c_proj_b": b["attn"]["c_proj_b"],
+                },
+                "ln_2": b["ln_2"],
+                "mlp": {
+                    "c_fc_w": q("mlp", b["mlp"]["c_fc_w"]),
+                    "c_fc_b": b["mlp"]["c_fc_b"],
+                    "c_proj_w": q("mlp", b["mlp"]["c_proj_w"]),
+                    "c_proj_b": b["mlp"]["c_proj_b"],
+                },
+            }
+        )
+    return out
+
+
+def _layer_norm(x, g, b, eps):
+    return ops.norm(x.astype(jnp.float32), eps=eps).astype(x.dtype) * g + b
+
+
+def forward(params, cfg: GPT2Config, tokens, cache: kvc.KVCache, positions):
+    """tokens: int32 [B, S]; positions: int32 [B, S] absolute positions.
+    Returns (logits [B, S, n_vocab] f32, updated cache)."""
+    x = ops.get_rows(params["wte"], tokens)
+    x = x + jnp.take(params["wpe"], jnp.clip(positions, 0, cfg.n_ctx - 1), axis=0)
+    compute_dtype = params["wpe"].dtype
+    x = x.astype(compute_dtype)
+
+    for i, blk in enumerate(params["blocks"]):
+        h = _layer_norm(x, blk["ln_1"]["g"], blk["ln_1"]["b"], cfg.ln_eps)
+        qkv = linear(blk["attn"]["c_attn_w"], h, blk["attn"]["c_attn_b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = split_heads(q, cfg.n_head)
+        k = split_heads(k, cfg.n_head)
+        v = split_heads(v, cfg.n_head)
+        a, cache = cached_attention(q, k, v, cache, i, positions)
+        x = x + linear(blk["attn"]["c_proj_w"], merge_heads(a), blk["attn"]["c_proj_b"])
+
+        h = _layer_norm(x, blk["ln_2"]["g"], blk["ln_2"]["b"], cfg.ln_eps)
+        h = ops.gelu(linear(blk["mlp"]["c_fc_w"], h, blk["mlp"]["c_fc_b"]))
+        x = x + linear(blk["mlp"]["c_proj_w"], h, blk["mlp"]["c_proj_b"])
+
+    x = _layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], cfg.ln_eps)
+    wte = params["wte"]
+    if isinstance(wte, QTensor):
+        logits = ops.mul_mat(wte, x.astype(jnp.float32), quantize_acts=False)
+    else:
+        logits = ops.mul_mat_f(wte, x)
+    return logits.astype(jnp.float32), kvc.advance(cache, tokens.shape[1])
+
+
+def new_cache(cfg: GPT2Config, batch: int, dtype=jnp.bfloat16, int8=False,
+              max_len: int | None = None):
+    return kvc.init_cache(cfg.n_layer, batch, cfg.n_head,
+                          max_len or cfg.n_ctx, cfg.head_dim,
+                          dtype=dtype, int8=int8)

@@ -1,0 +1,159 @@
+"""Llama family (BASELINE configs 3-5: 7B with k-quants, INT8 KV cache,
+multi-host tensor sharding).
+
+RMSNorm pre-norm, rotary position embeddings (interleaved ggml mode by
+default), SwiGLU MLP, optional GQA, untied or tied LM head. Weight tensors
+may be dense arrays or QTensor block-quant planes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from .. import ops
+from ..dtypes import GType
+from ..quant.formats import QTensor
+from ..quant.quantize import quantize
+from . import kv_cache as kvc
+from .common import cached_attention, linear, merge_heads, split_heads
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    n_vocab: int = 32000
+    n_ctx: int = 2048
+    n_embd: int = 4096
+    n_head: int = 32
+    n_head_kv: int = 32  # < n_head → GQA
+    n_layer: int = 32
+    n_ff: int = 11008
+    rms_eps: float = 1e-6
+    rope_base: float = 10000.0
+    rope_mode: int = 0  # 0 = ggml interleaved, 2 = neox halves
+    tie_lm_head: bool = False
+
+    @property
+    def head_dim(self):
+        return self.n_embd // self.n_head
+
+
+LLAMA_7B = LlamaConfig()
+LLAMA_13B = LlamaConfig(n_embd=5120, n_head=40, n_head_kv=40, n_layer=40, n_ff=13824)
+TINY_LLAMA = LlamaConfig(  # test-scale config
+    n_vocab=256, n_ctx=128, n_embd=128, n_head=4, n_head_kv=2, n_layer=2, n_ff=256
+)
+
+
+def init_params(rng, cfg: LlamaConfig, dtype=jnp.bfloat16):
+    ks = jax.random.split(rng, 3 + cfg.n_layer)
+    sd = 0.02
+    hd = cfg.head_dim
+
+    def w(key, *shape):
+        return (jax.random.normal(key, shape, jnp.float32) * sd).astype(dtype)
+
+    p = {
+        "tok_embd": w(ks[0], cfg.n_vocab, cfg.n_embd),
+        "norm": jnp.ones((cfg.n_embd,), dtype),
+        "output": None if cfg.tie_lm_head else w(ks[1], cfg.n_vocab, cfg.n_embd),
+        "blocks": [],
+    }
+    for i in range(cfg.n_layer):
+        kk = jax.random.split(ks[3 + i], 7)
+        p["blocks"].append(
+            {
+                "attn_norm": jnp.ones((cfg.n_embd,), dtype),
+                "wq": w(kk[0], cfg.n_head * hd, cfg.n_embd),
+                "wk": w(kk[1], cfg.n_head_kv * hd, cfg.n_embd),
+                "wv": w(kk[2], cfg.n_head_kv * hd, cfg.n_embd),
+                "wo": w(kk[3], cfg.n_embd, cfg.n_head * hd),
+                "ffn_norm": jnp.ones((cfg.n_embd,), dtype),
+                "w_gate": w(kk[4], cfg.n_ff, cfg.n_embd),
+                "w_up": w(kk[5], cfg.n_ff, cfg.n_embd),
+                "w_down": w(kk[6], cfg.n_embd, cfg.n_ff),
+            }
+        )
+    return p
+
+
+def quantize_params(params, gtype: GType, embd_gtype: GType | None = None):
+    """Weight-only quantize all matmul weights. llama.cpp policy analog:
+    token embedding / output may use a different (often higher-bit) format."""
+    embd_gtype = embd_gtype or gtype
+
+    def q(t, g):
+        if t is None or isinstance(t, QTensor) or t.ndim != 2:
+            return t
+        if t.shape[-1] % 256:
+            return t
+        return quantize(t.astype(jnp.float32), g)
+
+    out = {
+        "tok_embd": q(params["tok_embd"], embd_gtype),
+        "norm": params["norm"],
+        "output": q(params["output"], embd_gtype),
+        "blocks": [
+            {
+                "attn_norm": b["attn_norm"],
+                "wq": q(b["wq"], gtype),
+                "wk": q(b["wk"], gtype),
+                "wv": q(b["wv"], gtype),
+                "wo": q(b["wo"], gtype),
+                "ffn_norm": b["ffn_norm"],
+                "w_gate": q(b["w_gate"], gtype),
+                "w_up": q(b["w_up"], gtype),
+                "w_down": q(b["w_down"], gtype),
+            }
+            for b in params["blocks"]
+        ],
+    }
+    return out
+
+
+def _rms(x, g, eps):
+    return ops.rms_norm(x.astype(jnp.float32), eps=eps).astype(x.dtype) * g
+
+
+def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions):
+    """tokens/positions: int32 [B, S]. Returns (logits f32 [B,S,V], cache)."""
+    x = ops.get_rows(params["tok_embd"], tokens)
+    compute_dtype = params["norm"].dtype
+    x = x.astype(compute_dtype)
+    n_rep = cfg.n_head // cfg.n_head_kv
+    B, S = tokens.shape
+
+    for i, blk in enumerate(params["blocks"]):
+        h = _rms(x, blk["attn_norm"], cfg.rms_eps)
+        q = split_heads(linear(blk["wq"], h), cfg.n_head)
+        k = split_heads(linear(blk["wk"], h), cfg.n_head_kv)
+        v = split_heads(linear(blk["wv"], h), cfg.n_head_kv)
+        # rope over [B, H, S, D] — positions broadcast per batch row
+        rope = lambda t: jax.vmap(  # over batch (positions differ per slot)
+            lambda tb, pb: ops.rope(tb, pb, mode=cfg.rope_mode, base=cfg.rope_base),
+            in_axes=(0, 0),
+        )(t, positions)
+        q = rope(q)
+        k = rope(k)
+        a, cache = cached_attention(q, k, v, cache, i, positions, n_rep=n_rep)
+        x = x + linear(blk["wo"], merge_heads(a))
+
+        h = _rms(x, blk["ffn_norm"], cfg.rms_eps)
+        gate = ops.silu(linear(blk["w_gate"], h))
+        x = x + linear(blk["w_down"], gate * linear(blk["w_up"], h))
+
+    x = _rms(x, params["norm"], cfg.rms_eps)
+    w_out = params["output"] if params["output"] is not None else params["tok_embd"]
+    if isinstance(w_out, QTensor):
+        logits = ops.mul_mat(w_out, x.astype(jnp.float32), quantize_acts=False)
+    else:
+        logits = ops.mul_mat_f(w_out, x)
+    return logits.astype(jnp.float32), kvc.advance(cache, S)
+
+
+def new_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16, int8=False,
+              max_len: int | None = None):
+    return kvc.init_cache(cfg.n_layer, batch, cfg.n_head_kv,
+                          max_len or cfg.n_ctx, cfg.head_dim,
+                          dtype=dtype, int8=int8)

@@ -1,0 +1,91 @@
+"""Decode loops: prefill + greedy/temperature sampling over a KV cache.
+
+Static-shape, donation-friendly: one jitted `step` reused for every decode
+token; prefill is one jitted call over the prompt. Works with any model
+module exposing forward(params, cfg, tokens, cache, positions).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def make_decode_fns(forward, cfg):
+    """Returns (prefill, step) jitted functions.
+
+    prefill(params, tokens[B,S], cache) -> (last_logits [B,V], cache)
+    step(params, token[B,1], cache) -> (logits [B,V], cache)  (cache donated)
+    """
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def prefill(params, tokens, cache):
+        B, S = tokens.shape
+        positions = cache.length[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+        logits, cache = forward(params, cfg, tokens, cache, positions)
+        return logits[:, -1, :], cache
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def step(params, token, cache):
+        positions = cache.length[:, None]
+        logits, cache = forward(params, cfg, token, cache, positions)
+        return logits[:, -1, :], cache
+
+    return prefill, step
+
+
+def sample_token(logits, rng=None, temperature: float = 0.0, top_k: int = 0):
+    """logits [B, V] → token [B, 1]."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -1e30, logits)
+    return jax.random.categorical(rng, logits, axis=-1)[:, None].astype(jnp.int32)
+
+
+def generate(forward, cfg, params, prompt, cache, n_tokens: int,
+             temperature: float = 0.0, top_k: int = 0, rng=None,
+             echo_logits: bool = False):
+    """Host-driven decode: prefill once, then n_tokens single-token steps.
+
+    prompt: int32 [B, S]. Returns (tokens [B, n_tokens], cache)."""
+    prefill, step = make_decode_fns(forward, cfg)
+    logits, cache = prefill(params, prompt, cache)
+    out = []
+    tok = None
+    for i in range(n_tokens):
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
+        tok = sample_token(logits, sub, temperature, top_k)
+        out.append(tok)
+        logits, cache = step(params, tok, cache)
+    return jnp.concatenate(out, axis=1), cache
+
+
+def generate_scan(forward, cfg, params, prompt, cache, n_tokens: int):
+    """Fully-jitted greedy decode via lax.scan (for benchmarking: no host
+    round-trips between steps)."""
+    prefill, _ = make_decode_fns(forward, cfg)
+
+    @jax.jit
+    def run(params, prompt, cache):
+        logits, cache = prefill(params, prompt, cache)
+
+        def body(carry, _):
+            logits, cache = carry
+            tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+            positions = cache.length[:, None]
+            lg, cache2 = forward(params, cfg, tok, cache, positions)
+            return (lg[:, -1, :], cache2), tok[:, 0]
+
+        (logits, cache), toks = jax.lax.scan(
+            body, (logits, cache), None, length=n_tokens
+        )
+        return toks.T, cache  # [B, n_tokens]
+
+    return run(params, prompt, cache)

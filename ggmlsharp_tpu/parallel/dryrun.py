@@ -1,0 +1,94 @@
+"""Multichip dry-run: compile + execute one sharded training step AND one
+sharded quantized decode step on an n-device mesh with tiny shapes.
+
+Exercises the real production shardings (TP column/row-parallel weights, TP
+KV-cache heads, DP batch) so the driver can validate the multi-chip path on
+virtual CPU devices without hardware.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..dtypes import GType
+from ..models import llama, sampling
+from . import sharding as shd
+from .mesh import make_mesh
+
+
+def _tiny_cfg():
+    return llama.LlamaConfig(
+        n_vocab=512, n_ctx=64, n_embd=256, n_head=8, n_head_kv=4,
+        n_layer=2, n_ff=512,
+    )
+
+
+def run(n_devices: int) -> None:
+    devices = jax.devices()[:n_devices]
+    assert len(devices) == n_devices, (
+        f"need {n_devices} devices, have {len(jax.devices())}"
+    )
+    data = 2 if n_devices % 2 == 0 and n_devices > 2 else 1
+    mesh = make_mesh(data=data, model=n_devices // data, devices=devices)
+    cfg = _tiny_cfg()
+    B, S = data * 2, 16
+
+    with mesh:
+        params = llama.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        params = shd.shard_params(params, shd.llama_param_specs(), mesh)
+        tokens = jax.device_put(
+            jax.random.randint(jax.random.PRNGKey(1), (B, S + 1), 0, cfg.n_vocab),
+            NamedSharding(mesh, P("data", None)),
+        )
+
+        # --- one TP+DP training step (loss → grads → adam-style update) ---
+        def loss_fn(p, toks):
+            inp, tgt = toks[:, :-1], toks[:, 1:]
+            cache = llama.new_cache(cfg, B, dtype=jnp.float32)
+            positions = jnp.broadcast_to(
+                jnp.arange(S, dtype=jnp.int32)[None, :], inp.shape
+            )
+            logits, _ = llama.forward(p, cfg, inp, cache, positions)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)
+            return jnp.mean(nll)
+
+        @jax.jit
+        def train_step(p, toks):
+            loss, g = jax.value_and_grad(loss_fn)(p, toks)
+            new_p = jax.tree.map(lambda w, gw: w - 1e-3 * gw, p, g)
+            return loss, new_p
+
+        loss, params2 = train_step(params, tokens)
+        loss = float(loss)
+        assert loss == loss, "training-step loss is NaN"
+        print(f"[dryrun] sharded train step ok on {n_devices} devices "
+              f"(mesh data={data}, model={n_devices//data}): loss={loss:.4f}")
+
+        # --- one TP+DP quantized decode step over a sharded INT8 KV cache ---
+        qparams = llama.quantize_params(params, GType.Q4_0)
+        qparams = shd.shard_params(qparams, shd.llama_param_specs(), mesh)
+        cache = llama.new_cache(cfg, B, int8=True)
+        cspec = shd.kv_cache_spec()
+        cache = jax.tree.map(
+            lambda x: x,  # identity; then place fields explicitly below
+            cache,
+        )
+        from ..models.kv_cache import KVCache
+
+        cache = KVCache(
+            jax.device_put(cache.k, NamedSharding(mesh, cspec["k"])),
+            jax.device_put(cache.v, NamedSharding(mesh, cspec["v"])),
+            jax.device_put(cache.k_scale, NamedSharding(mesh, cspec["k_scale"])),
+            jax.device_put(cache.v_scale, NamedSharding(mesh, cspec["v_scale"])),
+            jax.device_put(cache.length, NamedSharding(mesh, cspec["length"])),
+        )
+        prefill, step = sampling.make_decode_fns(llama.forward, cfg)
+        logits, cache = prefill(qparams, tokens[:, :S], cache)
+        tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+        logits, cache = step(qparams, tok, cache)
+        jax.block_until_ready(logits)
+        print(f"[dryrun] sharded Q4_0 decode step ok: logits {logits.shape}")

@@ -72,19 +72,21 @@ jax.tree_util.register_pytree_node_class(QTensor)
 
 def pack_nibbles(vals: jnp.ndarray) -> jnp.ndarray:
     """Pack uint4 values (int32/uint8 in [0,15], last axis multiple of 8)
-    into uint32 lanes: out[..., w] holds elements 8w..8w+7, element j in
-    bits 4j."""
+    into uint32 lanes — PLANAR layout: bits [4j, 4j+4) of word w hold
+    original element j·(n/8) + w.
+
+    Why planar (vs the byte-contiguous ggml wire layout): a Pallas kernel
+    unpacks a planar row with 8 lane-wise shift/mask ops and ONE concat along
+    the lane axis — no (N, n/8, 8)→(N, n) relayout, which Mosaic would have
+    to do with sublane shuffles. Wire-format conversion happens at import
+    time (io.gguf) where layout is free.
+    """
     *lead, n = vals.shape
     assert n % 8 == 0, n
-    v = vals.astype(jnp.uint32).reshape(*lead, n // 8, 8)
-    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4).reshape((1,) * (len(lead) + 1) + (8,))
-    return _or_reduce(v << shifts)
-
-
-def _or_reduce(x):
-    out = x[..., 0]
-    for j in range(1, x.shape[-1]):
-        out = out | x[..., j]
+    planes = vals.astype(jnp.uint32).reshape(*lead, 8, n // 8)
+    out = planes[..., 0, :] << 0
+    for j in range(1, 8):
+        out = out | (planes[..., j, :] << jnp.uint32(4 * j))
     return out
 
 
@@ -92,9 +94,30 @@ def unpack_nibbles(packed: jnp.ndarray, n: int) -> jnp.ndarray:
     """Inverse of pack_nibbles → int32 values in [0,15], shape (..., n)."""
     *lead, nw = packed.shape
     assert nw * 8 == n, (nw, n)
-    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4).reshape((1,) * (len(lead) + 1) + (8,))
-    vals = (packed[..., None] >> shifts) & jnp.uint32(0xF)
-    return vals.reshape(*lead, n).astype(jnp.int32)
+    parts = [
+        ((packed >> jnp.uint32(4 * j)) & jnp.uint32(0xF)) for j in range(8)
+    ]
+    return jnp.concatenate(parts, axis=-1).astype(jnp.int32)
+
+
+def pack_2bit(vals: jnp.ndarray) -> jnp.ndarray:
+    """2-bit planar pack: 16 planes of n/16 (same scheme as pack_nibbles)."""
+    *lead, n = vals.shape
+    assert n % 16 == 0
+    planes = vals.astype(jnp.uint32).reshape(*lead, 16, n // 16)
+    out = planes[..., 0, :]
+    for j in range(1, 16):
+        out = out | (planes[..., j, :] << jnp.uint32(2 * j))
+    return out
+
+
+def unpack_2bit(packed: jnp.ndarray, n: int) -> jnp.ndarray:
+    *lead, nw = packed.shape
+    assert nw * 16 == n
+    parts = [
+        ((packed >> jnp.uint32(2 * j)) & jnp.uint32(0x3)) for j in range(16)
+    ]
+    return jnp.concatenate(parts, axis=-1).astype(jnp.int32)
 
 
 def pack_bytes_u32(vals: jnp.ndarray) -> jnp.ndarray:
@@ -112,6 +135,46 @@ def unpack_bytes_u32(packed: jnp.ndarray, n: int) -> jnp.ndarray:
     shifts = (jnp.arange(4, dtype=jnp.uint32) * 8).reshape((1,) * (len(lead) + 1) + (4,))
     vals = (packed[..., None] >> shifts) & jnp.uint32(0xFF)
     return vals.reshape(*lead, n).astype(jnp.int32)
+
+
+def to_storage_order(vals: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """Element order → storage order: (..., nb·bs) with element c·bs+l moved
+    to position l·nb+c (transpose of the (nb, bs) block matrix).
+
+    Why: in a Pallas kernel, expanding per-block scales to per-element then
+    becomes a lane-axis TILE (`pltpu.repeat`), and 5th-bit masks expand with
+    shift+concat — both natively supported; the element-order equivalent
+    needs (N, nb, bs)→(N, k) shape casts Mosaic refuses. `bs` is the format's
+    finest scale granularity (32 legacy/Q4_K, 16 for Q4_2/Q4_3/Q6_K).
+    """
+    *lead, n = vals.shape
+    return vals.reshape(*lead, n // bs, bs).swapaxes(-1, -2).reshape(*lead, n)
+
+
+def from_storage_order(vals: jnp.ndarray, bs: int) -> jnp.ndarray:
+    *lead, n = vals.shape
+    return vals.reshape(*lead, bs, n // bs).swapaxes(-1, -2).reshape(*lead, n)
+
+
+def pack_f16_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """f16 scale plane (..., C) → uint32 (..., C/2), word w = (x[w], x[w+C/2])
+    in (lo, hi) halves — planar, so an in-kernel lo/hi split + concat
+    reconstructs block order. Exists because Mosaic (this libtpu) has no f16
+    vector type; kernels decode the halves to f32 with integer lane math
+    (kernels.matmul_q._decode_f16x2)."""
+    *lead, c = x.shape
+    assert c % 2 == 0, c
+    bits = jax.lax.bitcast_convert_type(
+        x.astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    return bits[..., : c // 2] | (bits[..., c // 2 :] << jnp.uint32(16))
+
+
+def unpack_f16_pairs(packed: jnp.ndarray, c: int) -> jnp.ndarray:
+    lo = (packed & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    hi = (packed >> jnp.uint32(16)).astype(jnp.uint16)
+    bits = jnp.concatenate([lo, hi], axis=-1)
+    return jax.lax.bitcast_convert_type(bits, jnp.float16)
 
 
 def check_last_axis(x: jnp.ndarray, gtype: GType):

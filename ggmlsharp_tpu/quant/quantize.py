@@ -8,21 +8,27 @@ the port's q8 bugs — unsigned lanes and skipped odd lanes, Ggml.cs:756-760,
     floor(x/d + 8.5))``; 32-elem blocks.
   * Q4_1  (Ggml.cs:482-530):  affine min/max, ``d = (max-min)/15``.
   * Q4_2  (Ggml.cs:560-610):  Q4_0 with 16-elem blocks, f16 scale.
-  * Q4_3:  Q4_1 with 16-elem blocks, f16 scale/min (declared in the reference's
-    type tables but its quantize_fns row is empty, Ggml.cs:248 — implemented
-    here as first-class).
+  * Q4_3:  Q4_1 with 16-elem blocks (declared in the reference's type tables
+    but its quantize_fns row is empty, Ggml.cs:248 — first-class here).
   * Q5_0  (Ggml.cs:612-668):  ``d = max/-16``; 5-bit values, high bit in qh.
   * Q5_1  (Ggml.cs:670-730):  affine, ``d = (max-min)/31``.
   * Q8_0  (Ggml.cs:733-770):  ``d = amax/127``; signed int8 lanes.
   * Q8_1  (Ggml.cs:772-834):  Q8_0 + precomputed ``s = d*sum(q)`` correction
     (the reference keeps per-half s0/s1; a single full-block sum is the
     mathematically identical modern-ggml form and is what our dots consume).
-  * Q4_K / Q6_K / Q8_K: llama.cpp k-quant superblocks (256 elems), absent from
-    the reference, required by BASELINE config 3. Dequantization matches
+  * Q4_K / Q6_K / Q8_K: llama.cpp k-quant superblocks (256 elems), absent
+    from the reference, required by BASELINE config 3. Dequantization matches
     llama.cpp exactly; our quantizer uses per-subblock min/max with 6-bit
     (Q4_K) / int8 (Q6_K) scale quantization (llama.cpp's iterative
     make_qkx2_quants search is an offline-quality refinement, not needed for
     GGUF import where blocks arrive pre-quantized).
+
+Canonical plane layout: integer payloads are stored in STORAGE ORDER
+(block-transposed, see formats.to_storage_order) so the fused Pallas kernels
+expand scales with lane tiles. K-quants additionally carry fused per-subblock
+scale planes (`kd`/`km`, f16 = superblock-scale × integer-subscale) consumed
+by the kernels; the exact llama.cpp scale fields are kept alongside for
+bit-exact wire round-trips.
 
 Scale storage is float16 (modern ggml/GGUF convention) except Q8_1/Q8_K whose
 f32 scales match upstream. All dequantization returns float32.
@@ -39,7 +45,12 @@ from ..dtypes import GType
 from .formats import (
     QTensor,
     check_last_axis,
+    from_storage_order,
+    pack_2bit,
+    pack_f16_pairs,
     pack_nibbles,
+    to_storage_order,
+    unpack_2bit,
     unpack_nibbles,
 )
 
@@ -67,6 +78,17 @@ def _safe_inv(d):
     return jnp.where(d != 0.0, 1.0 / jnp.where(d != 0.0, d, 1.0), 0.0)
 
 
+def _pack4(q, bs):
+    """(..., nb, bs) int blocks → storage-order planar nibble plane."""
+    *lead, nb, _ = q.shape
+    return pack_nibbles(to_storage_order(q.reshape(*lead, nb * bs), bs))
+
+
+def _unpack4(plane, n, bs):
+    """storage-order planar nibble plane → (..., n) ints in element order."""
+    return from_storage_order(unpack_nibbles(plane, n), bs)
+
+
 # --- Q4_0 family (signed absmax, offset nibbles) -------------------------
 
 def _quantize_q4_sym(x, bs, denom):
@@ -82,14 +104,12 @@ def _quantize_q4_sym(x, bs, denom):
 def quantize_row_q4_0(x) -> QTensor:
     check_last_axis(x, GType.Q4_0)
     q, d = _quantize_q4_sym(x, 32, 8)
-    *lead, nb, _ = q.shape
-    qs = pack_nibbles(q.reshape(*lead, nb * 32))
-    return QTensor(GType.Q4_0, x.shape, {"qs": qs, "d": d})
+    return QTensor(GType.Q4_0, x.shape, {"qs": _pack4(q, 32), "d": d})
 
 
 def dequantize_row_q4_0(qt: QTensor):
     n = qt.shape[-1]
-    v = unpack_nibbles(qt["qs"], n) - 8
+    v = _unpack4(qt["qs"], n, 32) - 8
     d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
     return (v.astype(F32) * d).reshape(qt.shape)
 
@@ -97,14 +117,12 @@ def dequantize_row_q4_0(qt: QTensor):
 def quantize_row_q4_2(x) -> QTensor:
     check_last_axis(x, GType.Q4_2)
     q, d = _quantize_q4_sym(x, 16, 8)
-    *lead, nb, _ = q.shape
-    qs = pack_nibbles(q.reshape(*lead, nb * 16))
-    return QTensor(GType.Q4_2, x.shape, {"qs": qs, "d": d})
+    return QTensor(GType.Q4_2, x.shape, {"qs": _pack4(q, 16), "d": d})
 
 
 def dequantize_row_q4_2(qt: QTensor):
     n = qt.shape[-1]
-    v = unpack_nibbles(qt["qs"], n) - 8
+    v = _unpack4(qt["qs"], n, 16) - 8
     d = jnp.repeat(qt["d"].astype(F32), 16, axis=-1)
     return (v.astype(F32) * d).reshape(qt.shape)
 
@@ -124,14 +142,12 @@ def _quantize_q4_aff(x, bs):
 def quantize_row_q4_1(x) -> QTensor:
     check_last_axis(x, GType.Q4_1)
     q, d, m = _quantize_q4_aff(x, 32)
-    *lead, nb, _ = q.shape
-    qs = pack_nibbles(q.reshape(*lead, nb * 32))
-    return QTensor(GType.Q4_1, x.shape, {"qs": qs, "d": d, "m": m})
+    return QTensor(GType.Q4_1, x.shape, {"qs": _pack4(q, 32), "d": d, "m": m})
 
 
 def dequantize_row_q4_1(qt: QTensor):
     n = qt.shape[-1]
-    v = unpack_nibbles(qt["qs"], n)
+    v = _unpack4(qt["qs"], n, 32)
     d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
     m = jnp.repeat(qt["m"].astype(F32), 32, axis=-1)
     return (v.astype(F32) * d + m).reshape(qt.shape)
@@ -140,36 +156,34 @@ def dequantize_row_q4_1(qt: QTensor):
 def quantize_row_q4_3(x) -> QTensor:
     check_last_axis(x, GType.Q4_3)
     q, d, m = _quantize_q4_aff(x, 16)
-    *lead, nb, _ = q.shape
-    qs = pack_nibbles(q.reshape(*lead, nb * 16))
-    return QTensor(GType.Q4_3, x.shape, {"qs": qs, "d": d, "m": m})
+    return QTensor(GType.Q4_3, x.shape, {"qs": _pack4(q, 16), "d": d, "m": m})
 
 
 def dequantize_row_q4_3(qt: QTensor):
     n = qt.shape[-1]
-    v = unpack_nibbles(qt["qs"], n)
+    v = _unpack4(qt["qs"], n, 16)
     d = jnp.repeat(qt["d"].astype(F32), 16, axis=-1)
     m = jnp.repeat(qt["m"].astype(F32), 16, axis=-1)
     return (v.astype(F32) * d + m).reshape(qt.shape)
 
 
-# --- Q5 family (5-bit: nibble plane + high-bit plane) --------------------
+# --- Q5 family (5-bit: nibble plane + per-block high-bit mask) -----------
 
 def _pack_high_bits(q5):
     """(..., nb, 32) 5-bit values -> per-block uint32 qh (bit l = high bit of
     element l), matching the reference's qh packing (Ggml.cs:644-651)."""
     hb = ((q5 >> 4) & 1).astype(jnp.uint32)
-    shifts = jnp.arange(32, dtype=jnp.uint32).reshape((1,) * (q5.ndim - 1) + (32,))
-    out = hb << shifts
-    acc = out[..., 0]
-    for j in range(1, 32):
-        acc = acc | out[..., j]
+    acc = hb[..., 0]
+    for l in range(1, 32):
+        acc = acc | (hb[..., l] << jnp.uint32(l))
     return acc
 
 
 def _unpack_high_bits(qh):
-    shifts = jnp.arange(32, dtype=jnp.uint32).reshape((1,) * qh.ndim + (32,))
-    return ((qh[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int32)
+    """(..., nb) masks → (..., nb, 32) 0/1 ints."""
+    bits = [((qh >> jnp.uint32(l)) & jnp.uint32(1)).astype(jnp.int32)
+            for l in range(32)]
+    return jnp.stack(bits, axis=-1)
 
 
 def quantize_row_q5_0(x) -> QTensor:
@@ -179,15 +193,16 @@ def quantize_row_q5_0(x) -> QTensor:
     d = maxv / -16.0
     iq = jnp.floor(b * _safe_inv(d)[..., None] + 16.5)
     q = jnp.clip(iq, 0, 31).astype(jnp.int32)
-    qh = _pack_high_bits(q)
-    *lead, nb, _ = q.shape
-    qs = pack_nibbles((q & 0xF).reshape(*lead, nb * 32))
-    return QTensor(GType.Q5_0, x.shape, {"qs": qs, "qh": qh, "d": d.astype(jnp.float16)})
+    return QTensor(GType.Q5_0, x.shape, {
+        "qs": _pack4(q & 0xF, 32),
+        "qh": _pack_high_bits(q),
+        "d": d.astype(jnp.float16),
+    })
 
 
 def dequantize_row_q5_0(qt: QTensor):
     n = qt.shape[-1]
-    lo = unpack_nibbles(qt["qs"], n).reshape(*qt["qh"].shape, 32)
+    lo = _unpack4(qt["qs"], n, 32).reshape(*qt["qh"].shape, 32)
     v = (lo | (_unpack_high_bits(qt["qh"]) << 4)) - 16
     d = qt["d"].astype(F32)[..., None]
     return (v.astype(F32) * d).reshape(qt.shape)
@@ -201,26 +216,24 @@ def quantize_row_q5_1(x) -> QTensor:
     d = (mx - mn) / 31.0
     iq = jnp.floor((b - mn[..., None]) * _safe_inv(d)[..., None] + 0.5)
     q = jnp.clip(iq, 0, 31).astype(jnp.int32)
-    qh = _pack_high_bits(q)
-    *lead, nb, _ = q.shape
-    qs = pack_nibbles((q & 0xF).reshape(*lead, nb * 32))
-    return QTensor(
-        GType.Q5_1,
-        x.shape,
-        {"qs": qs, "qh": qh, "d": d.astype(jnp.float16), "m": mn.astype(jnp.float16)},
-    )
+    return QTensor(GType.Q5_1, x.shape, {
+        "qs": _pack4(q & 0xF, 32),
+        "qh": _pack_high_bits(q),
+        "d": d.astype(jnp.float16),
+        "m": mn.astype(jnp.float16),
+    })
 
 
 def dequantize_row_q5_1(qt: QTensor):
     n = qt.shape[-1]
-    lo = unpack_nibbles(qt["qs"], n).reshape(*qt["qh"].shape, 32)
+    lo = _unpack4(qt["qs"], n, 32).reshape(*qt["qh"].shape, 32)
     v = lo | (_unpack_high_bits(qt["qh"]) << 4)
     d = qt["d"].astype(F32)[..., None]
     m = qt["m"].astype(F32)[..., None]
     return (v.astype(F32) * d + m).reshape(qt.shape)
 
 
-# --- Q8 family (signed int8 lanes) ---------------------------------------
+# --- Q8 family (signed int8 lanes, storage order) ------------------------
 
 def quantize_row_q8_0(x) -> QTensor:
     check_last_axis(x, GType.Q8_0)
@@ -230,16 +243,17 @@ def quantize_row_q8_0(x) -> QTensor:
     q = _round_half_away(b * _safe_inv(d)[..., None])
     qs = jnp.clip(q, -128, 127).astype(jnp.int8)
     *lead, nb, _ = qs.shape
-    return QTensor(
-        GType.Q8_0,
-        x.shape,
-        {"qs": qs.reshape(*lead, nb * 32), "d": d.astype(jnp.float16)},
-    )
+    return QTensor(GType.Q8_0, x.shape, {
+        "qs": to_storage_order(qs.reshape(*lead, nb * 32), 32),
+        "d": d.astype(jnp.float16),
+    })
 
 
 def dequantize_row_q8_0(qt: QTensor):
+    n = qt.shape[-1]
+    qs = from_storage_order(qt["qs"], 32)
     d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
-    return (qt["qs"].astype(F32) * d).reshape(qt.shape)
+    return (qs.astype(F32) * d).reshape(qt.shape)
 
 
 def quantize_row_q8_1(x) -> QTensor:
@@ -253,21 +267,31 @@ def quantize_row_q8_1(x) -> QTensor:
     s = d * jnp.sum(q, axis=-1)
     qs = q.astype(jnp.int8)
     *lead, nb, _ = qs.shape
-    return QTensor(
-        GType.Q8_1,
-        x.shape,
-        {"qs": qs.reshape(*lead, nb * 32), "d": d.astype(F32), "s": s.astype(F32)},
-    )
+    return QTensor(GType.Q8_1, x.shape, {
+        "qs": to_storage_order(qs.reshape(*lead, nb * 32), 32),
+        "d": d.astype(F32),
+        "s": s.astype(F32),
+    })
 
 
 def dequantize_row_q8_1(qt: QTensor):
     """The reference leaves this null ("TODO", Ggml.cs:278-282); implemented
     here as first-class."""
+    qs = from_storage_order(qt["qs"], 32)
     d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
-    return (qt["qs"].astype(F32) * d).reshape(qt.shape)
+    return (qs.astype(F32) * d).reshape(qt.shape)
 
 
 # --- k-quant superblocks (llama.cpp; BASELINE config 3) ------------------
+
+def _kq_fused_scales(d, sc, bs_per_sb):
+    """f16 fused per-subblock scale plane for the kernels: d (per-256) ×
+    integer subscale. f16 rounding adds ≤2^-11 relative error — far below
+    the weight quantization noise; exact fields are kept for wire export."""
+    *lead, nsb = d.shape
+    dd = jnp.repeat(d.astype(F32), bs_per_sb, axis=-1)
+    return (dd * sc.astype(F32)).astype(jnp.float16)
+
 
 def quantize_row_q4_k(x) -> QTensor:
     """Q4_K: 256-elem superblocks, 8 sub-blocks of 32 with 6-bit quantized
@@ -276,10 +300,10 @@ def quantize_row_q4_k(x) -> QTensor:
     b = _blocks(x, 256)
     *lead, nsb, _ = b.shape
     sb = b.reshape(*lead, nsb, 8, 32)
-    mn = jnp.minimum(jnp.min(sb, axis=-1), 0.0)  # mins stored non-negative (as -min)
+    mn = jnp.minimum(jnp.min(sb, axis=-1), 0.0)  # mins stored as -min ≥ 0
     mx = jnp.max(sb, axis=-1)
-    scales = (mx - mn) / 15.0  # per-sub-block real scale
-    mins = -mn  # >= 0
+    scales = (mx - mn) / 15.0
+    mins = -mn
     d = jnp.max(scales, axis=-1) / 63.0
     dmin = jnp.max(mins, axis=-1) / 63.0
     sc = jnp.clip(_round_half_away(scales * _safe_inv(d)[..., None]), 0, 63)
@@ -288,25 +312,23 @@ def quantize_row_q4_k(x) -> QTensor:
     eff_m = dmin[..., None] * m
     iq = jnp.floor((sb + eff_m[..., None]) * _safe_inv(eff_d)[..., None] + 0.5)
     q = jnp.clip(iq, 0, 15).astype(jnp.int32)
-    qs = pack_nibbles(q.reshape(*lead, nsb * 256))
-    return QTensor(
-        GType.Q4_K,
-        x.shape,
-        {
-            "qs": qs,
-            "d": d.astype(jnp.float16),
-            "dmin": dmin.astype(jnp.float16),
-            "sc": sc.astype(jnp.uint8).reshape(*lead, nsb * 8),
-            "m": m.astype(jnp.uint8).reshape(*lead, nsb * 8),
-        },
-    )
+    d16 = d.astype(jnp.float16)
+    dmin16 = dmin.astype(jnp.float16)
+    sc8 = sc.astype(jnp.uint8).reshape(*lead, nsb * 8)
+    m8 = m.astype(jnp.uint8).reshape(*lead, nsb * 8)
+    return QTensor(GType.Q4_K, x.shape, {
+        "qs": _pack4(q.reshape(*lead, nsb * 8, 32), 32),
+        "d": d16, "dmin": dmin16, "sc": sc8, "m": m8,
+        "kd": _kq_fused_scales(d16, sc8, 8),
+        "km": _kq_fused_scales(dmin16, m8, 8),
+    })
 
 
 def dequantize_row_q4_k(qt: QTensor):
     n = qt.shape[-1]
     nsb = n // 256
     *lead, _ = qt["sc"].shape
-    q = unpack_nibbles(qt["qs"], n).reshape(*lead, nsb, 8, 32).astype(F32)
+    q = _unpack4(qt["qs"], n, 32).reshape(*lead, nsb, 8, 32).astype(F32)
     d = qt["d"].astype(F32)[..., None]
     dmin = qt["dmin"].astype(F32)[..., None]
     sc = qt["sc"].astype(F32).reshape(*lead, nsb, 8)
@@ -324,51 +346,29 @@ def quantize_row_q6_k(x) -> QTensor:
     sb = b.reshape(*lead, nsb, 16, 16)
     maxv = _signed_absmax(sb)
     scales = maxv / -32.0
-    d = _signed_absmax(scales.reshape(*lead, nsb, 16)) / -127.0
+    d = _signed_absmax(scales) / -127.0
     sc = jnp.clip(_round_half_away(scales * _safe_inv(d)[..., None]), -128, 127)
     eff = d[..., None] * sc
     iq = jnp.clip(_round_half_away(sb * _safe_inv(eff)[..., None]), -32, 31)
-    q = (iq + 32).astype(jnp.int32)  # store biased [0, 63]
-    flat = q.reshape(*lead, nsb * 256)
-    ql = pack_nibbles(flat & 0xF)
-    qh = _pack_2bit(flat >> 4)
-    return QTensor(
-        GType.Q6_K,
-        x.shape,
-        {
-            "ql": ql,
-            "qh": qh,
-            "d": d.astype(jnp.float16),
-            "sc": sc.astype(jnp.int8).reshape(*lead, nsb * 16),
-        },
-    )
-
-
-def _pack_2bit(vals):
-    *lead, n = vals.shape
-    assert n % 16 == 0
-    v = vals.astype(jnp.uint32).reshape(*lead, n // 16, 16)
-    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2).reshape((1,) * (len(lead) + 1) + (16,))
-    out = v << shifts
-    acc = out[..., 0]
-    for j in range(1, 16):
-        acc = acc | out[..., j]
-    return acc
-
-
-def _unpack_2bit(packed, n):
-    *lead, nw = packed.shape
-    assert nw * 16 == n
-    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2).reshape((1,) * (len(lead) + 1) + (16,))
-    vals = (packed[..., None] >> shifts) & jnp.uint32(0x3)
-    return vals.reshape(*lead, n).astype(jnp.int32)
+    q = (iq + 32).astype(jnp.int32)  # biased [0, 63]
+    flat = to_storage_order(q.reshape(*lead, nsb * 256), 16)
+    d16 = d.astype(jnp.float16)
+    sc8 = sc.astype(jnp.int8).reshape(*lead, nsb * 16)
+    return QTensor(GType.Q6_K, x.shape, {
+        "ql": pack_nibbles(flat & 0xF),
+        "qh": pack_2bit(flat >> 4),
+        "d": d16,
+        "sc": sc8,
+        "kd": _kq_fused_scales(d16, sc8, 16),
+    })
 
 
 def dequantize_row_q6_k(qt: QTensor):
     n = qt.shape[-1]
     nsb = n // 256
     *lead, _ = qt["sc"].shape
-    q = (unpack_nibbles(qt["ql"], n) | (_unpack_2bit(qt["qh"], n) << 4)) - 32
+    flat = unpack_nibbles(qt["ql"], n) | (unpack_2bit(qt["qh"], n) << 4)
+    q = from_storage_order(flat, 16) - 32
     q = q.reshape(*lead, nsb, 16, 16).astype(F32)
     d = qt["d"].astype(F32)[..., None]
     sc = qt["sc"].astype(F32).reshape(*lead, nsb, 16)
@@ -377,7 +377,8 @@ def dequantize_row_q6_k(qt: QTensor):
 
 def quantize_row_q8_k(x) -> QTensor:
     """Q8_K activation format for k-quant dots: f32 d = amax/127 over 256,
-    int8 lanes, int16 16-group sums (llama.cpp block_q8_K)."""
+    int8 lanes (element order — activation side only), int16 16-group sums
+    (llama.cpp block_q8_K)."""
     check_last_axis(x, GType.Q8_K)
     b = _blocks(x, 256)
     amax = jnp.max(jnp.abs(b), axis=-1)
@@ -385,15 +386,11 @@ def quantize_row_q8_k(x) -> QTensor:
     q = jnp.clip(_round_half_away(b * _safe_inv(d)[..., None]), -128, 127)
     *lead, nsb, _ = q.shape
     bsums = jnp.sum(q.reshape(*lead, nsb, 16, 16), axis=-1).astype(jnp.int16)
-    return QTensor(
-        GType.Q8_K,
-        x.shape,
-        {
-            "qs": q.astype(jnp.int8).reshape(*lead, nsb * 256),
-            "d": d.astype(F32),
-            "bsums": bsums.reshape(*lead, nsb * 16),
-        },
-    )
+    return QTensor(GType.Q8_K, x.shape, {
+        "qs": q.astype(jnp.int8).reshape(*lead, nsb * 256),
+        "d": d.astype(F32),
+        "bsums": bsums.reshape(*lead, nsb * 16),
+    })
 
 
 def dequantize_row_q8_k(qt: QTensor):
@@ -432,12 +429,27 @@ _DEQUANTIZE = {
 }
 
 
+SCALE_PLANE_NAMES = ("d", "m", "kd", "km")
+
+
+def add_scale_pair_planes(qt: QTensor) -> QTensor:
+    """Attach uint32 f16-pair copies of every f16 scale plane (``<name>_p``)
+    for the Pallas kernels — Mosaic has no f16 vector type (see
+    formats.pack_f16_pairs). Skipped when the plane length is odd."""
+    for name in SCALE_PLANE_NAMES:
+        v = qt.planes.get(name)
+        if (v is not None and v.dtype == jnp.float16
+                and v.shape[-1] % 2 == 0 and name + "_p" not in qt.planes):
+            qt.planes[name + "_p"] = pack_f16_pairs(v)
+    return qt
+
+
 def quantize(x, gtype: GType) -> QTensor:
     """ggml_quantize_* analog: quantize along the last axis."""
     gtype = GType(gtype)
     if gtype not in _QUANTIZE:
         raise ValueError(f"{gtype.name} is not a quantized format")
-    return _QUANTIZE[gtype](x)
+    return add_scale_pair_planes(_QUANTIZE[gtype](x))
 
 
 def dequantize(qt: QTensor):

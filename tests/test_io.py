@@ -1,0 +1,120 @@
+"""IO tests: GGUF wire round-trips (our writer → our reader, bit-exact
+planes), llama name-mapped load, checkpoint save/load with QTensors."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ggmlsharp_tpu import GType, quantize, dequantize
+from ggmlsharp_tpu.io.gguf import (
+    GGUFReader,
+    GGUFWriter,
+    qtensor_from_wire,
+    qtensor_to_wire,
+)
+from ggmlsharp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+RNG = np.random.default_rng(21)
+WIRE_FORMATS = [GType.Q4_0, GType.Q4_1, GType.Q5_0, GType.Q5_1, GType.Q8_0,
+                GType.Q4_K, GType.Q6_K]
+
+
+@pytest.mark.parametrize("gtype", WIRE_FORMATS)
+def test_wire_roundtrip_bit_exact(gtype):
+    x = jnp.asarray(RNG.standard_normal((4, 512)).astype(np.float32))
+    qt = jax.jit(lambda a: quantize(a, gtype))(x)
+    g, raw = qtensor_to_wire(qt)
+    qt2 = qtensor_from_wire(g, raw, qt.shape)
+    for k in qt.planes:
+        np.testing.assert_array_equal(
+            np.asarray(qt[k]), np.asarray(qt2[k]), err_msg=f"plane {k}"
+        )
+    # and dequantized values identical
+    d1 = np.asarray(jax.jit(dequantize)(qt))
+    d2 = np.asarray(jax.jit(dequantize)(jax.tree.map(jnp.asarray, qt2)))
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_gguf_container_roundtrip(tmp_path):
+    x = jnp.asarray(RNG.standard_normal((8, 256)).astype(np.float32))
+    qt = jax.jit(lambda a: quantize(a, GType.Q4_0))(x)
+    f32 = RNG.standard_normal((3, 7)).astype(np.float32)
+
+    w = GGUFWriter()
+    w.add_meta("general.architecture", 8, "llama")  # _T_STR
+    w.add_meta("llama.block_count", 4, 2)  # _T_U32
+    w.add_tensor("test.q4", qt)
+    w.add_tensor("test.f32", f32)
+    path = str(tmp_path / "test.gguf")
+    w.write(path)
+
+    r = GGUFReader(path)
+    assert r.metadata["general.architecture"] == "llama"
+    assert r.metadata["llama.block_count"] == 2
+    assert r.tensors["test.q4"].gtype == GType.Q4_0
+    assert r.tensors["test.q4"].shape == (8, 256)
+    back = r.load("test.q4")
+    for k in qt.planes:
+        np.testing.assert_array_equal(np.asarray(qt[k]), back[k])
+    np.testing.assert_array_equal(r.load("test.f32"), f32)
+
+
+def test_gguf_llama_model_load(tmp_path):
+    from ggmlsharp_tpu.io.gguf import load_gguf_llama
+    from ggmlsharp_tpu.models import llama
+
+    cfg = llama.TINY_LLAMA
+    params = llama.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+
+    w = GGUFWriter()
+    w.add_meta("general.architecture", 8, "llama")
+    w.add_meta("llama.block_count", 4, cfg.n_layer)
+    w.add_meta("llama.context_length", 4, cfg.n_ctx)
+    w.add_meta("llama.embedding_length", 4, cfg.n_embd)
+    w.add_meta("llama.attention.head_count", 4, cfg.n_head)
+    w.add_meta("llama.attention.head_count_kv", 4, cfg.n_head_kv)
+    w.add_meta("llama.feed_forward_length", 4, cfg.n_ff)
+    w.add_tensor("token_embd.weight", np.asarray(params["tok_embd"]))
+    w.add_tensor("output_norm.weight", np.asarray(params["norm"]))
+    w.add_tensor("output.weight", np.asarray(params["output"]))
+    for i, b in enumerate(params["blocks"]):
+        for name, key in [
+            ("attn_norm", "attn_norm"), ("attn_q", "wq"), ("attn_k", "wk"),
+            ("attn_v", "wv"), ("attn_output", "wo"), ("ffn_norm", "ffn_norm"),
+            ("ffn_gate", "w_gate"), ("ffn_up", "w_up"), ("ffn_down", "w_down"),
+        ]:
+            w.add_tensor(f"blk.{i}.{name}.weight", np.asarray(b[key]))
+    path = str(tmp_path / "model.gguf")
+    w.write(path)
+
+    cfg2, params2 = load_gguf_llama(path)
+    assert cfg2.n_embd == cfg.n_embd
+    assert cfg2.n_head_kv == cfg.n_head_kv
+    assert cfg2.n_layer == cfg.n_layer
+    np.testing.assert_array_equal(params2["tok_embd"], np.asarray(params["tok_embd"]))
+    np.testing.assert_array_equal(
+        params2["blocks"][1]["w_down"], np.asarray(params["blocks"][1]["w_down"])
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    x = jnp.asarray(RNG.standard_normal((4, 256)).astype(np.float32))
+    tree = {
+        "dense": jnp.arange(6.0).reshape(2, 3),
+        "quant": quantize(x, GType.Q4_K),
+        "nested": {"a": jnp.ones((3,)), "lst": [jnp.zeros((2,)), jnp.ones((2,))]},
+        "missing": None,
+    }
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, tree, step=7)
+    back, step = load_checkpoint(path)
+    assert step == 7
+    np.testing.assert_array_equal(back["dense"], np.asarray(tree["dense"]))
+    assert back["missing"] is None
+    assert isinstance(back["nested"]["lst"], list)
+    np.testing.assert_array_equal(back["nested"]["lst"][1], 1.0)
+    for k in tree["quant"].planes:
+        np.testing.assert_array_equal(
+            back["quant"][k], np.asarray(tree["quant"][k])
+        )
+    assert back["quant"].gtype == GType.Q4_K

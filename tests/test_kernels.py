@@ -1,0 +1,73 @@
+"""Pallas kernel correctness vs the jnp reference path (interpret mode on
+CPU; the same kernels compile natively on TPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ggmlsharp_tpu import GType, quantize
+from ggmlsharp_tpu.kernels.matmul_q import fused_supported, mul_mat_q_fused
+from ggmlsharp_tpu.ops.matmul import mul_mat_q
+
+RNG = np.random.default_rng(11)
+
+FORMATS = [GType.Q8_0, GType.Q4_0, GType.Q4_1, GType.Q4_K, GType.Q6_K]
+
+
+@pytest.mark.parametrize("gtype", FORMATS)
+@pytest.mark.parametrize("batch", [1, 5])
+def test_fused_matches_reference(gtype, batch):
+    n, k = 256, 512
+    w = jnp.asarray(RNG.standard_normal((n, k)).astype(np.float32) * 0.1)
+    x = jnp.asarray(RNG.standard_normal((batch, k)).astype(np.float32))
+    qw = quantize(w, gtype)
+    assert fused_supported(qw)
+    got = np.asarray(jax.jit(
+        lambda xv: mul_mat_q_fused(qw, xv, quantize_acts=False)
+    )(x))
+    want = np.asarray(jax.jit(
+        lambda xv: mul_mat_q(qw, xv, quantize_acts=False)
+    )(x))
+    if gtype in (GType.Q4_K, GType.Q6_K):
+        # kernels use the f16 fused-scale planes (≤2^-11 relative deviation
+        # from the exact d*sc dequant the jnp path computes)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-2)
+    else:
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_with_activation_quantization():
+    n, k = 128, 256
+    w = jnp.asarray(RNG.standard_normal((n, k)).astype(np.float32) * 0.1)
+    x = jnp.asarray(RNG.standard_normal((2, k)).astype(np.float32))
+    qw = quantize(w, GType.Q4_0)
+    got = np.asarray(jax.jit(
+        lambda xv: mul_mat_q_fused(qw, xv, quantize_acts=True)
+    )(x))
+    want = np.asarray(jax.jit(
+        lambda xv: mul_mat_q(qw, xv, quantize_acts=True)
+    )(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_fallback_on_odd_shapes():
+    # n not a TILE_N multiple → silently uses the jnp path
+    n, k = 96, 256
+    w = jnp.asarray(RNG.standard_normal((n, k)).astype(np.float32) * 0.1)
+    x = jnp.asarray(RNG.standard_normal((1, k)).astype(np.float32))
+    qw = quantize(w, GType.Q8_0)
+    assert not fused_supported(qw)
+    got = np.asarray(jax.jit(lambda xv: mul_mat_q_fused(qw, xv, False))(x))
+    want = np.asarray(jax.jit(lambda xv: mul_mat_q(qw, xv, False))(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_3d_batch_dims():
+    n, k = 128, 256
+    w = jnp.asarray(RNG.standard_normal((n, k)).astype(np.float32) * 0.1)
+    x = jnp.asarray(RNG.standard_normal((2, 3, k)).astype(np.float32))
+    qw = quantize(w, GType.Q8_0)
+    got = np.asarray(jax.jit(lambda xv: mul_mat_q_fused(qw, xv, False))(x))
+    assert got.shape == (2, 3, n)
+    want = np.asarray(jax.jit(lambda xv: mul_mat_q(qw, xv, False))(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)

@@ -179,9 +179,12 @@ def test_q8_0_matches_scalar_oracle():
 
 
 def test_q8_1_sum_correction():
+    from ggmlsharp_tpu.quant.formats import from_storage_order
+
     x = _rand((2, 64))
     qt = _q(GType.Q8_1)(jnp.asarray(x))
-    qs = np.asarray(qt["qs"], dtype=np.int32).reshape(2, 2, 32)
+    qs_elem = np.asarray(from_storage_order(qt["qs"], 32), dtype=np.int32)
+    qs = qs_elem.reshape(2, 2, 32)
     d = np.asarray(qt["d"])
     s = np.asarray(qt["s"])
     np.testing.assert_allclose(s, d * qs.sum(axis=-1), rtol=1e-5)
