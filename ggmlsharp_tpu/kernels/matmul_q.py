@@ -179,10 +179,14 @@ def _call_kernel(x_storage, planes, gtype, n, k, plane_keys):
     def kernel(x_ref, *refs):
         *w_refs, o_ref = refs
         w = dq(*w_refs)  # (TILE_N, K) f32, storage order
+        # HIGHEST: true f32 accumulation (ggml numerics parity) — the
+        # default TPU matmul drops operands to one bf16 pass (~1e-2 rel
+        # error). Decode is bandwidth-bound, so the extra MXU passes are free.
         o_ref[:] = jax.lax.dot_general(
             x_ref[:], w,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     grid = (n // TILE_N,)

@@ -61,10 +61,12 @@ def mul_mat_q(a: QTensor, b, quantize_acts: bool = True):
     w = dequantize(a)
     if quantize_acts:
         b = dequantize(quantize_activations(b, a.gtype))
+    # HIGHEST matches the fused kernel's true-f32 accumulation (ggml parity)
     return jnp.matmul(
         b.astype(jnp.float32),
         jnp.swapaxes(w, -1, -2),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

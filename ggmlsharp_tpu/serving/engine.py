@@ -1,0 +1,196 @@
+"""Continuous-batching inference engine (BASELINE config 4: "continuous
+batching across hosts"; the reference has no serving layer at all, SURVEY §1).
+
+Slot-based design on a static-shape runtime (SURVEY §7 "hard parts"):
+  * B fixed slots share one batched KV cache; per-slot lengths live in
+    cache.length, so finished requests free their slot without reshaping
+    anything.
+  * admission = per-slot prefill: the slot's cache rows are sliced out
+    (lax.dynamic_slice), the prompt runs through a bucketed-length jitted
+    prefill (prompt padded up to the bucket; pad K/V rows land at positions ≥
+    len and are progressively overwritten by decode, never attended before
+    that), and the rows are written back.
+  * decode = ONE batched single-token step for all live slots per tick;
+    finished/empty slots run with pad tokens and are masked host-side.
+  * compiled-function reuse: one decode step executable + one prefill
+    executable per length bucket, regardless of traffic.
+
+Under a {data, model} mesh, the cache/batch shard over `data` and the step is
+the same jitted function — multi-host continuous batching is this engine with
+jax.distributed initialized (each host feeds its data-shard slots).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import kv_cache as kvc
+from ..models.sampling import sample_token
+
+
+@dataclass
+class Request:
+    id: int
+    prompt: list
+    max_new_tokens: int = 64
+    temperature: float = 0.0
+    top_k: int = 0
+    eos_id: int | None = None
+    out_tokens: list = field(default_factory=list)
+    done: bool = False
+
+
+def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class Engine:
+    def __init__(self, forward, cfg, params, batch_slots: int = 4,
+                 max_len: int | None = None, cache_dtype=jnp.float32,
+                 int8_kv: bool = False, rng_seed: int = 0):
+        self.forward = forward
+        self.cfg = cfg
+        self.params = params
+        self.B = batch_slots
+        n_head_kv = getattr(cfg, "n_head_kv", cfg.n_head)
+        self.max_len = max_len or cfg.n_ctx
+        self.cache = kvc.init_cache(
+            cfg.n_layer, batch_slots, n_head_kv, self.max_len, cfg.head_dim,
+            dtype=cache_dtype, int8=int8_kv,
+        )
+        self.slots: list[Request | None] = [None] * batch_slots
+        self.pending: list[Request] = []
+        self.finished: list[Request] = []
+        self._last_logits = jnp.zeros((batch_slots, cfg.n_vocab), jnp.float32)
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self._compiled_prefill = {}
+        self._step = self._make_step()
+
+    # --- jitted pieces ---------------------------------------------------
+    def _make_step(self):
+        fwd, cfg = self.forward, self.cfg
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(params, cache, tokens, active):
+            positions = cache.length[:, None]
+            logits, cache2 = fwd(params, cfg, tokens, cache, positions)
+            # only active slots advance
+            cache2 = kvc.KVCache(
+                cache2.k, cache2.v, cache2.k_scale, cache2.v_scale,
+                jnp.where(active, cache2.length, cache2.length - 1),
+            )
+            return logits[:, -1, :], cache2
+
+        return step
+
+    def _prefill_slot(self, req: Request, slot: int):
+        n = len(req.prompt)
+        bucket = _bucket(n)
+        if bucket not in self._compiled_prefill:
+            fwd, cfg = self.forward, self.cfg
+
+            @partial(jax.jit, static_argnames=("slot",), donate_argnums=(1,))
+            def prefill(params, cache, tokens, n_real, slot):
+                sub = kvc.KVCache(
+                    jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
+                    jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
+                    None if cache.k_scale is None else
+                    jax.lax.dynamic_slice_in_dim(cache.k_scale, slot, 1, axis=1),
+                    None if cache.v_scale is None else
+                    jax.lax.dynamic_slice_in_dim(cache.v_scale, slot, 1, axis=1),
+                    jnp.zeros((1,), jnp.int32),
+                )
+                positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)[None]
+                logits, sub2 = fwd(params, cfg, tokens, sub, positions)
+                cache = kvc.KVCache(
+                    jax.lax.dynamic_update_slice_in_dim(cache.k, sub2.k, slot, axis=1),
+                    jax.lax.dynamic_update_slice_in_dim(cache.v, sub2.v, slot, axis=1),
+                    None if cache.k_scale is None else
+                    jax.lax.dynamic_update_slice_in_dim(cache.k_scale, sub2.k_scale, slot, axis=1),
+                    None if cache.v_scale is None else
+                    jax.lax.dynamic_update_slice_in_dim(cache.v_scale, sub2.v_scale, slot, axis=1),
+                    cache.length.at[slot].set(n_real),
+                )
+                last = jnp.take_along_axis(
+                    logits, (n_real - 1)[None, None, None], axis=1
+                )[:, 0, :]
+                return last, cache
+
+            self._compiled_prefill[bucket] = prefill
+        prefill = self._compiled_prefill[bucket]
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :n] = req.prompt
+        last, self.cache = prefill(
+            self.params, self.cache, jnp.asarray(toks), jnp.int32(n), slot=slot
+        )
+        self._last_logits = self._last_logits.at[slot].set(last[0])
+
+    # --- host loop -------------------------------------------------------
+    def submit(self, req: Request):
+        self.pending.append(req)
+
+    def _admit(self):
+        for i in range(self.B):
+            if self.slots[i] is None and self.pending:
+                req = self.pending.pop(0)
+                if len(req.prompt) + req.max_new_tokens > self.max_len:
+                    req.max_new_tokens = self.max_len - len(req.prompt)
+                self.slots[i] = req
+                self._prefill_slot(req, i)
+
+    def step_once(self):
+        """One engine tick: admit, sample per live slot, batched decode."""
+        self._admit()
+        if all(s is None for s in self.slots):
+            return False
+
+        self._rng, sub = jax.random.split(self._rng)
+        # per-slot sampling params differ; sample host-side per slot
+        toks = np.zeros((self.B, 1), np.int32)
+        logits = np.asarray(self._last_logits)
+        keys = jax.random.split(sub, self.B)
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            tok = int(np.asarray(sample_token(
+                jnp.asarray(logits[i : i + 1]), keys[i],
+                req.temperature, req.top_k,
+            ))[0, 0])
+            req.out_tokens.append(tok)
+            toks[i, 0] = tok
+            if (req.eos_id is not None and tok == req.eos_id) or \
+                    len(req.out_tokens) >= req.max_new_tokens:
+                req.done = True
+
+        active = jnp.asarray(
+            [[s is not None and not s.done] for s in self.slots], bool
+        )[:, 0]
+        logits2, self.cache = self._step(
+            self.params, self.cache, jnp.asarray(toks), active
+        )
+        self._last_logits = logits2
+
+        for i, req in enumerate(self.slots):
+            if req is not None and req.done:
+                self.finished.append(req)
+                self.slots[i] = None
+                # slot length stays — next prefill overwrites it
+                self.cache = kvc.KVCache(
+                    self.cache.k, self.cache.v, self.cache.k_scale,
+                    self.cache.v_scale, self.cache.length.at[i].set(0),
+                )
+        return True
+
+    def run(self):
+        """Drain all pending/active requests; returns finished list."""
+        while self.pending or any(s is not None for s in self.slots):
+            self.step_once()
+        out, self.finished = self.finished, []
+        return sorted(out, key=lambda r: r.id)

@@ -71,3 +71,44 @@ def test_fused_3d_batch_dims():
     assert got.shape == (2, 3, n)
     want = np.asarray(jax.jit(lambda xv: mul_mat_q(qw, xv, False))(x))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_flash_attention_kernel_matches_naive():
+    from ggmlsharp_tpu.kernels.flash import flash_attention
+    from ggmlsharp_tpu import ops
+
+    q = jnp.asarray(RNG.standard_normal((2, 3, 40, 32)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((2, 3, 40, 32)).astype(np.float32))
+    v = jnp.asarray(RNG.standard_normal((2, 3, 40, 32)).astype(np.float32))
+    got = np.asarray(jax.jit(
+        lambda a, b, c: flash_attention(a, b, c, causal=True, block_q=16, block_k=16)
+    )(q, k, v))
+    want = np.asarray(jax.jit(
+        lambda a, b, c: ops.flash_attn(a, b, c, masked=True, use_pallas=False)
+    )(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_non_causal_and_n_past():
+    from ggmlsharp_tpu.kernels.flash import flash_attention
+    from ggmlsharp_tpu import ops
+
+    q = jnp.asarray(RNG.standard_normal((1, 8, 16)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((1, 24, 16)).astype(np.float32))
+    v = jnp.asarray(RNG.standard_normal((1, 24, 16)).astype(np.float32))
+    got = np.asarray(jax.jit(
+        lambda a, b, c: flash_attention(a, b, c, causal=False, block_q=8, block_k=8)
+    )(q, k, v))
+    want = np.asarray(jax.jit(
+        lambda a, b, c: ops.flash_attn(a, b, c, masked=False, use_pallas=False)
+    )(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    # causal with n_past: queries attend to 16 past keys + causal window
+    got2 = np.asarray(jax.jit(
+        lambda a, b, c: flash_attention(a, b, c, causal=True, n_past=16, block_q=8, block_k=8)
+    )(q, k, v))
+    want2 = np.asarray(jax.jit(
+        lambda a, b, c: ops.flash_attn(a, b, c, masked=True, n_past=16, use_pallas=False)
+    )(q, k, v))
+    np.testing.assert_allclose(got2, want2, rtol=2e-4, atol=2e-5)
