@@ -89,20 +89,32 @@ def main():
         jax.random.PRNGKey(1), (batch, prefill_len), 0, cfg.n_vocab
     ).astype(jnp.int32)
 
-    prefill, step = sampling.make_decode_fns(mod.forward, cfg)
-    logits, cache = prefill(params, prompt, cache)
-    tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
-
-    # warmup (compile step)
-    logits, cache = step(params, tok, cache)
-    jax.block_until_ready(logits)
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
+    mode = os.environ.get("BENCH_MODE", "host")  # host | scan
+    if mode == "scan":
+        # fully-jitted greedy decode: measures pure device throughput
+        toks, cache2 = sampling.generate_scan(
+            mod.forward, cfg, params, prompt, cache, steps
+        )
+        jax.block_until_ready(toks)  # warmup/compile
+        cache = mod.new_cache(cfg, batch)
+        t0 = time.perf_counter()
+        toks, cache2 = sampling.generate_scan(
+            mod.forward, cfg, params, prompt, cache, steps
+        )
+        jax.block_until_ready(toks)
+        dt = time.perf_counter() - t0
+    else:
+        prefill, _ = sampling.make_decode_fns(mod.forward, cfg)
+        gstep = sampling.make_greedy_step(mod.forward, cfg)
+        logits, cache = prefill(params, prompt, cache)
         tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
-        logits, cache = step(params, tok, cache)
-    jax.block_until_ready(logits)
-    dt = time.perf_counter() - t0
+        tok, cache = gstep(params, tok, cache)  # warmup (compile step)
+        jax.block_until_ready(tok)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            tok, cache = gstep(params, tok, cache)
+        jax.block_until_ready(tok)
+        dt = time.perf_counter() - t0
 
     toks_per_s = steps * batch / dt
 

@@ -98,7 +98,8 @@ def _unpack_planar_np(packed, n, bits):
 
 def _add_pair_planes_np(qt: QTensor) -> QTensor:
     """numpy analog of quant.quantize.add_scale_pair_planes."""
-    for name in ("d", "m", "kd", "km"):
+    names = ("kd", "km") if "kd" in qt.planes else ("d", "m")
+    for name in names:
         v = qt.planes.get(name)
         if v is not None and v.dtype == np.float16 and v.shape[-1] % 2 == 0:
             c = v.shape[-1]
@@ -413,10 +414,17 @@ class GGUFReader:
                 name, shape, g, data_start + toff, nbytes
             )
 
-    def load(self, name: str):
-        """→ planar QTensor (quantized) or numpy array (float)."""
+    def load(self, name: str, use_native: bool = True):
+        """→ planar QTensor (quantized) or numpy array (float). Uses the
+        multithreaded C++ repacker when built (io.native), numpy otherwise."""
         ti = self.tensors[name]
         raw = self._data[ti.offset : ti.offset + ti.nbytes]
+        if use_native and ti.gtype not in (GType.F32, GType.F16):
+            from . import native
+
+            qt = native.repack_from_wire(ti.gtype, raw, ti.shape)
+            if qt is not None:
+                return qt
         return qtensor_from_wire(ti.gtype, raw, ti.shape)
 
 

@@ -77,19 +77,30 @@ def init_params(rng, cfg: GPT2Config, dtype=jnp.bfloat16):
     return p
 
 
-def quantize_params(params, gtype: GType, min_cols: int = 256):
+def quantize_params(params, gtype: GType, min_cols: int = 256,
+                    pad_rows_to: int = 128):
     """Weight-only quantization of every matmul weight (embeddings included).
-    Biases/layernorms stay float (matching llama.cpp's policy)."""
+    Biases/layernorms stay float (matching llama.cpp's policy). Weights whose
+    row count is not a multiple of the kernel tile (the 50257-row LM head)
+    are zero-padded so the fused Pallas path applies — forward slices the
+    padded logits back to n_vocab."""
 
-    def q(name, t):
+    def q(name, t, pad_rows=False):
         if isinstance(t, QTensor) or t.ndim != 2 or t.shape[-1] % 256:
             return t
         if t.shape[-1] < min_cols:
             return t
+        # only the LM head may be row-padded (its padded logits are sliced
+        # off in forward); interior weights feed residual adds directly
+        if pad_rows and pad_rows_to and t.shape[0] % pad_rows_to:
+            pad = pad_rows_to - t.shape[0] % pad_rows_to
+            t = jnp.concatenate(
+                [t, jnp.zeros((pad, t.shape[1]), t.dtype)], axis=0
+            )
         return quantize(t.astype(jnp.float32), gtype)
 
     out = {
-        "wte": q("wte", params["wte"]),
+        "wte": q("wte", params["wte"], pad_rows=True),
         "wpe": params["wpe"],
         "ln_f": params["ln_f"],
         "blocks": [],
@@ -148,6 +159,7 @@ def forward(params, cfg: GPT2Config, tokens, cache: kvc.KVCache, positions):
         logits = ops.mul_mat(wte, x.astype(jnp.float32), quantize_acts=False)
     else:
         logits = ops.mul_mat_f(wte, x)
+    logits = logits[..., : cfg.n_vocab]  # drop tile padding rows, if any
     return logits.astype(jnp.float32), kvc.advance(cache, tokens.shape[1])
 
 

@@ -75,16 +75,20 @@ def _quant_rows(x):
 def update_layer(cache: KVCache, layer: int, k_new, v_new, positions) -> KVCache:
     """Write new K/V rows at `positions` (int32 [B, S]) for one layer.
 
-    k_new/v_new: [B, H_kv, S, D]. Returns the updated cache (functional)."""
+    k_new/v_new: [B, H_kv, S, D]. Positions must be CONTIGUOUS per batch row
+    (positions[b] = start_b + arange(S), which prefill/decode guarantee) —
+    the write is then a per-batch dynamic_update_slice, which XLA performs
+    in-place; a general 4-D scatter here costs ~50x on TPU decode."""
     B, H, S, D = k_new.shape
 
     def scatter(buf, rows):
-        # buf: [B, H, T, D]; rows: [B, H, S, D]
-        bidx = jnp.arange(B)[:, None, None, None]
-        hidx = jnp.arange(H)[None, :, None, None]
-        pidx = positions[:, None, :, None]
-        didx = jnp.arange(D)[None, None, None, :]
-        return buf.at[bidx, hidx, pidx, didx].set(rows.astype(buf.dtype))
+        # buf: [B, H, T, D]; rows: [B, H, S, D]; start = positions[:, 0]
+        def upd(buf_b, rows_b, start_b):
+            return jax.lax.dynamic_update_slice(
+                buf_b, rows_b.astype(buf_b.dtype), (0, start_b, 0)
+            )
+
+        return jax.vmap(upd)(buf, rows, positions[:, 0])
 
     if cache.int8:
         kq, ks = _quant_rows(k_new)

@@ -78,22 +78,31 @@ def init_params(rng, cfg: LlamaConfig, dtype=jnp.bfloat16):
     return p
 
 
-def quantize_params(params, gtype: GType, embd_gtype: GType | None = None):
+def quantize_params(params, gtype: GType, embd_gtype: GType | None = None,
+                    pad_rows_to: int = 128):
     """Weight-only quantize all matmul weights. llama.cpp policy analog:
-    token embedding / output may use a different (often higher-bit) format."""
+    token embedding / output may use a different (often higher-bit) format.
+    Row counts are padded to the kernel tile so the fused path applies
+    (forward slices padded logits back to n_vocab)."""
     embd_gtype = embd_gtype or gtype
 
-    def q(t, g):
+    def q(t, g, pad_rows=False):
         if t is None or isinstance(t, QTensor) or t.ndim != 2:
             return t
         if t.shape[-1] % 256:
             return t
+        # only embedding/LM-head rows may be padded (logits sliced after)
+        if pad_rows and pad_rows_to and t.shape[0] % pad_rows_to:
+            pad = pad_rows_to - t.shape[0] % pad_rows_to
+            t = jnp.concatenate(
+                [t, jnp.zeros((pad, t.shape[1]), t.dtype)], axis=0
+            )
         return quantize(t.astype(jnp.float32), g)
 
     out = {
-        "tok_embd": q(params["tok_embd"], embd_gtype),
+        "tok_embd": q(params["tok_embd"], embd_gtype, pad_rows=True),
         "norm": params["norm"],
-        "output": q(params["output"], embd_gtype),
+        "output": q(params["output"], embd_gtype, pad_rows=True),
         "blocks": [
             {
                 "attn_norm": b["attn_norm"],
@@ -149,6 +158,7 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions):
         logits = ops.mul_mat(w_out, x.astype(jnp.float32), quantize_acts=False)
     else:
         logits = ops.mul_mat_f(w_out, x)
+    logits = logits[..., : cfg.n_vocab]  # drop tile padding rows, if any
     return logits.astype(jnp.float32), kvc.advance(cache, S)
 
 

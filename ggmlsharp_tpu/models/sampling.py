@@ -35,6 +35,20 @@ def make_decode_fns(forward, cfg):
     return prefill, step
 
 
+def make_greedy_step(forward, cfg):
+    """Fused decode step for greedy loops: samples argmax INSIDE the jit so a
+    host-driven loop costs one dispatch per token instead of two."""
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def greedy_step(params, token, cache):
+        positions = cache.length[:, None]
+        logits, cache = forward(params, cfg, token, cache, positions)
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1, keepdims=True).astype(jnp.int32)
+        return nxt, cache
+
+    return greedy_step
+
+
 def sample_token(logits, rng=None, temperature: float = 0.0, top_k: int = 0):
     """logits [B, V] → token [B, 1]."""
     if temperature <= 0.0:

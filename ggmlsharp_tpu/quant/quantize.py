@@ -429,14 +429,16 @@ _DEQUANTIZE = {
 }
 
 
-SCALE_PLANE_NAMES = ("d", "m", "kd", "km")
+def _pair_plane_names(planes) -> tuple:
+    # k-quants: kernels read only the fused kd/km scales; legacy: d/m
+    return ("kd", "km") if "kd" in planes else ("d", "m")
 
 
 def add_scale_pair_planes(qt: QTensor) -> QTensor:
-    """Attach uint32 f16-pair copies of every f16 scale plane (``<name>_p``)
-    for the Pallas kernels — Mosaic has no f16 vector type (see
+    """Attach uint32 f16-pair copies of the KERNEL-consumed f16 scale planes
+    (``<name>_p``) — Mosaic has no f16 vector type (see
     formats.pack_f16_pairs). Skipped when the plane length is odd."""
-    for name in SCALE_PLANE_NAMES:
+    for name in _pair_plane_names(qt.planes):
         v = qt.planes.get(name)
         if (v is not None and v.dtype == jnp.float16
                 and v.shape[-1] % 2 == 0 and name + "_p" not in qt.planes):

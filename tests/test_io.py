@@ -118,3 +118,26 @@ def test_checkpoint_roundtrip(tmp_path):
             back["quant"][k], np.asarray(tree["quant"][k])
         )
     assert back["quant"].gtype == GType.Q4_K
+
+
+def test_native_repack_matches_numpy():
+    """C++ repacker must produce bit-identical planes to the numpy path."""
+    from ggmlsharp_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native repack library not built")
+    for gtype in [GType.Q8_0, GType.Q4_0, GType.Q4_K, GType.Q6_K]:
+        x = jnp.asarray(RNG.standard_normal((6, 512)).astype(np.float32))
+        qt = jax.jit(lambda a, g=gtype: quantize(a, g))(x)
+        g, raw = qtensor_to_wire(qt)
+        want = qtensor_from_wire(g, raw, qt.shape)
+        got = native.repack_from_wire(g, raw, qt.shape)
+        assert got is not None
+        assert set(got.planes) == set(want.planes), (
+            gtype, set(got.planes) ^ set(want.planes))
+        for key in want.planes:
+            a = np.asarray(want[key])
+            b = np.asarray(got[key])
+            if a.dtype == np.float16:
+                a, b = a.view(np.uint16), b.view(np.uint16)
+            np.testing.assert_array_equal(a, b, err_msg=f"{gtype} {key}")

@@ -1,0 +1,72 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded matmul
+parity, ring attention vs single-device flash, dryrun entry, distributed
+helpers."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ggmlsharp_tpu.parallel import make_mesh, ring_attention
+from ggmlsharp_tpu import ops
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_mesh_shapes():
+    m = make_mesh(data=2, model=4)
+    assert m.shape == {"data": 2, "model": 4}
+    m2 = make_mesh()
+    assert m2.shape["model"] == 8
+
+
+def test_sharded_matmul_matches_single():
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((4, 128)).astype(np.float32))
+    want = np.asarray(ops.mul_mat_f(w, x))
+    with mesh:
+        ws = jax.device_put(w, NamedSharding(mesh, P("model", None)))
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None)))
+        got = np.asarray(jax.jit(ops.mul_mat_f)(ws, xs))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ring_attention_matches_flash():
+    from ggmlsharp_tpu.parallel.ring_attention import ring_attention
+
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(1)
+    B, H, S, D = 2, 2, 64, 16
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32))
+
+    got = np.asarray(ring_attention(q, k, v, mesh, seq_axis="model",
+                                    causal=True))
+    want = np.asarray(
+        jax.jit(lambda a, b, c: ops.flash_attn(a, b, c, masked=True,
+                                               use_pallas=False))(q, k, v)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_ring_attention_non_causal():
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((1, 2, 32, 8)).astype(np.float32))
+    got = np.asarray(ring_attention(q, q, q, mesh, causal=False))
+    want = np.asarray(
+        jax.jit(lambda a: ops.flash_attn(a, a, a, masked=False,
+                                         use_pallas=False))(q)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
