@@ -53,6 +53,51 @@ def _wire_bytes(tree):
     return total
 
 
+def _synthetic_qparams(mod, cfg, gtype):
+    """Build a quantized param tree with random integer payloads and small
+    constant scales, WITHOUT materializing f32 weights (a 7B f32 staging copy
+    would not fit HBM alongside the quantized model). Decode throughput is
+    weight-value independent, so this benchmarks the same computation."""
+    import numpy as np
+    from ggmlsharp_tpu.quant.formats import QTensor
+
+    spec = jax.eval_shape(
+        lambda: mod.quantize_params(
+            mod.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
+            gtype,
+        )
+    )
+    key = [jax.random.PRNGKey(1)]
+
+    def mk(leaf):
+        if isinstance(leaf, QTensor):
+            planes = {}
+            for name, p in leaf.planes.items():
+                if p.dtype in (jnp.uint32, jnp.int8, jnp.uint8):
+                    key[0], sub = jax.random.split(key[0])
+                    bits = jax.random.bits(sub, p.shape, jnp.uint32)
+                    if p.dtype == jnp.uint32 and name in ("d_p", "m_p", "kd_p", "km_p"):
+                        # valid small f16 pairs: 0.01 in both halves
+                        h = np.float16(0.01).view(np.uint16)
+                        planes[name] = jnp.full(
+                            p.shape, np.uint32(h) | (np.uint32(h) << 16), jnp.uint32
+                        )
+                    elif p.dtype == jnp.uint32:
+                        planes[name] = bits
+                    else:
+                        planes[name] = (bits & 0x7F).astype(p.dtype)
+                elif p.dtype == jnp.float16:
+                    planes[name] = jnp.full(p.shape, 0.01, jnp.float16)
+                else:
+                    planes[name] = jnp.full(p.shape, 0.01, p.dtype)
+            return QTensor(leaf.gtype, leaf.shape, planes)
+        return jnp.zeros(leaf.shape, leaf.dtype) if leaf is not None else None
+
+    return jax.tree.map(
+        mk, spec, is_leaf=lambda x: x is None or isinstance(x, QTensor)
+    )
+
+
 def main():
     from ggmlsharp_tpu.dtypes import GType
     from ggmlsharp_tpu.models import gpt2, llama, sampling
@@ -77,11 +122,15 @@ def main():
     }
 
     rng = jax.random.PRNGKey(0)
-    params = mod.init_params(rng, cfg, dtype=jnp.bfloat16)
-    if fmt in gtypes:
-        params = jax.jit(
-            lambda p: mod.quantize_params(p, gtypes[fmt]),
-        )(params)
+    big = cfg.n_embd * cfg.n_layer > 16 * 4096  # 7B-class: avoid f32 staging
+    if big and fmt in gtypes:
+        params = _synthetic_qparams(mod, cfg, gtypes[fmt])
+    else:
+        params = mod.init_params(rng, cfg, dtype=jnp.bfloat16)
+        if fmt in gtypes:
+            params = jax.jit(
+                lambda p: mod.quantize_params(p, gtypes[fmt]),
+            )(params)
     params = jax.block_until_ready(params)
 
     cache = mod.new_cache(cfg, batch)

@@ -1,0 +1,77 @@
+"""ggml-naming compat layer: run Test0-style shape checks and a Test1/Test2
+case verbatim through the ggml_* API surface."""
+import jax.numpy as jnp
+
+from ggmlsharp_tpu.compat import *  # noqa: F401,F403 - the point of the test
+from ggmlsharp_tpu.dtypes import GType
+
+
+def test0_shape_parity():
+    ctx = ggml_init()
+    t1 = ggml_new_tensor_1d(ctx, GType.F32, 10)
+    assert t1.shape == (10,)
+    t2 = ggml_new_tensor_2d(ctx, GType.F32, 10, 20)  # ne0=10, ne1=20
+    assert t2.shape == (20, 10)  # ne0 is the fastest (last) axis
+    t3 = ggml_new_tensor_3d(ctx, GType.I16, 10, 20, 30)
+    assert t3.shape == (30, 20, 10) and t3.dtype == jnp.int16
+    ggml_free(ctx)
+
+
+def test1_case1_via_compat():
+    ctx = ggml_init()
+    x = ggml_new_tensor_1d(ctx, GType.F32, 1)
+    ggml_set_param(ctx, x)
+    a = ggml_new_tensor_1d(ctx, GType.F32, 1)
+    b = ggml_mul(ctx, x, x)
+    f = ggml_mul(ctx, b, a)
+
+    gf = ggml_build_forward(f)
+    gb = ggml_build_backward(ctx, gf, False)
+
+    ggml_set_f32(x, 2.0)
+    ggml_set_f32(a, 3.0)
+    ggml_graph_reset(gf)
+    ggml_set_f32(f.grad, 1.0)
+    ggml_graph_compute(ctx, gb)
+
+    assert ggml_get_f32_1d(f, 0) == 12.0
+    assert ggml_get_f32_1d(x.grad, 0) == 12.0
+
+
+def test2_line_fit_via_compat():
+    ctx = ggml_init()
+    xi = [1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    yi = [15.0, 25, 35, 45, 55, 65, 75, 85, 95, 105]
+    n = len(xi)
+    from ggmlsharp_tpu.graph import leaf, set_data
+
+    x = set_data(ggml_new_tensor_1d(ctx, GType.F32, n), jnp.asarray(xi))
+    y = set_data(ggml_new_tensor_1d(ctx, GType.F32, n), jnp.asarray(yi))
+    t0 = ggml_new_f32(ctx, 0.0)
+    t1 = ggml_new_f32(ctx, 0.0)
+    ggml_set_param(ctx, t0)
+    ggml_set_param(ctx, t1)
+    f = ggml_div(
+        ctx,
+        ggml_sum(
+            ctx,
+            ggml_sqr(
+                ctx,
+                ggml_sub(
+                    ctx,
+                    ggml_add(
+                        ctx,
+                        ggml_mul(ctx, x, ggml_repeat(ctx, t1, x)),
+                        ggml_repeat(ctx, t0, x),
+                    ),
+                    y,
+                ),
+            ),
+        ),
+        ggml_new_f32(ctx, 2.0 * n),
+    )
+    params = ggml_opt_default_params(GGML_OPT_ADAM)
+    params.adam.alpha = 0.01  # Test2/Program.cs:17
+    res = ggml_opt(ctx, params, f)
+    assert abs(ggml_get_f32_1d(t0, 0) - 5.0) < 1e-3
+    assert abs(ggml_get_f32_1d(t1, 0) - 10.0) < 1e-3
