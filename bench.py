@@ -138,34 +138,33 @@ def main():
         jax.random.PRNGKey(1), (batch, prefill_len), 0, cfg.n_vocab
     ).astype(jnp.int32)
 
-    mode = os.environ.get("BENCH_MODE", "host")  # host | scan
-    if mode == "scan":
-        # fully-jitted greedy decode: measures pure device throughput
-        toks, cache2 = sampling.generate_scan(
-            mod.forward, cfg, params, prompt, cache, steps
-        )
-        jax.block_until_ready(toks)  # warmup/compile
-        cache = mod.new_cache(cfg, batch)
-        t0 = time.perf_counter()
-        toks, cache2 = sampling.generate_scan(
-            mod.forward, cfg, params, prompt, cache, steps
-        )
-        jax.block_until_ready(toks)
-        dt = time.perf_counter() - t0
-    else:
-        prefill, _ = sampling.make_decode_fns(mod.forward, cfg)
-        gstep = sampling.make_greedy_step(mod.forward, cfg)
-        logits, cache = prefill(params, prompt, cache)
-        tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
-        tok, cache = gstep(params, tok, cache)  # warmup (compile step)
-        jax.block_until_ready(tok)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            tok, cache = gstep(params, tok, cache)
-        jax.block_until_ready(tok)
-        dt = time.perf_counter() - t0
+    # Measurement note: on the axon backend block_until_ready resolves before
+    # the remote execution finishes, so every timing window must end with a
+    # VALUE fetch (np.asarray), and fixed fetch/dispatch latency is cancelled
+    # with a two-length slope: step = (T(n2) - T(n1)) / (n2 - n1).
+    import numpy as _np
 
-    toks_per_s = steps * batch / dt
+    prefill, _ = sampling.make_decode_fns(mod.forward, cfg)
+    gstep = sampling.make_greedy_step(mod.forward, cfg)
+    logits, cache = prefill(params, prompt, cache)
+    tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+    tok, cache = gstep(params, tok, cache)  # warmup (compile step)
+    _np.asarray(tok)
+
+    def timed_chain(n):
+        nonlocal tok, cache
+        t0 = time.perf_counter()
+        for _ in range(n):
+            tok, cache = gstep(params, tok, cache)
+        _np.asarray(tok)  # forces completion through the relay
+        return time.perf_counter() - t0
+
+    n1 = max(4, steps // 4)
+    n2 = n1 + steps
+    t_short = timed_chain(n1)
+    t_long = timed_chain(n2)
+    dt = t_long - t_short
+    toks_per_s = (n2 - n1) * batch / dt
 
     # roofline: per decoded token every weight byte is read once (+ KV read)
     wbytes = _wire_bytes(params)

@@ -41,6 +41,13 @@ from ..quant.formats import QTensor, to_storage_order
 from .config import interpret_mode
 
 TILE_N = 128
+# GGML_TPU_MM_PRECISION=default drops the in-kernel dot to one bf16 pass
+# (faster MXU, ~1e-2 rel err); highest (default) is exact-f32 for ggml parity.
+_MM_PRECISION = (
+    jax.lax.Precision.DEFAULT
+    if __import__("os").environ.get("GGML_TPU_MM_PRECISION") == "default"
+    else jax.lax.Precision.HIGHEST
+)
 MAX_K_F32 = 16384  # unpacked f32 tile must fit VMEM
 
 
@@ -186,7 +193,7 @@ def _call_kernel(x_storage, planes, gtype, n, k, plane_keys):
             x_ref[:], w,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION,
         )
 
     grid = (n // TILE_N,)

@@ -70,3 +70,30 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_checkpointed_loop_resume(tmp_path):
+    from ggmlsharp_tpu.parallel.distributed import CheckpointedLoop
+
+    def step_fn(state, step):
+        return jax.tree.map(lambda x: x + 1.0, state)
+
+    d = str(tmp_path / "ck")
+    loop = CheckpointedLoop(step_fn, d, every=5)
+    state = loop.resume({"w": jnp.zeros((3,))})
+    state = loop.run(state, 12)
+    assert float(state["w"][0]) == 12.0
+
+    # simulate a crash+relaunch: fresh loop resumes from the final checkpoint
+    loop2 = CheckpointedLoop(step_fn, d, every=5)
+    state2 = loop2.resume({"w": jnp.zeros((3,))})
+    assert loop2.step == 12
+    assert float(state2["w"][0]) == 12.0
+    state2 = loop2.run(state2, 3)
+    assert float(state2["w"][0]) == 15.0
+
+
+def test_distributed_initialize_noop_single_process():
+    from ggmlsharp_tpu.parallel.distributed import initialize
+
+    assert initialize() is False  # single process → no-op
