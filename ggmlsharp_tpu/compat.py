@@ -130,6 +130,22 @@ ggml_transpose = _ctx_op(_B.transpose)
 ggml_reshape = _ctx_op(_B.reshape)
 ggml_permute = _ctx_op(_B.permute)
 ggml_view_1d = _ctx_op(_B.view)
+
+
+def ggml_view_2d(ctx, a, ne0, ne1, offset_elems=0):
+    return _B.view(a, (ne1, ne0), offset_elems)
+
+
+def ggml_view_3d(ctx, a, ne0, ne1, ne2, offset_elems=0):
+    return _B.view(a, (ne2, ne1, ne0), offset_elems)
+
+
+def ggml_reshape_2d(ctx, a, ne0, ne1):
+    return _B.reshape(a, (ne1, ne0))
+
+
+def ggml_reshape_3d(ctx, a, ne0, ne1, ne2):
+    return _B.reshape(a, (ne2, ne1, ne0))
 ggml_get_rows = _ctx_op(_B.get_rows)
 ggml_diag_mask_inf = _ctx_op(_B.diag_mask_inf)
 ggml_soft_max = _ctx_op(_B.soft_max)

@@ -39,3 +39,22 @@ def set_pallas(enabled: bool | None):
 def interpret_mode() -> bool:
     """Whether pallas_call must use the interpreter (non-TPU backends)."""
     return not _on_tpu()
+
+
+# --- matmul dot mode ------------------------------------------------------
+# "bf16" (default): dequantize to bf16, single-pass MXU dot with f32
+#   accumulation — per-product rounding 2^-9, far below any quant format's
+#   own noise, and ~6x fewer MXU passes than exact-f32.
+# "f32": dequantize to f32, Precision.HIGHEST dot — bit-comparable to the
+#   jnp reference path; used by parity tests and exact evals.
+_mm_dot = os.environ.get("GGML_TPU_MM_DOT", "bf16")
+
+
+def mm_dot_mode() -> str:
+    return _mm_dot
+
+
+def set_mm_dot(mode: str):
+    global _mm_dot
+    assert mode in ("bf16", "f32"), mode
+    _mm_dot = mode

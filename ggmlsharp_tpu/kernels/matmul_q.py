@@ -38,16 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..dtypes import GType
 from ..quant.formats import QTensor, to_storage_order
-from .config import interpret_mode
+from .config import interpret_mode, mm_dot_mode
 
 TILE_N = 128
-# GGML_TPU_MM_PRECISION=default drops the in-kernel dot to one bf16 pass
-# (faster MXU, ~1e-2 rel err); highest (default) is exact-f32 for ggml parity.
-_MM_PRECISION = (
-    jax.lax.Precision.DEFAULT
-    if __import__("os").environ.get("GGML_TPU_MM_PRECISION") == "default"
-    else jax.lax.Precision.HIGHEST
-)
 MAX_K_F32 = 16384  # unpacked f32 tile must fit VMEM
 
 
@@ -110,46 +103,46 @@ def _decode_f16x2(ref):
 
 # --- per-format tile dequantizers: refs → f32 (TILE_N, K) storage order ---
 
-def _dq_q8_0(qs, d):
-    return qs[:].astype(jnp.float32) * _tile(_decode_f16x2(d), 32)
+def _dq_q8_0(dt, qs, d):
+    return qs[:].astype(dt) * _tile(_decode_f16x2(d).astype(dt), 32)
 
 
-def _dq_q4_0(qs, d):
-    return (_unpack4(qs[:]) - 8).astype(jnp.float32) * _tile(_decode_f16x2(d), 32)
+def _dq_q4_0(dt, qs, d):
+    return (_unpack4(qs[:]) - 8).astype(dt) * _tile(_decode_f16x2(d).astype(dt), 32)
 
 
-def _dq_q4_1(qs, d, m):
-    v = _unpack4(qs[:]).astype(jnp.float32)
-    return v * _tile(_decode_f16x2(d), 32) + _tile(_decode_f16x2(m), 32)
+def _dq_q4_1(dt, qs, d, m):
+    v = _unpack4(qs[:]).astype(dt)
+    return v * _tile(_decode_f16x2(d).astype(dt), 32) + _tile(_decode_f16x2(m).astype(dt), 32)
 
 
-def _dq_q4_2(qs, d):
-    return (_unpack4(qs[:]) - 8).astype(jnp.float32) * _tile(_decode_f16x2(d), 16)
+def _dq_q4_2(dt, qs, d):
+    return (_unpack4(qs[:]) - 8).astype(dt) * _tile(_decode_f16x2(d).astype(dt), 16)
 
 
-def _dq_q4_3(qs, d, m):
-    v = _unpack4(qs[:]).astype(jnp.float32)
-    return v * _tile(_decode_f16x2(d), 16) + _tile(_decode_f16x2(m), 16)
+def _dq_q4_3(dt, qs, d, m):
+    v = _unpack4(qs[:]).astype(dt)
+    return v * _tile(_decode_f16x2(d).astype(dt), 16) + _tile(_decode_f16x2(m).astype(dt), 16)
 
 
-def _dq_q5_0(qs, qh, d):
+def _dq_q5_0(dt, qs, qh, d):
     v = (_unpack4(qs[:]) | (_unpack_hb(qh[:]) << 4)) - 16
-    return v.astype(jnp.float32) * _tile(_decode_f16x2(d), 32)
+    return v.astype(dt) * _tile(_decode_f16x2(d).astype(dt), 32)
 
 
-def _dq_q5_1(qs, qh, d, m):
+def _dq_q5_1(dt, qs, qh, d, m):
     v = _unpack4(qs[:]) | (_unpack_hb(qh[:]) << 4)
-    return v.astype(jnp.float32) * _tile(_decode_f16x2(d), 32) + _tile(_decode_f16x2(m), 32)
+    return v.astype(dt) * _tile(_decode_f16x2(d).astype(dt), 32) + _tile(_decode_f16x2(m).astype(dt), 32)
 
 
-def _dq_q4_k(qs, kd, km):
-    v = _unpack4(qs[:]).astype(jnp.float32)
-    return v * _tile(_decode_f16x2(kd), 32) - _tile(_decode_f16x2(km), 32)
+def _dq_q4_k(dt, qs, kd, km):
+    v = _unpack4(qs[:]).astype(dt)
+    return v * _tile(_decode_f16x2(kd).astype(dt), 32) - _tile(_decode_f16x2(km).astype(dt), 32)
 
 
-def _dq_q6_k(ql, qh, kd):
+def _dq_q6_k(dt, ql, qh, kd):
     v = (_unpack4(ql[:]) | (_unpack2(qh[:]) << 4)) - 32
-    return v.astype(jnp.float32) * _tile(_decode_f16x2(kd), 16)
+    return v.astype(dt) * _tile(_decode_f16x2(kd).astype(dt), 16)
 
 
 # gtype → (dequant fn, plane names, storage-order block granularity)
@@ -178,22 +171,28 @@ def fused_supported(qt: QTensor) -> bool:
     return n % TILE_N == 0 and k <= MAX_K_F32
 
 
-@functools.partial(jax.jit, static_argnames=("gtype", "n", "k", "plane_keys"))
-def _call_kernel(x_storage, planes, gtype, n, k, plane_keys):
+@functools.partial(
+    jax.jit, static_argnames=("gtype", "n", "k", "plane_keys", "mode")
+)
+def _call_kernel(x_storage, planes, gtype, n, k, plane_keys, mode):
     dq, _, _ = _DEQUANT_TILE[gtype]
     b = x_storage.shape[0]
+    if mode == "bf16":
+        dt, precision = jnp.bfloat16, jax.lax.Precision.DEFAULT
+    else:
+        dt, precision = jnp.float32, jax.lax.Precision.HIGHEST
 
     def kernel(x_ref, *refs):
         *w_refs, o_ref = refs
-        w = dq(*w_refs)  # (TILE_N, K) f32, storage order
-        # HIGHEST: true f32 accumulation (ggml numerics parity) — the
-        # default TPU matmul drops operands to one bf16 pass (~1e-2 rel
-        # error). Decode is bandwidth-bound, so the extra MXU passes are free.
+        w = dq(dt, *w_refs)  # (TILE_N, K) storage order
+        # bf16 mode: single-pass MXU with f32 accumulation (2^-9 product
+        # rounding — far below quant noise). f32 mode: HIGHEST multi-pass,
+        # bit-comparable to the jnp reference (parity tests, exact evals).
         o_ref[:] = jax.lax.dot_general(
-            x_ref[:], w,
+            x_ref[:].astype(dt), w,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION,
+            precision=precision,
         )
 
     grid = (n // TILE_N,)
@@ -240,5 +239,5 @@ def mul_mat_q_fused(a: QTensor, bx, quantize_acts: bool = True):
         x2 = dequantize(quantize_activations(x2, a.gtype))
     _, keys, bs = _DEQUANT_TILE[a.gtype]
     x2 = to_storage_order(x2, bs)
-    out = _call_kernel(x2, dict(a.planes), a.gtype, n, k, keys)
+    out = _call_kernel(x2, dict(a.planes), a.gtype, n, k, keys, mm_dot_mode())
     return out.reshape(*lead, n)

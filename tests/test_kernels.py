@@ -11,6 +11,11 @@ from ggmlsharp_tpu.ops.matmul import mul_mat_q
 
 RNG = np.random.default_rng(11)
 
+# exact mode for bitwise-comparable fused-vs-reference checks
+from ggmlsharp_tpu.kernels import config as kcfg
+
+kcfg.set_mm_dot("f32")
+
 FORMATS = [GType.Q8_0, GType.Q4_0, GType.Q4_1, GType.Q4_K, GType.Q6_K]
 
 
@@ -112,3 +117,20 @@ def test_flash_attention_non_causal_and_n_past():
         lambda a, b, c: ops.flash_attn(a, b, c, masked=True, n_past=16, use_pallas=False)
     )(q, k, v))
     np.testing.assert_allclose(got2, want2, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_bf16_mode_close():
+    """Production bf16 dot mode: ~2^-9 product rounding, well under quant
+    noise."""
+    kcfg.set_mm_dot("bf16")
+    try:
+        n, k = 128, 512
+        w = jnp.asarray(RNG.standard_normal((n, k)).astype(np.float32) * 0.1)
+        x = jnp.asarray(RNG.standard_normal((1, k)).astype(np.float32))
+        qw = quantize(w, GType.Q4_0)
+        got = np.asarray(jax.jit(lambda xv: mul_mat_q_fused(qw, xv, False))(x))
+        want = np.asarray(jax.jit(lambda xv: mul_mat_q(qw, xv, False))(x))
+        denom = np.abs(want).mean() + 1e-6
+        assert np.abs(got - want).mean() / denom < 0.01
+    finally:
+        kcfg.set_mm_dot("f32")
