@@ -169,8 +169,8 @@ def main():
     # roofline: per decoded token every weight byte is read once (+ KV read)
     wbytes = _wire_bytes(params)
     kv_bytes = 2 * cfg.n_layer * (prefill_len + steps // 2) * (
-        cache.k.shape[2] * cache.k.shape[4]
-    ) * cache.k.dtype.itemsize
+        cache.k[0].shape[1] * cache.k[0].shape[3]
+    ) * cache.k[0].dtype.itemsize
     roofline = _hbm_bw() / (wbytes + kv_bytes)
     vs = toks_per_s / roofline
 

@@ -3,20 +3,22 @@
 The reference has no KV cache (no attention at all — SURVEY §2.6); BASELINE
 config 3 requires an INT8 cache. Design:
 
-  * static [layers, 2, batch, n_head_kv, n_ctx, head_dim] buffers — XLA needs
-    static shapes; `length` masks the live prefix (continuous batching keeps
-    per-slot lengths, see ggmlsharp_tpu.serving).
-  * INT8 mode stores per-(token, head) absmax scales alongside int8 lanes:
-    q = round(x * 127 / amax), dequantized inside attention. The scale
-    granularity matches one cache row (a head_dim vector), the same shape
-    ggml's Q8_0 would give at head_dim ≤ 32·k.
-  * functional updates (`.at[...].set`) + donation at the jit boundary make
-    the update in-place on TPU.
+  * **per-layer buffers** (tuples of [B, H_kv, T, D]), NOT one stacked
+    [L, B, H_kv, T, D] array: profiling the stacked form showed XLA
+    ping-ponging the whole stack between two tile layouts every decode step
+    (the layer-indexed dynamic-update-slice fusion and the attention einsum
+    prefer different layouts) — ~42 ms/step of pure copies on a 7B cache.
+    Separate buffers give XLA one layout per buffer and make each update
+    touch only its own layer.
+  * static T with `length` masking the live prefix (continuous batching
+    keeps per-slot lengths, see ggmlsharp_tpu.serving).
+  * INT8 mode stores per-(token, head) absmax scales alongside int8 lanes.
+  * functional updates (per-batch dynamic_update_slice) + donation at the
+    jit boundary make the update in-place on TPU.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -25,10 +27,10 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    k: jnp.ndarray  # [L, B, H_kv, T, D] (storage dtype or int8)
-    v: jnp.ndarray
-    k_scale: jnp.ndarray | None  # [L, B, H_kv, T, 1] f32, int8 mode only
-    v_scale: jnp.ndarray | None
+    k: tuple  # L × [B, H_kv, T, D] (storage dtype or int8)
+    v: tuple
+    k_scale: tuple | None  # L × [B, H_kv, T, 1] f32, int8 mode only
+    v_scale: tuple | None
     length: jnp.ndarray  # [B] int32 — tokens filled per batch slot
 
     def tree_flatten(self):
@@ -40,27 +42,39 @@ class KVCache:
 
     @property
     def int8(self) -> bool:
-        return self.k.dtype == jnp.int8
+        return self.k[0].dtype == jnp.int8
+
+    @property
+    def n_layer(self) -> int:
+        return len(self.k)
+
+    @property
+    def batch(self) -> int:
+        return self.k[0].shape[0]
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[3]
+        return self.k[0].shape[2]
 
 
 def init_cache(n_layer, batch, n_head_kv, n_ctx, head_dim,
                dtype=jnp.bfloat16, int8: bool = False) -> KVCache:
-    shape = (n_layer, batch, n_head_kv, n_ctx, head_dim)
-    # k/v (and scales) must be DISTINCT buffers — aliased zeros break
-    # donation ("attempt to donate the same buffer twice")
+    shape = (batch, n_head_kv, n_ctx, head_dim)
+    # distinct buffers per layer and per k/v — aliased zeros break donation
     if int8:
-        sshape = (n_layer, batch, n_head_kv, n_ctx, 1)
+        sshape = (batch, n_head_kv, n_ctx, 1)
         return KVCache(
-            jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
-            jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32),
+            tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layer)),
+            tuple(jnp.zeros(shape, jnp.int8) for _ in range(n_layer)),
+            tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n_layer)),
+            tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n_layer)),
             jnp.zeros((batch,), jnp.int32),
         )
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
-                   None, None, jnp.zeros((batch,), jnp.int32))
+    return KVCache(
+        tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
+        tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
+        None, None, jnp.zeros((batch,), jnp.int32),
+    )
 
 
 def _quant_rows(x):
@@ -72,35 +86,43 @@ def _quant_rows(x):
     return q, scale
 
 
+def _replace(t: tuple, i: int, v):
+    return t[:i] + (v,) + t[i + 1 :]
+
+
+def _write_rows(buf, rows, positions):
+    """buf [B, H, T, D]; rows [B, H, S, D]; positions int32 [B, S] CONTIGUOUS
+    per batch row → per-batch dynamic_update_slice (in-place under
+    donation; a general scatter costs ~50x on TPU decode)."""
+
+    def upd(buf_b, rows_b, start_b):
+        return jax.lax.dynamic_update_slice(
+            buf_b, rows_b.astype(buf_b.dtype), (0, start_b, 0)
+        )
+
+    return jax.vmap(upd)(buf, rows, positions[:, 0])
+
+
 def update_layer(cache: KVCache, layer: int, k_new, v_new, positions) -> KVCache:
     """Write new K/V rows at `positions` (int32 [B, S]) for one layer.
-
-    k_new/v_new: [B, H_kv, S, D]. Positions must be CONTIGUOUS per batch row
-    (positions[b] = start_b + arange(S), which prefill/decode guarantee) —
-    the write is then a per-batch dynamic_update_slice, which XLA performs
-    in-place; a general 4-D scatter here costs ~50x on TPU decode."""
-    B, H, S, D = k_new.shape
-
-    def scatter(buf, rows):
-        # buf: [B, H, T, D]; rows: [B, H, S, D]; start = positions[:, 0]
-        def upd(buf_b, rows_b, start_b):
-            return jax.lax.dynamic_update_slice(
-                buf_b, rows_b.astype(buf_b.dtype), (0, start_b, 0)
-            )
-
-        return jax.vmap(upd)(buf, rows, positions[:, 0])
-
+    k_new/v_new: [B, H_kv, S, D]. Returns the updated cache (functional)."""
     if cache.int8:
         kq, ks = _quant_rows(k_new)
         vq, vs = _quant_rows(v_new)
-        k = cache.k.at[layer].set(scatter(cache.k[layer], kq))
-        v = cache.v.at[layer].set(scatter(cache.v[layer], vq))
-        k_scale = cache.k_scale.at[layer].set(scatter(cache.k_scale[layer], ks))
-        v_scale = cache.v_scale.at[layer].set(scatter(cache.v_scale[layer], vs))
-        return KVCache(k, v, k_scale, v_scale, cache.length)
-    k = cache.k.at[layer].set(scatter(cache.k[layer], k_new))
-    v = cache.v.at[layer].set(scatter(cache.v[layer], v_new))
-    return KVCache(k, v, None, None, cache.length)
+        return KVCache(
+            _replace(cache.k, layer, _write_rows(cache.k[layer], kq, positions)),
+            _replace(cache.v, layer, _write_rows(cache.v[layer], vq, positions)),
+            _replace(cache.k_scale, layer,
+                     _write_rows(cache.k_scale[layer], ks, positions)),
+            _replace(cache.v_scale, layer,
+                     _write_rows(cache.v_scale[layer], vs, positions)),
+            cache.length,
+        )
+    return KVCache(
+        _replace(cache.k, layer, _write_rows(cache.k[layer], k_new, positions)),
+        _replace(cache.v, layer, _write_rows(cache.v[layer], v_new, positions)),
+        None, None, cache.length,
+    )
 
 
 def read_layer(cache: KVCache, layer: int, compute_dtype=jnp.float32):

@@ -73,17 +73,18 @@ def run(n_devices: int) -> None:
         qparams = shd.shard_params(qparams, shd.llama_param_specs(), mesh)
         cache = llama.new_cache(cfg, B, int8=True)
         cspec = shd.kv_cache_spec()
-        cache = jax.tree.map(
-            lambda x: x,  # identity; then place fields explicitly below
-            cache,
-        )
         from ..models.kv_cache import KVCache
 
+        def place(t, spec):
+            if t is None:
+                return None
+            return tuple(jax.device_put(x, NamedSharding(mesh, spec)) for x in t)
+
         cache = KVCache(
-            jax.device_put(cache.k, NamedSharding(mesh, cspec["k"])),
-            jax.device_put(cache.v, NamedSharding(mesh, cspec["v"])),
-            jax.device_put(cache.k_scale, NamedSharding(mesh, cspec["k_scale"])),
-            jax.device_put(cache.v_scale, NamedSharding(mesh, cspec["v_scale"])),
+            place(cache.k, cspec["k"]),
+            place(cache.v, cspec["v"]),
+            place(cache.k_scale, cspec["k_scale"]),
+            place(cache.v_scale, cspec["v_scale"]),
             jax.device_put(cache.length, NamedSharding(mesh, cspec["length"])),
         )
         prefill, step = sampling.make_decode_fns(llama.forward, cfg)

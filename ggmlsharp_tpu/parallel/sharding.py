@@ -77,9 +77,9 @@ def llama_param_specs():
 
 
 def kv_cache_spec():
-    """[L, B, H_kv, T, D] — heads over model, batch over data; scales
-    [L, B, H_kv, T, 1] likewise."""
-    main = P(None, "data", "model", None, None)
+    """Per-layer buffers [B, H_kv, T, D] — heads over model, batch over
+    data; per-layer scales [B, H_kv, T, 1] likewise."""
+    main = P("data", "model", None, None)
     return {
         "k": main,
         "v": main,

@@ -98,24 +98,29 @@ class Engine:
 
             @partial(jax.jit, static_argnames=("slot",), donate_argnums=(1,))
             def prefill(params, cache, tokens, n_real, slot):
+                def _slice(t):
+                    return None if t is None else tuple(
+                        jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=0)
+                        for x in t
+                    )
+
+                def _unslice(t, sub):
+                    return None if t is None else tuple(
+                        jax.lax.dynamic_update_slice_in_dim(x, sx, slot, axis=0)
+                        for x, sx in zip(t, sub)
+                    )
+
                 sub = kvc.KVCache(
-                    jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
-                    jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
-                    None if cache.k_scale is None else
-                    jax.lax.dynamic_slice_in_dim(cache.k_scale, slot, 1, axis=1),
-                    None if cache.v_scale is None else
-                    jax.lax.dynamic_slice_in_dim(cache.v_scale, slot, 1, axis=1),
+                    _slice(cache.k), _slice(cache.v),
+                    _slice(cache.k_scale), _slice(cache.v_scale),
                     jnp.zeros((1,), jnp.int32),
                 )
                 positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)[None]
                 logits, sub2 = fwd(params, cfg, tokens, sub, positions)
                 cache = kvc.KVCache(
-                    jax.lax.dynamic_update_slice_in_dim(cache.k, sub2.k, slot, axis=1),
-                    jax.lax.dynamic_update_slice_in_dim(cache.v, sub2.v, slot, axis=1),
-                    None if cache.k_scale is None else
-                    jax.lax.dynamic_update_slice_in_dim(cache.k_scale, sub2.k_scale, slot, axis=1),
-                    None if cache.v_scale is None else
-                    jax.lax.dynamic_update_slice_in_dim(cache.v_scale, sub2.v_scale, slot, axis=1),
+                    _unslice(cache.k, sub2.k), _unslice(cache.v, sub2.v),
+                    _unslice(cache.k_scale, sub2.k_scale),
+                    _unslice(cache.v_scale, sub2.v_scale),
                     cache.length.at[slot].set(n_real),
                 )
                 last = jnp.take_along_axis(

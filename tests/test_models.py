@@ -77,7 +77,8 @@ def test_llama_gqa_heads():
     # sanity-check the cache shape really is kv-heads sized
     cfg = llama.TINY_LLAMA
     cache = llama.new_cache(cfg, 2, dtype=jnp.float32)
-    assert cache.k.shape == (cfg.n_layer, 2, cfg.n_head_kv, cfg.n_ctx, cfg.head_dim)
+    assert len(cache.k) == cfg.n_layer
+    assert cache.k[0].shape == (2, cfg.n_head_kv, cfg.n_ctx, cfg.head_dim)
 
 
 def test_gpt2_quantized_decode_close(gpt2_setup):
