@@ -9,6 +9,7 @@ scheduled paths (see kernels/).
 """
 
 from .mesh import make_mesh
+from .pipeline import pipeline_forward
 from .ring_attention import ring_attention
 from .sharding import (
     gpt2_param_specs,
@@ -23,6 +24,7 @@ __all__ = [
     "kv_cache_spec",
     "llama_param_specs",
     "make_mesh",
+    "pipeline_forward",
     "ring_attention",
     "shard_params",
     "shard_qtensor_spec",

@@ -22,6 +22,6 @@ def make_mesh(data: int | None = None, model: int | None = None,
         data = n // model
     elif model is None:
         model = n // data
-    assert data * model == n, (data, model, n)
-    arr = np.array(devices).reshape(data, model)
+    assert data * model <= n, (data, model, n)
+    arr = np.array(devices[: data * model]).reshape(data, model)
     return Mesh(arr, ("data", "model"))

@@ -113,9 +113,9 @@ def _test3_data(np_, nf):
 
 @pytest.mark.slow
 def test3_lbfgs_linear_classifier():
-    # scaled-down Test3 (NP=512, NF=64 vs 4096×256): L-BFGS + mul_mat fit
-    # with L2 reg; first-half weights → +1, second half → -1 within 1e-2
-    NP_, NF = 512, 64
+    # full-scale Test3 (Test3/Program.cs:20-23): NP=4096, NF=256 L-BFGS +
+    # mul_mat fit with L2 reg; first-half weights → +1, rest → -1 within 1e-2
+    NP_, NF = 4096, 256
     Fn, ln = _test3_data(NP_, NF)
     F, l = jnp.asarray(Fn), jnp.asarray(ln)
 

@@ -97,3 +97,45 @@ def test_distributed_initialize_noop_single_process():
     from ggmlsharp_tpu.parallel.distributed import initialize
 
     assert initialize() is False  # single process → no-op
+
+
+def test_pipeline_forward_matches_sequential():
+    from ggmlsharp_tpu.parallel.pipeline import pipeline_forward
+    from ggmlsharp_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=1, model=4)
+    rng = np.random.default_rng(5)
+    L, D, B = 8, 16, 8
+    Ws = jnp.asarray(rng.standard_normal((L, D, D)).astype(np.float32) * 0.3)
+    bs = jnp.asarray(rng.standard_normal((L, D)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+
+    def stage_fn(lp, h):
+        W, b = lp
+        return jnp.tanh(h @ W + b)
+
+    got = np.asarray(
+        pipeline_forward(stage_fn, (Ws, bs), x, mesh, axis="model", n_micro=4)
+    )
+
+    want = np.asarray(x)
+    for l in range(L):
+        want = np.tanh(want @ np.asarray(Ws[l]) + np.asarray(bs[l]))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_pipeline_single_microbatch():
+    from ggmlsharp_tpu.parallel.pipeline import pipeline_forward
+    from ggmlsharp_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=1, model=2)
+    rng = np.random.default_rng(6)
+    Ws = jnp.asarray(rng.standard_normal((2, 8, 8)).astype(np.float32) * 0.3)
+    x = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
+
+    def stage_fn(W, h):
+        return h @ W
+
+    got = np.asarray(pipeline_forward(stage_fn, Ws, x, mesh, n_micro=1))
+    want = np.asarray(x) @ np.asarray(Ws[0]) @ np.asarray(Ws[1])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
