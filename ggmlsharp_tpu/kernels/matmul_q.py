@@ -40,7 +40,11 @@ from ..dtypes import GType
 from ..quant.formats import QTensor, to_storage_order
 from .config import interpret_mode, mm_dot_mode
 
-TILE_N = 128
+TILE_N = int(__import__("os").environ.get("GGML_TPU_TILE_N", "256"))
+
+
+def _int_dot_enabled() -> bool:
+    return __import__("os").environ.get("GGML_TPU_INT_DOT", "1") != "0"
 MAX_K_F32 = 16384  # unpacked f32 tile must fit VMEM
 
 
@@ -223,6 +227,93 @@ def _call_kernel(x_storage, planes, gtype, n, k, plane_keys, mode):
     )(x_storage, *plane_vals)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("gtype", "n", "k", "qs_key")
+)
+def _call_int_dot_kernel(xq, da, planes, gtype, n, k, qs_key):
+    """Exact ggml integer-dot decode kernel (batch 1).
+
+    Implements vec_dot_q semantics natively (Ggml.cs:1125-1161, 1352-1381):
+    int8×int8 MACs accumulated in int32 per 32-block, then Σ_c dw·da·S_c in
+    f32 — bit-faithful to llama.cpp's quantized dot up to f32 summation
+    order. Works on storage-order chunks: S[n,c] = Σ_t w[n,tC+c]·x[tC+c] is
+    32 lane-wise integer FMAs; the Q4_0 −8 offset folds into the activation
+    block sums (the reference's Q8_1 `s` trick, Ggml.cs:805-821).
+    """
+    C = k // 32
+    tile = TILE_N
+
+    def kernel(xq_ref, da_ref, qs_ref, dp_ref, o_ref):
+        if gtype == GType.Q4_0:
+            w = _unpack4(qs_ref[:])  # int32 (TN, K), values 0..15
+        else:
+            w = qs_ref[:].astype(jnp.int32)  # int8 → int32
+        x = xq_ref[:].astype(jnp.int32)  # (1, K)
+        acc = jnp.zeros((tile, C), jnp.int32)
+        xsum = jnp.zeros((1, C), jnp.int32)
+        for t in range(32):
+            xc = jax.lax.dynamic_slice_in_dim(x, t * C, C, axis=1)
+            wc = jax.lax.dynamic_slice_in_dim(w, t * C, C, axis=1)
+            acc = acc + wc * xc  # (TN,C) * (1,C) broadcast
+            if gtype == GType.Q4_0:
+                xsum = xsum + xc
+        eff = _decode_f16x2(dp_ref) * da_ref[:]  # (TN,C)*(1,C) f32
+        s = acc.astype(jnp.float32)
+        if gtype == GType.Q4_0:
+            s = s - 8.0 * xsum.astype(jnp.float32)
+        o_ref[:] = jnp.sum(eff * s, axis=1, keepdims=True)
+
+    grid = (n // tile,)
+    qs = planes[qs_key]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, qs.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, C // 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        interpret=interpret_mode(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * k,
+            bytes_accessed=qs.size * qs.dtype.itemsize + k + n * 4,
+            transcendentals=0,
+        ),
+    )(xq, da, qs, planes["d_p"])
+
+
+def int_dot_supported(a: QTensor, batch: int) -> bool:
+    if batch != 1 or a.gtype not in (GType.Q8_0, GType.Q4_0):
+        return False
+    n, k = a.shape
+    return (n % TILE_N == 0 and k % 64 == 0 and "d_p" in a.planes
+            and k <= MAX_K_F32)
+
+
+def mul_mat_q_int_dot(a: QTensor, bx):
+    """Exact-ggml quantized matvec: activations quantized to Q8_0 (the
+    INIT-phase analog), integer block dots in-kernel."""
+    from ..quant.quantize import quantize
+
+    n, k = a.shape
+    x = jnp.asarray(bx, jnp.float32)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, k)
+    aq = quantize(x2, GType.Q8_0)  # qs already storage-order int8
+    da = aq["d"].astype(jnp.float32)
+    out = _call_int_dot_kernel(
+        aq["qs"], da, dict(a.planes), a.gtype, n, k,
+        "qs",
+    )
+    return out.reshape(n)[None].reshape(*lead, n)
+
+
 def mul_mat_q_fused(a: QTensor, bx, quantize_acts: bool = True):
     """a: QTensor [n_out, k]; bx: f32 [..., k] → [..., n_out]."""
     from ..quant.quantize import dequantize
@@ -235,6 +326,9 @@ def mul_mat_q_fused(a: QTensor, bx, quantize_acts: bool = True):
     x = jnp.asarray(bx, jnp.float32)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k)
+    if (quantize_acts and x2.shape[0] == 1
+            and int_dot_supported(a, 1) and _int_dot_enabled()):
+        return mul_mat_q_int_dot(a, bx)
     if quantize_acts:
         x2 = dequantize(quantize_activations(x2, a.gtype))
     _, keys, bs = _DEQUANT_TILE[a.gtype]

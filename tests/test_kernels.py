@@ -134,3 +134,24 @@ def test_fused_bf16_mode_close():
         assert np.abs(got - want).mean() / denom < 0.01
     finally:
         kcfg.set_mm_dot("f32")
+
+
+def test_int_dot_matches_reference_exactly():
+    """Integer-dot decode path: identical math to ggml's vec_dot_q (acts
+    quantized per-32, int MACs, per-block scale products)."""
+    from ggmlsharp_tpu.kernels.matmul_q import (
+        int_dot_supported, mul_mat_q_int_dot,
+    )
+
+    for gtype in (GType.Q8_0, GType.Q4_0):
+        n, k = 256, 512
+        w = jnp.asarray(RNG.standard_normal((n, k)).astype(np.float32) * 0.1)
+        x = jnp.asarray(RNG.standard_normal((1, k)).astype(np.float32))
+        qw = quantize(w, gtype)
+        assert int_dot_supported(qw, 1)
+        got = np.asarray(jax.jit(lambda v: mul_mat_q_int_dot(qw, v))(x))
+        want = np.asarray(jax.jit(
+            lambda v: mul_mat_q(qw, v, quantize_acts=True)
+        )(x))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4,
+                                   err_msg=str(gtype))
