@@ -159,6 +159,83 @@ ggml_map_unary_f32 = _ctx_op(_B.map_unary)
 ggml_map_binary_f32 = _ctx_op(_B.map_binary)
 
 
+# --- shape predicates & accessors (Ggml.cs:3766-3785, 8324-8407) ----------
+
+def ggml_nelements(t):
+    n = 1
+    for s in t.shape:
+        n *= s
+    return n
+
+
+def ggml_nrows(t):
+    n = 1
+    for s in t.shape[:-1]:
+        n *= s
+    return n
+
+
+def ggml_nbytes(t):
+    from .quant.formats import QTensor
+
+    d = t.data if isinstance(t, GTensor) else t
+    if isinstance(d, QTensor):
+        return d.nbytes_wire()
+    return ggml_nelements(t) * d.dtype.itemsize
+
+
+def ggml_is_scalar(t):
+    return ggml_nelements(t) == 1
+
+
+def ggml_is_vector(t):
+    return len(t.shape) == 1 or all(s == 1 for s in t.shape[:-1])
+
+
+def ggml_is_matrix(t):
+    return len([s for s in t.shape if s > 1]) <= 2
+
+
+def ggml_can_mul_mat(a, b):
+    return a.shape[-1] == b.shape[-1]
+
+
+def ggml_are_same_shape(a, b):
+    return tuple(a.shape) == tuple(b.shape)
+
+
+def ggml_is_quantized(t):
+    from .quant.formats import QTensor
+
+    d = t.data if isinstance(t, GTensor) else t
+    return isinstance(d, QTensor)
+
+
+def ggml_dup_tensor(ctx, t):
+    return leaf(jnp.zeros(t.shape, t.dtype))
+
+
+def ggml_view_tensor(ctx, t):
+    """Shares data in the reference (Ggml.cs:3751); functionally a dup node."""
+    return _B.dup(t)
+
+
+def ggml_set_f32_1d(t, i, v):
+    t.data = t.data.reshape(-1).at[i].set(v).reshape(t.shape)
+    return t
+
+
+def ggml_set_i32_1d(t, i, v):
+    return ggml_set_f32_1d(t, i, v)
+
+
+def ggml_print_objects(tree, name="objects"):
+    from .utils.debug import print_objects
+
+    data = tree.data if isinstance(tree, GTensor) else tree
+    return print_objects(data, name)
+
+
 def ggml_repeat(ctx, a, like):
     """ggml_repeat(a, b): tile a to b's shape."""
     shape = like.shape if isinstance(like, GTensor) else tuple(like)

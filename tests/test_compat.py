@@ -75,3 +75,38 @@ def test2_line_fit_via_compat():
     res = ggml_opt(ctx, params, f)
     assert abs(ggml_get_f32_1d(t0, 0) - 5.0) < 1e-3
     assert abs(ggml_get_f32_1d(t1, 0) - 10.0) < 1e-3
+
+
+def test_predicates_and_accessors():
+    from ggmlsharp_tpu.compat import (
+        ggml_are_same_shape, ggml_can_mul_mat, ggml_dup_tensor,
+        ggml_is_matrix, ggml_is_quantized, ggml_is_scalar, ggml_is_vector,
+        ggml_nbytes, ggml_nelements, ggml_nrows, ggml_set_f32_1d,
+    )
+    ctx = ggml_init()
+    t = ggml_new_tensor_2d(ctx, GType.F32, 10, 4)  # shape (4, 10)
+    assert ggml_nelements(t) == 40
+    assert ggml_nrows(t) == 4
+    assert ggml_nbytes(t) == 160
+    assert not ggml_is_scalar(t) and ggml_is_matrix(t)
+    s = ggml_new_f32(ctx, 3.0)
+    assert ggml_is_scalar(s) and ggml_is_vector(s)
+    t2 = ggml_new_tensor_2d(ctx, GType.F32, 10, 7)
+    assert ggml_can_mul_mat(t, t2)
+    assert not ggml_are_same_shape(t, t2)
+    d = ggml_dup_tensor(ctx, t)
+    assert d.shape == t.shape
+    assert not ggml_is_quantized(t)
+    ggml_set_f32_1d(t, 3, 9.0)
+    assert ggml_get_f32_1d(t, 3) == 9.0
+
+
+def test_quant_registry_complete():
+    from ggmlsharp_tpu.quant.registry import registry
+    from ggmlsharp_tpu.dtypes import GType as G
+
+    reg = registry()
+    assert reg[G.Q4_0].has_fused_matmul and reg[G.Q4_0].has_int_dot
+    assert reg[G.Q4_3].quantize_row is not None  # empty in the reference
+    assert reg[G.Q8_1].dequantize_row is not None  # null TODO in the reference
+    assert reg[G.Q4_K].vec_dot_type == G.Q8_K
