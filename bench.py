@@ -19,6 +19,9 @@ import os
 import sys
 import time
 
+# remote TPU compiles take minutes; persist them across bench runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
+
 import jax
 import jax.numpy as jnp
 
@@ -102,9 +105,10 @@ def main():
     from ggmlsharp_tpu.dtypes import GType
     from ggmlsharp_tpu.models import gpt2, llama, sampling
 
-    model = os.environ.get("BENCH_MODEL", "gpt2-124m")
-    fmt = os.environ.get("BENCH_FORMAT", "q8_0")
-    steps = int(os.environ.get("BENCH_STEPS", "64"))
+    # default workload = the BASELINE north-star: 7B Llama Q4_0 decode
+    model = os.environ.get("BENCH_MODEL", "llama-7b")
+    fmt = os.environ.get("BENCH_FORMAT", "q4_0")
+    steps = int(os.environ.get("BENCH_STEPS", "24"))
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     prefill_len = int(os.environ.get("BENCH_PREFILL", "16"))
 

@@ -16,8 +16,13 @@ from ..quant.formats import QTensor
 from . import kv_cache as kvc
 
 
-def linear(w, x, b=None, quantize_acts: bool = False):
-    """y = x·wᵀ (+ b). w: [n_out, k] array or QTensor; x: [..., k]."""
+def linear(w, x, b=None, quantize_acts: bool = True):
+    """y = x·wᵀ (+ b). w: [n_out, k] array or QTensor; x: [..., k].
+
+    quantize_acts defaults True: ggml quantizes activations into the weight
+    format's companion Q8 type before every quantized matmul (the INIT-phase
+    trick) — required for perplexity parity, and what routes b=1 decode onto
+    the exact integer-dot kernel."""
     if isinstance(w, QTensor):
         y = ops.mul_mat(w, x, quantize_acts=quantize_acts)
     else:

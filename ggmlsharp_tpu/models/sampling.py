@@ -82,8 +82,14 @@ def generate(forward, cfg, params, prompt, cache, n_tokens: int,
 
 
 def generate_scan(forward, cfg, params, prompt, cache, n_tokens: int):
-    """Fully-jitted greedy decode via lax.scan (for benchmarking: no host
-    round-trips between steps)."""
+    """Fully-jitted greedy decode via lax.scan.
+
+    KNOWN ISSUE (round 1): on TPU, XLA copies the scan-carried KV cache every
+    iteration (~300 ms/tok on GPT-2 124M vs 0.9 ms for the host-driven loop)
+    — the pallas custom-calls in the body appear to defeat the scan carry's
+    buffer aliasing. Use `generate`/`make_greedy_step` (host loop with
+    donation) for production decode; this stays for single-dispatch use cases
+    and as the regression target for fixing the aliasing."""
     prefill, _ = make_decode_fns(forward, cfg)
 
     @jax.jit
