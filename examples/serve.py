@@ -1,0 +1,52 @@
+"""Continuous-batching serving demo: mixed workload through the Engine.
+
+    python examples/serve.py [--slots 4] [--requests 12] [--int8-kv]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--requests", type=int, default=12)
+    ap.add_argument("--int8-kv", action="store_true")
+    args = ap.parse_args()
+
+    from ggmlsharp_tpu.dtypes import GType
+    from ggmlsharp_tpu.models import gpt2
+    from ggmlsharp_tpu.serving import Engine, Request
+
+    cfg = gpt2.GPT2_124M
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params = jax.jit(lambda p: gpt2.quantize_params(p, GType.Q8_0))(params)
+
+    eng = Engine(gpt2.forward, cfg, params, batch_slots=args.slots,
+                 cache_dtype=jnp.bfloat16, int8_kv=args.int8_kv)
+    for i in range(args.requests):
+        eng.submit(Request(
+            id=i,
+            prompt=list(range(1, 2 + i % 7)),
+            max_new_tokens=16 + 8 * (i % 3),
+            temperature=0.7 if i % 2 else 0.0,
+            top_k=40,
+        ))
+    t0 = time.time()
+    results = eng.run()
+    dt = time.time() - t0
+    total = sum(len(r.out_tokens) for r in results)
+    print(f"served {len(results)} requests, {total} tokens in {dt:.2f}s")
+    for r in results[:3]:
+        print(f"  req {r.id}: {r.out_tokens[:10]}...")
+
+
+if __name__ == "__main__":
+    main()

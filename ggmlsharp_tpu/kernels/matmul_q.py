@@ -252,8 +252,9 @@ def _call_int_dot_kernel(xq, da, planes, gtype, n, k, qs_key):
         acc = jnp.zeros((tile, C), jnp.int32)
         xsum = jnp.zeros((1, C), jnp.int32)
         for t in range(32):
-            xc = jax.lax.dynamic_slice_in_dim(x, t * C, C, axis=1)
-            wc = jax.lax.dynamic_slice_in_dim(w, t * C, C, axis=1)
+            # static slices — Mosaic has no dynamic_slice on values
+            xc = x[:, t * C : (t + 1) * C]
+            wc = w[:, t * C : (t + 1) * C]
             acc = acc + wc * xc  # (TN,C) * (1,C) broadcast
             if gtype == GType.Q4_0:
                 xsum = xsum + xc
