@@ -44,7 +44,12 @@ TILE_N = int(__import__("os").environ.get("GGML_TPU_TILE_N", "256"))
 
 
 def _int_dot_enabled() -> bool:
-    return __import__("os").environ.get("GGML_TPU_INT_DOT", "1") != "0"
+    # default OFF: this libtpu's Mosaic rejects the (1,C)→(TN,C) int32
+    # sublane broadcast the kernel needs ("Invalid input layout"); the bf16
+    # fused path measures identically (69.3 tok/s, 7B Q4_0) and stays the
+    # default. Enable on toolchains whose Mosaic supports it (or interpret
+    # mode) for bit-exact ggml integer dots.
+    return __import__("os").environ.get("GGML_TPU_INT_DOT", "0") == "1"
 MAX_K_F32 = 16384  # unpacked f32 tile must fit VMEM
 
 
