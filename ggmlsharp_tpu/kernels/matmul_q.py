@@ -246,24 +246,33 @@ def _call_int_dot_kernel(xq, da, planes, gtype, n, k, qs_key):
     block sums (the reference's Q8_1 `s` trick, Ggml.cs:805-821).
     """
     C = k // 32
-    tile = TILE_N
+    # the pre-broadcast x tile (tile, k) int8 dominates VMEM; shrink for
+    # long rows (k=11008 at tile 256 is ~770KB over the 16MB budget)
+    tile = TILE_N if k <= 8192 else min(TILE_N, 128)
 
     def kernel(xq_ref, da_ref, qs_ref, dp_ref, o_ref):
-        if gtype == GType.Q4_0:
-            w = _unpack4(qs_ref[:])  # int32 (TN, K), values 0..15
-        else:
-            w = qs_ref[:].astype(jnp.int32)  # int8 → int32
-        x = xq_ref[:].astype(jnp.int32)  # (1, K)
+        # x/da arrive PRE-BROADCAST to (TN, ·): Mosaic rejects the
+        # (1,C)→(TN,C) sublane broadcast ("Invalid input layout").
+        # Weights unpack CHUNK-WISE: storage chunk t lives in nibble plane
+        # t//4, word range [(t%4)·C, (t%4+1)·C) — one shift+mask per chunk,
+        # so no (TN, K) int32 intermediate ever materializes (a full unpack
+        # blows VMEM at K=11008).
+        q_all = qs_ref[:]
+        x_all = xq_ref[:]
         acc = jnp.zeros((tile, C), jnp.int32)
-        xsum = jnp.zeros((1, C), jnp.int32)
+        xsum = jnp.zeros((tile, C), jnp.int32)
         for t in range(32):
-            # static slices — Mosaic has no dynamic_slice on values
-            xc = x[:, t * C : (t + 1) * C]
-            wc = w[:, t * C : (t + 1) * C]
-            acc = acc + wc * xc  # (TN,C) * (1,C) broadcast
+            xc = x_all[:, t * C : (t + 1) * C].astype(jnp.int32)
+            if gtype == GType.Q4_0:
+                word = q_all[:, (t % 4) * C : (t % 4 + 1) * C]
+                wc = ((word >> jnp.uint32(4 * (t // 4)))
+                      & jnp.uint32(0xF)).astype(jnp.int32)
+            else:
+                wc = q_all[:, t * C : (t + 1) * C].astype(jnp.int32)
+            acc = acc + wc * xc
             if gtype == GType.Q4_0:
                 xsum = xsum + xc
-        eff = _decode_f16x2(dp_ref) * da_ref[:]  # (TN,C)*(1,C) f32
+        eff = _decode_f16x2(dp_ref) * da_ref[:]  # (TN,C)*(TN,C) f32
         s = acc.astype(jnp.float32)
         if gtype == GType.Q4_0:
             s = s - 8.0 * xsum.astype(jnp.float32)
@@ -271,12 +280,14 @@ def _call_int_dot_kernel(xq, da, planes, gtype, n, k, qs_key):
 
     grid = (n // tile,)
     qs = planes[qs_key]
+    xq = jnp.broadcast_to(xq, (tile, k))
+    da = jnp.broadcast_to(da, (tile, C))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, qs.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, C // 2), lambda i: (i, 0),
@@ -298,7 +309,8 @@ def int_dot_supported(a: QTensor, batch: int) -> bool:
     if batch != 1 or a.gtype not in (GType.Q8_0, GType.Q4_0):
         return False
     n, k = a.shape
-    return (n % TILE_N == 0 and k % 64 == 0 and "d_p" in a.planes
+    tile = TILE_N if k <= 8192 else min(TILE_N, 128)
+    return (n % tile == 0 and k % 64 == 0 and "d_p" in a.planes
             and k <= MAX_K_F32)
 
 
