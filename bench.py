@@ -12,7 +12,7 @@ speed-of-light decode for the stored bit-width.
 
 Env overrides: BENCH_MODEL=gpt2-124m|gpt2-355m|gpt2-774m|llama-tiny|llama-7b,
 BENCH_FORMAT=q8_0|q4_0|q4_k|q6_k|bf16, BENCH_STEPS, BENCH_BATCH,
-BENCH_PREFILL.
+BENCH_PREFILL, BENCH_INT8_KV=1.
 """
 import json
 import os
@@ -137,7 +137,8 @@ def main():
             )(params)
     params = jax.block_until_ready(params)
 
-    cache = mod.new_cache(cfg, batch)
+    int8_kv = os.environ.get("BENCH_INT8_KV") == "1"
+    cache = mod.new_cache(cfg, batch, int8=int8_kv)
     prompt = jax.random.randint(
         jax.random.PRNGKey(1), (batch, prefill_len), 0, cfg.n_vocab
     ).astype(jnp.int32)

@@ -168,6 +168,92 @@ _DEQUANT_TILE = {
 }
 
 
+# 4-bit formats whose qs plane admits the plane-wise kernel (8 accumulated
+# per-plane dots, no full-width concat/scale materialization)
+_PLANEWISE = {
+    GType.Q4_0: ("d_p", None),
+    GType.Q4_1: ("d_p", "m_p"),
+    GType.Q4_K: ("kd_p", "km_p"),
+}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gtype", "n", "k", "mode")
+)
+def _call_kernel_planes(x_storage, planes, gtype, n, k, mode):
+    """Plane-wise 4-bit dequant-matmul: nibble plane j covers storage
+    positions [j·K/8, (j+1)·K/8) and every plane shares the same per-position
+    scale vector tile(d, 4) — so the kernel accumulates 8 narrow dots and
+    never materializes the (TN, K) dequantized tile or a K-wide scale copy
+    (~25% fewer VPU ops than the concat path, and 8× less VMEM scratch)."""
+    d_key, m_key = _PLANEWISE[gtype]
+    b = x_storage.shape[0]
+    W = k // 8
+    dt = jnp.bfloat16 if mode == "bf16" else jnp.float32
+    precision = (jax.lax.Precision.DEFAULT if mode == "bf16"
+                 else jax.lax.Precision.HIGHEST)
+    offset = 8.0 if gtype == GType.Q4_0 else 0.0
+
+    def kernel(x_ref, *refs):
+        if m_key is not None:
+            qs_ref, dp_ref, mp_ref, o_ref = refs
+        else:
+            qs_ref, dp_ref, o_ref = refs
+            mp_ref = None
+        d4 = _tile(_decode_f16x2(dp_ref), 4).astype(dt)  # (TN, W)
+        m4 = None if mp_ref is None else _tile(_decode_f16x2(mp_ref), 4).astype(dt)
+        q_all = qs_ref[:]
+        x = x_ref[:].astype(dt)
+        acc = jnp.zeros((b, TILE_N), jnp.float32)
+        for j in range(8):
+            vj = ((q_all >> jnp.uint32(4 * j)) & jnp.uint32(0xF)
+                  ).astype(jnp.int32).astype(dt)
+            if offset:
+                vj = vj - dt(offset)
+            wj = vj * d4 if m4 is None else vj * d4 - m4 if gtype == GType.Q4_K else vj * d4 + m4
+            xj = x[:, j * W : (j + 1) * W]
+            acc = acc + jax.lax.dot_general(
+                xj, wj, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+        o_ref[:] = acc
+
+    grid = (n // TILE_N,)
+    in_specs = [
+        pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_N, W), lambda i: (i, 0),  # qs: K/8 uint32 words
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_N, k // 64), lambda i: (i, 0),  # f16-pair scales
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x_storage, planes["qs"], planes[d_key]]
+    if m_key is not None:
+        in_specs.append(
+            pl.BlockSpec((TILE_N, k // 64), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(planes[m_key])
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, TILE_N), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        interpret=interpret_mode(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * k,
+            bytes_accessed=planes["qs"].size * 4 + b * k * 4 + b * n * 4,
+            transcendentals=0,
+        ),
+    )(*args)
+
+
+def _planewise_enabled() -> bool:
+    return __import__("os").environ.get("GGML_TPU_PLANEWISE", "1") != "0"
+
+
 def fused_supported(qt: QTensor) -> bool:
     if qt.gtype not in _DEQUANT_TILE:
         return False
@@ -351,5 +437,12 @@ def mul_mat_q_fused(a: QTensor, bx, quantize_acts: bool = True):
         x2 = dequantize(quantize_activations(x2, a.gtype))
     _, keys, bs = _DEQUANT_TILE[a.gtype]
     x2 = to_storage_order(x2, bs)
-    out = _call_kernel(x2, dict(a.planes), a.gtype, n, k, keys, mm_dot_mode())
+    if (a.gtype in _PLANEWISE and _planewise_enabled()
+            and n % TILE_N == 0 and k % 64 == 0
+            and all(key in a.planes for key in _PLANEWISE[a.gtype] if key)):
+        out = _call_kernel_planes(x2, dict(a.planes), a.gtype, n, k,
+                                  mm_dot_mode())
+    else:
+        out = _call_kernel(x2, dict(a.planes), a.gtype, n, k, keys,
+                           mm_dot_mode())
     return out.reshape(*lead, n)
