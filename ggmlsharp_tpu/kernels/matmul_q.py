@@ -242,6 +242,9 @@ def _call_kernel_planes(x_storage, planes, gtype, n, k, mode):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         interpret=interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),  # disjoint output tiles
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * k,
             bytes_accessed=planes["qs"].size * 4 + b * k * 4 + b * n * 4,
