@@ -143,6 +143,7 @@ def main():
         jax.random.PRNGKey(1), (batch, prefill_len), 0, cfg.n_vocab
     ).astype(jnp.int32)
 
+    mode = os.environ.get("BENCH_MODE", "decode")  # decode | prefill
     # Measurement note: on the axon backend block_until_ready resolves before
     # the remote execution finishes, so every timing window must end with a
     # VALUE fetch (np.asarray), and fixed fetch/dispatch latency is cancelled
@@ -150,6 +151,35 @@ def main():
     import numpy as _np
 
     prefill, _ = sampling.make_decode_fns(mod.forward, cfg)
+
+    if mode == "prefill":
+        # prefill throughput: tokens processed per second at this prompt len
+        import numpy as _np
+
+        caches = [mod.new_cache(cfg, batch, int8=int8_kv) for _ in range(13)]
+        lg, _ = prefill(params, prompt, caches.pop())  # compile
+        _np.asarray(lg)
+
+        def chain_p(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                lg, _ = prefill(params, prompt, caches.pop())
+            _np.asarray(lg)
+            return time.perf_counter() - t0
+
+        t_short = chain_p(4)
+        t_long = chain_p(8)
+        toks_per_s = 4 * batch * prefill_len / (t_long - t_short)
+        wbytes = _wire_bytes(params)
+        roofline = _hbm_bw() / wbytes * prefill_len  # 1 weight pass / prompt
+        print(json.dumps({
+            "metric": f"prefill tokens/sec/chip ({model} {fmt} len={prefill_len} b={batch})",
+            "value": round(toks_per_s, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(toks_per_s / roofline, 4),
+        }))
+        return
+
     gstep = sampling.make_greedy_step(mod.forward, cfg)
     logits, cache = prefill(params, prompt, cache)
     tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)

@@ -242,6 +242,28 @@ def ggml_repeat(ctx, a, like):
     return _B.repeat(a, shape)
 
 
+# --- inplace variants (Ggml.cs _impl inplace=true): functionally identical
+# here — XLA owns buffers, so "inplace" is an aliasing hint it applies itself
+ggml_add_inplace = ggml_add
+ggml_sub_inplace = ggml_sub
+ggml_mul_inplace = ggml_mul
+ggml_div_inplace = ggml_div
+ggml_scale_inplace = ggml_scale
+ggml_sqr_inplace = ggml_sqr
+ggml_sqrt_inplace = ggml_sqrt
+ggml_abs_inplace = ggml_abs
+ggml_sgn_inplace = ggml_sgn
+ggml_neg_inplace = ggml_neg
+ggml_step_inplace = ggml_step
+ggml_relu_inplace = ggml_relu
+ggml_gelu_inplace = ggml_gelu
+ggml_silu_inplace = ggml_silu
+ggml_norm_inplace = ggml_norm
+ggml_rms_norm_inplace = ggml_rms_norm
+ggml_diag_mask_inf_inplace = ggml_diag_mask_inf
+ggml_soft_max_inplace = ggml_soft_max
+
+
 # --- graph API ------------------------------------------------------------
 
 def ggml_build_forward(t) -> Graph:

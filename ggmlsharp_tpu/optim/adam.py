@@ -17,15 +17,22 @@ import jax.numpy as jnp
 from .params import OptParams, OptResult
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _adam_step(fun_vg, x, m, v, t, alpha, beta1, beta2, eps):
+@partial(jax.jit, static_argnums=(0, 9, 10))
+def _adam_step(fun_vg, x, m, v, t, alpha, beta1, beta2, eps, wd, gclip):
     f, g = fun_vg(x)
+    if gclip > 0:  # global-norm clip (later-ggml gclip); static knob
+        gn = jnp.sqrt(sum(jnp.sum(gi.astype(jnp.float32) ** 2)
+                          for gi in jax.tree.leaves(g)))
+        scale = jnp.minimum(1.0, gclip / jnp.maximum(gn, 1e-30))
+        g = jax.tree.map(lambda gi: gi * scale, g)
     m = jax.tree.map(lambda mi, gi: beta1 * mi + (1 - beta1) * gi, m, g)
     v = jax.tree.map(lambda vi, gi: beta2 * vi + (1 - beta2) * gi * gi, v, g)
     bc1 = 1 - beta1**t
     bc2 = 1 - beta2**t
     x = jax.tree.map(
-        lambda xi, mi, vi: xi - alpha * (mi / bc1) / (jnp.sqrt(vi / bc2) + eps),
+        lambda xi, mi, vi: xi - alpha * (
+            (mi / bc1) / (jnp.sqrt(vi / bc2) + eps) + wd * xi
+        ),
         x, m, v,
     )
     gnorm = jnp.sqrt(
@@ -53,7 +60,8 @@ def opt_adam(fun_vg, x0, params: OptParams | None = None, callback=None):
 
     for it in range(1, a.n_iter + 1):
         x_new, m, v, f, gnorm = _adam_step(
-            fun_vg, x, m, v, float(it), a.alpha, a.beta1, a.beta2, a.eps
+            fun_vg, x, m, v, float(it), a.alpha, a.beta1, a.beta2, a.eps,
+            a.weight_decay, a.gclip,
         )
         f = float(f)
         if callback:

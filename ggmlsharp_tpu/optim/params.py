@@ -38,6 +38,9 @@ class AdamParams:
     eps: float = 1e-8
     eps_f: float = 1e-5  # relative Δf convergence
     eps_g: float = 1e-3
+    # later-ggml extensions (absent from the reference's May-2023 snapshot)
+    weight_decay: float = 0.0  # AdamW decoupled decay
+    gclip: float = 0.0  # global-norm gradient clip (0 = off)
 
 
 @dataclass

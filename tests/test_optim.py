@@ -156,3 +156,29 @@ def test_adam_past_window_stops_early():
     t, fx, res, iters = opt_fn(fun, jnp.asarray([1.0, -2.0], jnp.float32), p)
     assert res == OptResult.OK
     assert iters < 5000
+
+
+def test_adamw_weight_decay_and_gclip():
+    # pure decay: zero gradient direction still shrinks weights
+    p = OptParams()
+    p.adam.n_iter = 50
+    p.adam.alpha = 0.1
+    p.adam.weight_decay = 0.1
+    p.adam.gclip = 1.0
+    p.max_no_improvement = 0
+    p.past = 0
+
+    def fun(w):
+        return jnp.sum(w * 0.0)  # zero loss, zero grad
+
+    w, fx, res, _ = opt_fn(fun, jnp.ones((3,)), p)
+    assert float(jnp.max(jnp.abs(w))) < 1.0  # decayed toward zero
+
+    # gclip bounds the step for a huge gradient
+    p2 = OptParams()
+    p2.adam.n_iter = 1
+    p2.adam.alpha = 0.5
+    p2.adam.gclip = 1e-3
+    w2, _, _, _ = opt_fn(lambda w: 1e6 * jnp.sum(w), jnp.zeros((2,)), p2)
+    # with clipping the normalized Adam step is still ~alpha; just finite
+    assert bool(jnp.all(jnp.isfinite(w2)))
