@@ -153,17 +153,24 @@ def main():
     prefill, _ = sampling.make_decode_fns(mod.forward, cfg)
 
     if mode == "prefill":
-        # prefill throughput: tokens processed per second at this prompt len
+        # prefill throughput: tokens processed per second at this prompt len.
+        # The cache is donated and fed back with its length reset (13 fresh
+        # 7B caches would not fit HBM); write offsets differ but cost doesn't.
         import numpy as _np
+        from ggmlsharp_tpu.models import kv_cache as kvc
 
-        caches = [mod.new_cache(cfg, batch, int8=int8_kv) for _ in range(13)]
-        lg, _ = prefill(params, prompt, caches.pop())  # compile
+        def reset(c):
+            return kvc.KVCache(c.k, c.v, c.k_scale, c.v_scale,
+                               jnp.zeros_like(c.length))
+
+        lg, cache2 = prefill(params, prompt, cache)  # compile
         _np.asarray(lg)
 
         def chain_p(n):
+            nonlocal cache2
             t0 = time.perf_counter()
             for _ in range(n):
-                lg, _ = prefill(params, prompt, caches.pop())
+                lg, cache2 = prefill(params, prompt, reset(cache2))
             _np.asarray(lg)
             return time.perf_counter() - t0
 
