@@ -78,12 +78,14 @@ def init_params(rng, cfg: GPT2Config, dtype=jnp.bfloat16):
 
 
 def quantize_params(params, gtype: GType, min_cols: int = 256,
-                    pad_rows_to: int = 128):
+                    pad_rows_to: int | None = None):
     """Weight-only quantization of every matmul weight (embeddings included).
     Biases/layernorms stay float (matching llama.cpp's policy). Weights whose
     row count is not a multiple of the kernel tile (the 50257-row LM head)
     are zero-padded so the fused Pallas path applies — forward slices the
     padded logits back to n_vocab."""
+    if pad_rows_to is None:
+        from ..kernels.matmul_q import TILE_N as pad_rows_to  # match kernel tile
 
     def q(name, t, pad_rows=False):
         if isinstance(t, QTensor) or t.ndim != 2 or t.shape[-1] % 256:

@@ -79,12 +79,14 @@ def init_params(rng, cfg: LlamaConfig, dtype=jnp.bfloat16):
 
 
 def quantize_params(params, gtype: GType, embd_gtype: GType | None = None,
-                    pad_rows_to: int = 128):
+                    pad_rows_to: int | None = None):
     """Weight-only quantize all matmul weights. llama.cpp policy analog:
     token embedding / output may use a different (often higher-bit) format.
     Row counts are padded to the kernel tile so the fused path applies
     (forward slices padded logits back to n_vocab)."""
     embd_gtype = embd_gtype or gtype
+    if pad_rows_to is None:
+        from ..kernels.matmul_q import TILE_N as pad_rows_to  # match kernel tile
 
     def q(t, g, pad_rows=False):
         if t is None or isinstance(t, QTensor) or t.ndim != 2:
