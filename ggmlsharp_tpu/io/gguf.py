@@ -46,8 +46,9 @@ WIRE_BLOCK_BYTES = {
     GType.F32: (1, 4), GType.F16: (1, 2),
     GType.Q4_0: (32, 18), GType.Q4_1: (32, 20),
     GType.Q5_0: (32, 22), GType.Q5_1: (32, 24),
-    GType.Q8_0: (32, 34),
+    GType.Q8_0: (32, 34), GType.Q8_1: (32, 36),
     GType.Q4_K: (256, 144), GType.Q6_K: (256, 210),
+    GType.Q8_K: (256, 292),
 }
 
 
@@ -134,6 +135,22 @@ def qtensor_from_wire(gtype: GType, raw: bytes, shape) -> "QTensor | np.ndarray"
         qs = buf[:, :, 2:34].view(np.int8).reshape(rows, k)
         return _add_pair_planes_np(QTensor(gtype, tuple(shape),
                        {"qs": _to_storage_np(qs.copy(), 32), "d": d}))
+    if gtype == GType.Q8_1:
+        # wire block_q8_1 {f16 d, f16 s, i8 qs[32]}; canonical planes keep
+        # d/s in f32 (quantize_row_q8_1 convention)
+        d = f16(buf[:, :, 0:2]).astype(np.float32)
+        s = f16(buf[:, :, 2:4]).astype(np.float32)
+        qs = buf[:, :, 4:36].view(np.int8).reshape(rows, k)
+        return QTensor(gtype, tuple(shape),
+                       {"qs": _to_storage_np(qs.copy(), 32), "d": d, "s": s})
+    if gtype == GType.Q8_K:
+        # wire block_q8_K {f32 d, i8 qs[256], i16 bsums[16]}; qs stays in
+        # element order (activation-side format, quantize_row_q8_k)
+        d = buf[:, :, 0:4].copy().view(np.float32).reshape(rows, nb)
+        qs = buf[:, :, 4:260].view(np.int8).reshape(rows, k)
+        bsums = buf[:, :, 260:292].copy().view(np.int16).reshape(rows, nb * 16)
+        return QTensor(gtype, tuple(shape),
+                       {"qs": qs.copy(), "d": d, "bsums": bsums})
     if gtype in (GType.Q4_0, GType.Q4_1):
         off = 2 if gtype == GType.Q4_0 else 4
         d = f16(buf[:, :, 0:2])
@@ -268,6 +285,20 @@ def qtensor_to_wire(qt_or_arr) -> tuple[GType, bytes]:
         qs = _from_storage_np(planes["qs"], 32)
         out[:, :, 2:34] = qs.view(np.uint8).reshape(rows, nb, 32)
         return g, out.tobytes()
+    if g == GType.Q8_1:
+        put_f16(out[:, :, 0:2], planes["d"])
+        put_f16(out[:, :, 2:4], planes["s"])
+        qs = _from_storage_np(planes["qs"], 32)
+        out[:, :, 4:36] = qs.view(np.uint8).reshape(rows, nb, 32)
+        return g, out.tobytes()
+    if g == GType.Q8_K:
+        out[:, :, 0:4] = planes["d"].astype(np.float32).reshape(
+            rows, nb, 1).view(np.uint8)
+        out[:, :, 4:260] = planes["qs"].astype(np.int8).reshape(
+            rows, nb, 256).view(np.uint8)
+        out[:, :, 260:292] = planes["bsums"].astype(np.int16).reshape(
+            rows, nb, 16).view(np.uint8)
+        return g, out.tobytes()
     if g in (GType.Q4_0, GType.Q4_1):
         off = 2 if g == GType.Q4_0 else 4
         put_f16(out[:, :, 0:2], planes["d"])
@@ -285,7 +316,6 @@ def qtensor_to_wire(qt_or_arr) -> tuple[GType, bytes]:
         lo = _from_storage_np(
             _unpack_planar_np(planes["qs"], k, 4), 32).reshape(rows, nb, 32)
         qh = planes["qh"].reshape(rows, nb)
-        bits = ((qh[..., None] >> np.arange(32, dtype=np.uint32)) & 1).astype(np.int32)
         out[:, :, off : off + 4] = qh.view(np.uint8).reshape(rows, nb, 4)
         out[:, :, off + 4 : off + 20] = (lo[:, :, :16] | (lo[:, :, 16:] << 4)).astype(np.uint8)
         return g, out.tobytes()

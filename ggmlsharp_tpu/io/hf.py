@@ -89,10 +89,11 @@ def load_hf_gpt2(path: str, config: dict | None = None):
 def load_hf_llama(path: str, config: dict | None = None):
     """LlamaForCausalLM safetensors → (LlamaConfig, params).
 
-    NOTE on rope convention: HF Llama checkpoints permute wq/wk for their
-    half-split rotary; llama.cpp-style interleaved rope (our mode 0) expects
-    the UNPERMUTED order, so we invert HF's permutation here — or set
-    rope_mode=2 (neox) and skip the unpermute via `unpermute=False`.
+    NOTE on rope convention: HF Llama checkpoints lay q/k head dims out for
+    half-split (NeoX-style) rotary. No weight permutation is performed here;
+    instead the returned config sets rope_mode=2 so the model applies the
+    matching half-split rope. (llama.cpp's GGUF importer instead unpermutes
+    the weights and uses interleaved rope — both give identical logits.)
     """
     from ..models.llama import LlamaConfig
 

@@ -42,6 +42,7 @@ class Request:
     eos_id: int | None = None
     out_tokens: list = field(default_factory=list)
     done: bool = False
+    error: str | None = None
 
 
 def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048)) -> int:
@@ -92,11 +93,16 @@ class Engine:
 
     def _prefill_slot(self, req: Request, slot: int):
         n = len(req.prompt)
-        bucket = _bucket(n)
+        # cap at max_len so the bucketed update always fits the cache rows
+        bucket = min(_bucket(n), self.max_len)
         if bucket not in self._compiled_prefill:
             fwd, cfg = self.forward, self.cfg
 
-            @partial(jax.jit, static_argnames=("slot",), donate_argnums=(1,))
+            # slot is a TRACED argument (dynamic_slice accepts traced starts)
+            # → exactly one prefill executable per length bucket; making it
+            # static would multiply warmup compiles by batch_slots (each
+            # remote TPU compile takes minutes).
+            @partial(jax.jit, donate_argnums=(1,))
             def prefill(params, cache, tokens, n_real, slot):
                 def _slice(t):
                     return None if t is None else tuple(
@@ -133,7 +139,8 @@ class Engine:
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :n] = req.prompt
         last, self.cache = prefill(
-            self.params, self.cache, jnp.asarray(toks), jnp.int32(n), slot=slot
+            self.params, self.cache, jnp.asarray(toks), jnp.int32(n),
+            jnp.int32(slot),
         )
         self._last_logits = self._last_logits.at[slot].set(last[0])
 
@@ -143,8 +150,18 @@ class Engine:
 
     def _admit(self):
         for i in range(self.B):
-            if self.slots[i] is None and self.pending:
+            while self.slots[i] is None and self.pending:
                 req = self.pending.pop(0)
+                if len(req.prompt) >= self.max_len:
+                    # would overflow the cache inside the jitted prefill —
+                    # reject up front (caller sees done=True, no tokens)
+                    req.done = True
+                    req.error = (
+                        f"prompt length {len(req.prompt)} >= max_len "
+                        f"{self.max_len}"
+                    )
+                    self.finished.append(req)
+                    continue
                 if len(req.prompt) + req.max_new_tokens > self.max_len:
                     req.max_new_tokens = self.max_len - len(req.prompt)
                 self.slots[i] = req

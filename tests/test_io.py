@@ -35,6 +35,32 @@ def test_wire_roundtrip_bit_exact(gtype):
     np.testing.assert_array_equal(d1, d2)
 
 
+def test_wire_roundtrip_q8_1():
+    """Q8_1 wire {f16 d, f16 s, i8 qs[32]}: qs bit-exact; d/s rounded to f16
+    on the wire (modern GGUF convention; canonical planes keep f32)."""
+    x = jnp.asarray(RNG.standard_normal((4, 512)).astype(np.float32))
+    qt = jax.jit(lambda a: quantize(a, GType.Q8_1))(x)
+    g, raw = qtensor_to_wire(qt)
+    qt2 = qtensor_from_wire(g, raw, qt.shape)
+    np.testing.assert_array_equal(np.asarray(qt["qs"]), qt2["qs"])
+    for k in ("d", "s"):
+        np.testing.assert_array_equal(
+            np.asarray(qt[k]).astype(np.float16).astype(np.float32), qt2[k]
+        )
+
+
+def test_wire_roundtrip_q8_k():
+    """Q8_K wire {f32 d, i8 qs[256], i16 bsums[16]}: fully bit-exact."""
+    x = jnp.asarray(RNG.standard_normal((4, 512)).astype(np.float32))
+    qt = jax.jit(lambda a: quantize(a, GType.Q8_K))(x)
+    g, raw = qtensor_to_wire(qt)
+    qt2 = qtensor_from_wire(g, raw, qt.shape)
+    for k in qt.planes:
+        np.testing.assert_array_equal(
+            np.asarray(qt[k]), np.asarray(qt2[k]), err_msg=f"plane {k}"
+        )
+
+
 def test_gguf_container_roundtrip(tmp_path):
     x = jnp.asarray(RNG.standard_normal((8, 256)).astype(np.float32))
     qt = jax.jit(lambda a: quantize(a, GType.Q4_0))(x)

@@ -48,6 +48,32 @@ def test_engine_slot_recycling_more_requests_than_slots():
     assert all(len(r.out_tokens) == 3 for r in results)
 
 
+def test_engine_rejects_overlong_prompt():
+    """A prompt >= max_len must be rejected up front (done=True, error set),
+    not crash inside the jitted prefill; later requests still run."""
+    params = _params()
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=1, max_len=32)
+    eng.submit(Request(id=0, prompt=list(range(1, 41)), max_new_tokens=4))
+    eng.submit(Request(id=1, prompt=[5, 17, 99], max_new_tokens=2))
+    results = eng.run()
+    assert len(results) == 2
+    assert results[0].error is not None and results[0].out_tokens == []
+    assert results[1].error is None and len(results[1].out_tokens) == 2
+
+
+def test_engine_bucket_capped_at_max_len():
+    """Prompt whose bucket exceeds max_len (but fits the cache) pads only to
+    max_len — the dynamic_update into the cache stays in bounds."""
+    params = _params()
+    # max_len=48: _bucket(40)=64 > 48 → capped to 48
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=1, max_len=48)
+    prompt = [(i % 100) + 1 for i in range(40)]
+    eng.submit(Request(id=0, prompt=prompt, max_new_tokens=4))
+    results = eng.run()
+    assert results[0].error is None
+    assert results[0].out_tokens == _sequential_greedy(params, prompt, 4)
+
+
 def test_engine_eos_stops_early():
     params = _params()
     # find the first greedy token, use it as eos → stops after 1 token
