@@ -177,10 +177,19 @@ _PLANEWISE = {
 }
 
 
+def _pw_v2_enabled() -> bool:
+    # v2 folds the affine term (−8·d for Q4_0, ±m for Q4_1/Q4_K) out of the
+    # per-element VPU work into ONE extra MXU dot against the per-position
+    # activation sums: y = Σ_j xⱼ·(vⱼ∘d4) + (Σ_j xⱼ)·c4. Saves ~1 VPU op per
+    # weight element in a VPU-bound kernel. Identical math, different
+    # summation order.
+    return __import__("os").environ.get("GGML_TPU_PW_V2", "1") != "0"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("gtype", "n", "k", "mode")
+    jax.jit, static_argnames=("gtype", "n", "k", "mode", "v2")
 )
-def _call_kernel_planes(x_storage, planes, gtype, n, k, mode):
+def _call_kernel_planes(x_storage, planes, gtype, n, k, mode, v2=True):
     """Plane-wise 4-bit dequant-matmul: nibble plane j covers storage
     positions [j·K/8, (j+1)·K/8) and every plane shares the same per-position
     scale vector tile(d, 4) — so the kernel accumulates 8 narrow dots and
@@ -194,6 +203,12 @@ def _call_kernel_planes(x_storage, planes, gtype, n, k, mode):
                  else jax.lax.Precision.HIGHEST)
     offset = 8.0 if gtype == GType.Q4_0 else 0.0
 
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
     def kernel(x_ref, *refs):
         if m_key is not None:
             qs_ref, dp_ref, mp_ref, o_ref = refs
@@ -204,6 +219,34 @@ def _call_kernel_planes(x_storage, planes, gtype, n, k, mode):
         m4 = None if mp_ref is None else _tile(_decode_f16x2(mp_ref), 4).astype(dt)
         q_all = qs_ref[:]
         x = x_ref[:].astype(dt)
+
+        if v2:
+            # affine term via MXU: c4 = −8·d4 (Q4_0) / +m4 (Q4_1) / −m4
+            # (Q4_K), dotted once against xs = Σ_j xⱼ. The per-element inner
+            # loop is then shift+mask+cast+mul only.
+            xs = x[:, 0:W]
+            for j in range(1, 8):
+                xs = xs + x[:, j * W : (j + 1) * W]
+            if gtype == GType.Q4_0:
+                c4 = d4 * dt(-offset)
+            elif gtype == GType.Q4_K:
+                c4 = -m4
+            else:
+                c4 = m4
+            acc = dot(xs, c4)
+            for j in range(8):
+                if j == 0:
+                    vj = (q_all & jnp.uint32(0xF)).astype(jnp.int32)
+                elif j == 7:
+                    vj = (q_all >> jnp.uint32(28)).astype(jnp.int32)
+                else:
+                    vj = ((q_all >> jnp.uint32(4 * j))
+                          & jnp.uint32(0xF)).astype(jnp.int32)
+                wj = vj.astype(dt) * d4
+                acc = acc + dot(x[:, j * W : (j + 1) * W], wj)
+            o_ref[:] = acc
+            return
+
         acc = jnp.zeros((b, TILE_N), jnp.float32)
         for j in range(8):
             vj = ((q_all >> jnp.uint32(4 * j)) & jnp.uint32(0xF)
@@ -212,11 +255,7 @@ def _call_kernel_planes(x_storage, planes, gtype, n, k, mode):
                 vj = vj - dt(offset)
             wj = vj * d4 if m4 is None else vj * d4 - m4 if gtype == GType.Q4_K else vj * d4 + m4
             xj = x[:, j * W : (j + 1) * W]
-            acc = acc + jax.lax.dot_general(
-                xj, wj, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+            acc = acc + dot(xj, wj)
         o_ref[:] = acc
 
     grid = (n // TILE_N,)
@@ -444,7 +483,7 @@ def mul_mat_q_fused(a: QTensor, bx, quantize_acts: bool = True):
             and n % TILE_N == 0 and k % 64 == 0
             and all(key in a.planes for key in _PLANEWISE[a.gtype] if key)):
         out = _call_kernel_planes(x2, dict(a.planes), a.gtype, n, k,
-                                  mm_dot_mode())
+                                  mm_dot_mode(), _pw_v2_enabled())
     else:
         out = _call_kernel(x2, dict(a.planes), a.gtype, n, k, keys,
                            mm_dot_mode())

@@ -44,32 +44,111 @@ def merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(B, S, H * D)
 
 
+def _attn_impl() -> str:
+    """GGML_TPU_ATTN: auto (flash prefill + chunked einsum decode),
+    einsum (chunked einsum always), flash (flash always), legacy (round-1
+    full-cache materialized-scores path, for A/B)."""
+    import os
+
+    return os.environ.get("GGML_TPU_ATTN", "auto")
+
+
+def _chunk_buckets(T: int, base: int = 256):
+    """Prefix-length buckets: geometric from `base` up to T. Attention for a
+    live prefix of L tokens only reads/computes the first bucket ≥ L —
+    decode cost stops growing with the dead cache tail."""
+    out = []
+    t = base
+    while t < T:
+        out.append(t)
+        t *= 2
+    out.append(T)
+    return out
+
+
+def _einsum_attention(q, k_sl, v_sl, positions, n_rep, softcap):
+    """Materialized-scores attention over a [B, Hkv, t, D] prefix slice.
+    GQA groups q heads as [B, Hkv, n_rep, S, D] — no repeated K/V copy."""
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    B, Hq, S, D = q.shape
+    t = k_sl.shape[2]
+    kpos = jnp.arange(t, dtype=jnp.int32)
+    if n_rep > 1:
+        qg = q.reshape(B, Hq // n_rep, n_rep, S, D)
+        scores = jnp.einsum("bgrsd,bgtd->bgrst", qg, k_sl,
+                            preferred_element_type=jnp.float32) * scale
+        if softcap:
+            scores = jnp.tanh(scores / softcap) * softcap
+        mask = kpos[None, None, None, None, :] <= \
+            positions[:, None, None, :, None]
+        scores = jnp.where(mask, scores, ops.attention.NEG_INF)
+        p = jax.nn.softmax(scores, axis=-1).astype(v_sl.dtype)
+        out = jnp.einsum("bgrst,bgtd->bgrsd", p, v_sl,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(B, Hq, S, D)
+    scores = jnp.einsum("bhsd,bhtd->bhst", q, k_sl,
+                        preferred_element_type=jnp.float32) * scale
+    if softcap:
+        scores = jnp.tanh(scores / softcap) * softcap
+    mask = kpos[None, None, None, :] <= positions[:, None, :, None]
+    scores = jnp.where(mask, scores, ops.attention.NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1).astype(v_sl.dtype)
+    return jnp.einsum("bhst,bhtd->bhsd", p, v_sl,
+                      preferred_element_type=jnp.float32)
+
+
 def cached_attention(q, k_new, v_new, cache, layer, positions,
                      n_rep: int = 1, attn_softcap: float | None = None):
-    """Causal attention against the full KV cache for one layer.
+    """Causal attention against the live KV-cache prefix for one layer.
 
     q, k_new, v_new: [B, H(q|kv), S, D]; positions: int32 [B, S] absolute
-    positions of the S new tokens. Writes k/v into the cache, then attends
-    q over all cached positions with the mask kpos ≤ qpos. Returns
-    ([B, Hq, S, D], cache).
+    positions of the S new tokens (contiguous per batch row). Writes k/v
+    into the cache, then attends q over cached positions with kpos ≤ qpos.
+    Returns ([B, Hq, S, D], cache).
+
+    TPU design (vs the reference's stubbed FLASH_ATTN, Ggml.cs:3454-3476):
+      * the prefix length is bucketed (`_chunk_buckets`) and a lax.switch
+        slices only the first bucket ≥ live length — attention bandwidth
+        tracks the LIVE prefix, not the allocated cache;
+      * prefill (S > 1) runs the Pallas online-softmax flash kernel
+        (kernels.flash) — scores never materialize in HBM;
+      * decode (S = 1) uses grouped einsum (scores are tiny; XLA fuses the
+        bf16→f32 cast into the pass over the cache);
+      * GQA never materializes repeated K/V (grouped einsum / kernel index
+        maps).
     """
     cache = kvc.update_layer(cache, layer, k_new, v_new, positions)
     k_all, v_all = kvc.read_layer(cache, layer, compute_dtype=q.dtype)
-    if n_rep > 1:  # GQA: repeat kv heads to match q heads
-        k_all = jnp.repeat(k_all, n_rep, axis=1)
-        v_all = jnp.repeat(v_all, n_rep, axis=1)
-
-    scale = 1.0 / (q.shape[-1] ** 0.5)
-    scores = jnp.einsum(
-        "bhsd,bhtd->bhst", q, k_all, preferred_element_type=jnp.float32
-    ) * scale
-    if attn_softcap:
-        scores = jnp.tanh(scores / attn_softcap) * attn_softcap
+    impl = _attn_impl()
+    softcap = attn_softcap or 0.0
+    B, Hq, S, D = q.shape
     T = k_all.shape[2]
-    kpos = jnp.arange(T, dtype=jnp.int32)
-    mask = kpos[None, None, None, :] <= positions[:, None, :, None]  # [B,1,S,T]
-    scores = jnp.where(mask, scores, ops.attention.NEG_INF)
-    p = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
-    out = jnp.einsum("bhst,bhtd->bhsd", p, v_all,
-                     preferred_element_type=jnp.float32).astype(q.dtype)
-    return out, cache
+
+    if impl == "legacy":
+        if n_rep > 1:
+            k_all = jnp.repeat(k_all, n_rep, axis=1)
+            v_all = jnp.repeat(v_all, n_rep, axis=1)
+        out = _einsum_attention(q, k_all, v_all, positions, 1, softcap)
+        return out.astype(q.dtype), cache
+
+    use_flash = (impl == "flash") or (impl == "auto" and S > 8)
+
+    def attend(t):
+        k_sl = jax.lax.slice_in_dim(k_all, 0, t, axis=2)
+        v_sl = jax.lax.slice_in_dim(v_all, 0, t, axis=2)
+        if use_flash:
+            from ..kernels.flash import flash_attention_cached
+
+            npast = positions[:, 0]
+            return flash_attention_cached(q, k_sl, v_sl, npast,
+                                          softcap=softcap)
+        return _einsum_attention(q, k_sl, v_sl, positions, n_rep, softcap)
+
+    buckets = _chunk_buckets(T)
+    if len(buckets) == 1:
+        out = attend(T)
+    else:
+        lim = jnp.max(positions[:, -1]) + 1  # live prefix length bound
+        idx = sum((lim > b).astype(jnp.int32) for b in buckets[:-1])
+        out = jax.lax.switch(idx, [lambda t=t: attend(t) for t in buckets])
+    return out.astype(q.dtype), cache

@@ -78,12 +78,32 @@ def init_params(rng, cfg: LlamaConfig, dtype=jnp.bfloat16):
     return p
 
 
+def fuse_params(params):
+    """Fuse per-block wq/wk/wv → wqkv and w_gate/w_up → w_gate_up (row
+    concat — bit-identical numerics, quantization is row-independent; see
+    quant.formats.concat_qtensors). One kernel launch instead of three/two:
+    a 7B decode step drops from 225 to ~130 pallas calls. `forward` accepts
+    both layouts."""
+    from ..quant.formats import concat_qtensors
+
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    out["blocks"] = []
+    for b in params["blocks"]:
+        nb = {k: v for k, v in b.items()
+              if k not in ("wq", "wk", "wv", "w_gate", "w_up")}
+        nb["wqkv"] = concat_qtensors([b["wq"], b["wk"], b["wv"]])
+        nb["w_gate_up"] = concat_qtensors([b["w_gate"], b["w_up"]])
+        out["blocks"].append(nb)
+    return out
+
+
 def quantize_params(params, gtype: GType, embd_gtype: GType | None = None,
-                    pad_rows_to: int | None = None):
+                    pad_rows_to: int | None = None, fuse: bool = True):
     """Weight-only quantize all matmul weights. llama.cpp policy analog:
     token embedding / output may use a different (often higher-bit) format.
     Row counts are padded to the kernel tile so the fused path applies
-    (forward slices padded logits back to n_vocab)."""
+    (forward slices padded logits back to n_vocab). fuse=True additionally
+    merges qkv and gate/up weights (see fuse_params)."""
     embd_gtype = embd_gtype or gtype
     if pad_rows_to is None:
         from ..kernels.matmul_q import TILE_N as pad_rows_to  # match kernel tile
@@ -120,7 +140,7 @@ def quantize_params(params, gtype: GType, embd_gtype: GType | None = None,
             for b in params["blocks"]
         ],
     }
-    return out
+    return fuse_params(out) if fuse else out
 
 
 def _rms(x, g, eps):
@@ -135,11 +155,20 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions):
     n_rep = cfg.n_head // cfg.n_head_kv
     B, S = tokens.shape
 
+    hd = cfg.head_dim
+    nq = cfg.n_head * hd
+    nkv = cfg.n_head_kv * hd
     for i, blk in enumerate(params["blocks"]):
         h = _rms(x, blk["attn_norm"], cfg.rms_eps)
-        q = split_heads(linear(blk["wq"], h), cfg.n_head)
-        k = split_heads(linear(blk["wk"], h), cfg.n_head_kv)
-        v = split_heads(linear(blk["wv"], h), cfg.n_head_kv)
+        if "wqkv" in blk:  # fused layout (fuse_params)
+            qkv = linear(blk["wqkv"], h)
+            q = split_heads(qkv[..., :nq], cfg.n_head)
+            k = split_heads(qkv[..., nq : nq + nkv], cfg.n_head_kv)
+            v = split_heads(qkv[..., nq + nkv :], cfg.n_head_kv)
+        else:
+            q = split_heads(linear(blk["wq"], h), cfg.n_head)
+            k = split_heads(linear(blk["wk"], h), cfg.n_head_kv)
+            v = split_heads(linear(blk["wv"], h), cfg.n_head_kv)
         # rope over [B, H, S, D] — positions broadcast per batch row
         rope = lambda t: jax.vmap(  # over batch (positions differ per slot)
             lambda tb, pb: ops.rope(tb, pb, mode=cfg.rope_mode, base=cfg.rope_base),
@@ -151,8 +180,13 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions):
         x = x + linear(blk["wo"], merge_heads(a))
 
         h = _rms(x, blk["ffn_norm"], cfg.rms_eps)
-        gate = ops.silu(linear(blk["w_gate"], h))
-        x = x + linear(blk["w_down"], gate * linear(blk["w_up"], h))
+        if "w_gate_up" in blk:
+            gu = linear(blk["w_gate_up"], h)
+            gate, up = gu[..., : cfg.n_ff], gu[..., cfg.n_ff :]
+            x = x + linear(blk["w_down"], ops.silu(gate) * up)
+        else:
+            gate = ops.silu(linear(blk["w_gate"], h))
+            x = x + linear(blk["w_down"], gate * linear(blk["w_up"], h))
 
     x = _rms(x, params["norm"], cfg.rms_eps)
     w_out = params["output"] if params["output"] is not None else params["tok_embd"]

@@ -62,10 +62,12 @@ def llama_param_specs():
         "wq": COL,
         "wk": COL,
         "wv": COL,
+        "wqkv": COL,  # fused layout (models.llama.fuse_params)
         "wo": ROW,
         "ffn_norm": REP,
         "w_gate": COL,
         "w_up": COL,
+        "w_gate_up": COL,
         "w_down": ROW,
     }
     return {

@@ -177,6 +177,31 @@ def unpack_f16_pairs(packed: jnp.ndarray, c: int) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(bits, jnp.float16)
 
 
+def concat_qtensors(qts: list) -> "QTensor | jnp.ndarray":
+    """Concatenate tensors along the row axis (axis 0). All inputs must be
+    2-D and share gtype/K/plane keys (QTensors) or dtype/K (dense arrays).
+
+    Since quantization is row-independent, concat(quantize(a), quantize(b))
+    is bit-identical to quantize(concat(a, b)) — used to fuse wq/wk/wv (and
+    gate/up) into one kernel launch per group (per-pallas-call overhead is
+    ~10-15 µs on this chip; a 7B decode step had 225 calls)."""
+    if not isinstance(qts[0], QTensor):
+        return jnp.concatenate(qts, axis=0)
+    g = qts[0].gtype
+    keys = set(qts[0].planes)
+    k = qts[0].shape[-1]
+    for t in qts[1:]:
+        if not isinstance(t, QTensor) or t.gtype != g or t.shape[-1] != k \
+                or set(t.planes) != keys:
+            raise ValueError("incompatible QTensors for row-concat")
+    n = sum(t.shape[0] for t in qts)
+    planes = {
+        key: jnp.concatenate([t.planes[key] for t in qts], axis=0)
+        for key in qts[0].planes
+    }
+    return QTensor(g, (n, k), planes)
+
+
 def check_last_axis(x: jnp.ndarray, gtype: GType):
     bs = block_size(gtype)
     if x.shape[-1] % bs != 0:

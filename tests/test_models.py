@@ -72,6 +72,76 @@ def test_llama_incremental_matches_full(llama_setup):
         )
 
 
+@pytest.mark.parametrize("impl", ["auto", "einsum", "flash"])
+def test_cached_attention_impls_match_legacy(impl, monkeypatch):
+    """Flash-prefill / chunked-einsum / forced-flash paths must match the
+    round-1 legacy full-cache materialized-scores path, across bucket
+    boundaries (n_ctx=600 → buckets [256, 512, 600]) and GQA (n_rep=2),
+    with a long prefill (S=20 > flash threshold) + chunked continuation."""
+    cfg = llama.LlamaConfig(
+        n_vocab=96, n_ctx=600, n_embd=64, n_head=4, n_head_kv=2,
+        n_layer=2, n_ff=128,
+    )
+    params = llama.init_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    toks = jax.random.randint(
+        jax.random.PRNGKey(4), (2, 300), 0, cfg.n_vocab
+    ).astype(jnp.int32)
+
+    def run(impl_name):
+        monkeypatch.setenv("GGML_TPU_ATTN", impl_name)
+        cache = llama.new_cache(cfg, 2, dtype=jnp.float32)
+        prefill, step = sampling.make_decode_fns(llama.forward, cfg)
+        outs = []
+        lg, cache = prefill(params, toks[:, :20], cache)  # flash-size prefill
+        outs.append(np.asarray(lg))
+        # chunked prefill continuation crossing the 256-bucket boundary
+        lg, cache = prefill(params, toks[:, 20:280], cache)
+        outs.append(np.asarray(lg))
+        for i in range(280, 284):  # decode steps in the 512 bucket
+            lg, cache = step(params, toks[:, i : i + 1], cache)
+            outs.append(np.asarray(lg))
+        return outs
+
+    want = run("legacy")
+    got = run(impl)
+    for j, (a, b) in enumerate(zip(want, got)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"{impl} output {j}")
+
+
+def test_llama_fused_params_match_unfused(llama_setup):
+    """fuse_params (wqkv / w_gate_up row-concat) must be bit-identical to
+    the unfused layout — same matvecs, one kernel launch per group."""
+    params = llama_setup
+    cfg = llama.TINY_LLAMA
+    fused = llama.fuse_params(params)
+    assert "wqkv" in fused["blocks"][0] and "wq" not in fused["blocks"][0]
+    tokens = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)
+    a = _full_forward(llama, params, cfg, tokens)
+    b = _full_forward(llama, fused, cfg, tokens)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_llama_fused_quantized_qtensor_concat(llama_setup):
+    """Quantized fusion: concat_qtensors(quantize(w_i)) ==
+    quantize(concat(w_i)) plane-for-plane (row-independence)."""
+    from ggmlsharp_tpu.quant.formats import concat_qtensors
+    from ggmlsharp_tpu import quantize
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.standard_normal((64, 256)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((32, 256)).astype(np.float32))
+    qa = jax.jit(lambda t: quantize(t, GType.Q4_0))(a)
+    qb = jax.jit(lambda t: quantize(t, GType.Q4_0))(b)
+    qab = jax.jit(lambda t: quantize(t, GType.Q4_0))(
+        jnp.concatenate([a, b], axis=0))
+    fused = concat_qtensors([qa, qb])
+    assert fused.shape == (96, 256)
+    for k in qab.planes:
+        np.testing.assert_array_equal(
+            np.asarray(fused[k]), np.asarray(qab[k]), err_msg=f"plane {k}")
+
+
 def test_llama_gqa_heads():
     # TINY_LLAMA has n_head=4, n_head_kv=2 — GQA path is exercised above;
     # sanity-check the cache shape really is kv-heads sized
