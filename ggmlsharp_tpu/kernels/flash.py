@@ -45,7 +45,9 @@ def _kernel(*refs, scale, causal, n_past, block_q, block_k, num_k_blocks,
 
     q_start = iq * block_q
     k_start = ik * block_k
-    npast = np_ref[0] if dyn_past else n_past
+    # whole [BH] npast array rides in SMEM (Mosaic rejects 1-sized rank-1
+    # blocks); index our row with the grid id
+    npast = np_ref[pl.program_id(0)] if dyn_past else n_past
 
     def body():
         q = q_ref[0].astype(jnp.float32)  # (bq, D)
@@ -130,7 +132,7 @@ def _flash_bhsd(q, k, v, npast_arr, n_past, causal, scale, block_q, block_k,
     args = [q, k, v]
     if dyn:
         in_specs.append(
-            pl.BlockSpec((1,), lambda b, i, j: (b,),
+            pl.BlockSpec((BH,), lambda b, i, j: (0,),
                          memory_space=pltpu.SMEM)
         )
         args.append(npast_arr)

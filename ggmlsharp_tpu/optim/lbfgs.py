@@ -3,9 +3,17 @@ Ggml.cs:1939-2189; linesearch_backtracking, Ggml.cs:1812-1937).
 
 m-history two-loop recursion; Armijo / Wolfe / strong-Wolfe backtracking;
 convergence on ‖g‖/max(1,‖x‖) < eps plus the shared `past`-window delta test.
-Each function/gradient probe is one jitted evaluation (the reference's probes
-are full graph recomputes, Ggml.cs:1862-1873). History and the two-loop run
-on flat f32 vectors.
+
+Two execution forms:
+  * `opt_lbfgs_jit` — TPU-native (SURVEY §7 "hard parts"): the ENTIRE
+    optimization (outer iterations, line search, two-loop recursion,
+    stopping rules) runs inside one `lax.while_loop` under jit — zero host
+    round-trips per probe. History lives in fixed [m, n] circular buffers.
+  * `opt_lbfgs_host` — host-driven loop, one jitted evaluation per probe
+    (the reference's probes are full graph recomputes, Ggml.cs:1862-1873);
+    supports per-iteration callbacks.
+
+`opt_lbfgs` dispatches: jit-resident unless a callback is given.
 """
 from __future__ import annotations
 
@@ -14,6 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .params import LineSearch, OptParams, OptResult
 
