@@ -131,6 +131,37 @@ def test3_lbfgs_linear_classifier():
     np.testing.assert_allclose(np.asarray(w), w_true, atol=1e-2)
 
 
+def test_lbfgs_jit_matches_host():
+    """The jit-resident while_loop form must reach the same optimum and
+    result code as the host-driven loop (same stopping rules) on a convex
+    quadratic and on Rosenbrock, for all three line-search kinds."""
+    from ggmlsharp_tpu.optim.lbfgs import opt_lbfgs_host, opt_lbfgs_jit
+    from ggmlsharp_tpu.optim.params import LineSearch
+
+    def quad(x):
+        return jnp.sum((x - jnp.arange(4, dtype=jnp.float32)) ** 2)
+
+    def rosen(p):
+        x, y = p[0], p[1]
+        return (1 - x) ** 2 + 100.0 * (y - x * x) ** 2
+
+    for fun, x0 in [
+        (quad, jnp.zeros((4,), jnp.float32)),
+        (rosen, jnp.asarray([-1.2, 1.0], jnp.float32)),
+    ]:
+        for ls in (LineSearch.ARMIJO, LineSearch.WOLFE,
+                   LineSearch.STRONG_WOLFE):
+            prm = opt_default_params(OptType.LBFGS)
+            prm.lbfgs.n_iter = 200
+            prm.lbfgs.linesearch = ls
+            vg = jax.value_and_grad(fun)
+            xh, fh, rh, ih = opt_lbfgs_host(lambda t: vg(t), x0, prm)
+            xj, fj, rj, ij = opt_lbfgs_jit(lambda t: vg(t), x0, prm)
+            assert rj == rh, (ls, rj, rh)
+            np.testing.assert_allclose(np.asarray(xj), np.asarray(xh),
+                                       rtol=1e-3, atol=1e-3)
+
+
 def test_lbfgs_rosenbrock():
     # beyond-reference: classic curvature stress test
     def fun(p):
