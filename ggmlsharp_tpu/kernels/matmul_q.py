@@ -182,8 +182,12 @@ def _pw_v2_enabled() -> bool:
     # per-element VPU work into ONE extra MXU dot against the per-position
     # activation sums: y = Σ_j xⱼ·(vⱼ∘d4) + (Σ_j xⱼ)·c4. Saves ~1 VPU op per
     # weight element in a VPU-bound kernel. Identical math, different
-    # summation order.
-    return __import__("os").environ.get("GGML_TPU_PW_V2", "1") != "0"
+    # summation order. bf16 mode only: the separated large terms partially
+    # cancel, amplifying bf16 product rounding ~4x (still ~4x below the
+    # format's own quantization noise); the f32/HIGHEST parity mode keeps
+    # the v1 per-element form.
+    return (__import__("os").environ.get("GGML_TPU_PW_V2", "1") != "0"
+            and mm_dot_mode() == "bf16")
 
 
 @functools.partial(

@@ -202,6 +202,62 @@ def concat_qtensors(qts: list) -> "QTensor | jnp.ndarray":
     return QTensor(g, (n, k), planes)
 
 
+def repack_k_chunks(qt: "QTensor", n_chunks: int) -> "QTensor":
+    """Repack a 2-D QTensor so each of `n_chunks` equal logical-K chunks is
+    packed STANDALONE (per-chunk planar layout), concatenated along the
+    plane axis. BIT-IDENTICAL values and scales — only the packaging moves.
+
+    Why: the planar pack entangles a whole row (word w holds nibble-plane
+    samples from across all of K), so slicing a plane's last axis is NOT a
+    logical K-slice. After this repack it is: slicing plane columns
+    [d·W/D, (d+1)·W/D) yields a standalone valid QTensor for logical
+    elements [d·K/D, (d+1)·K/D) — exactly what tensor-parallel K-sharding
+    (P(None, 'model') on every plane) hands each device under shard_map.
+    Supported: Q4_0 / Q4_1 / Q8_0 (the TP decode formats).
+    """
+    n, K = qt.shape
+    D = n_chunks
+    assert K % (D * 32) == 0, (K, D)
+    Kc = K // D
+    nbc = Kc // 32
+    g = qt.gtype
+
+    def chunk_scale(name):
+        d = qt.planes[name]  # (n, nb) f16 — block order, chunk-aligned
+        return d, jnp.concatenate(
+            [pack_f16_pairs(d[:, i * nbc : (i + 1) * nbc]) for i in range(D)],
+            axis=-1,
+        )
+
+    planes = {}
+    if g in (GType.Q4_0, GType.Q4_1):
+        vals = from_storage_order(unpack_nibbles(qt.planes["qs"], K), 32)
+        planes["qs"] = jnp.concatenate(
+            [
+                pack_nibbles(to_storage_order(
+                    vals[:, i * Kc : (i + 1) * Kc], 32))
+                for i in range(D)
+            ],
+            axis=-1,
+        )
+    elif g == GType.Q8_0:
+        vals = from_storage_order(qt.planes["qs"], 32)
+        planes["qs"] = jnp.concatenate(
+            [
+                to_storage_order(vals[:, i * Kc : (i + 1) * Kc], 32)
+                for i in range(D)
+            ],
+            axis=-1,
+        )
+    else:
+        raise ValueError(f"repack_k_chunks: unsupported {g}")
+
+    planes["d"], planes["d_p"] = chunk_scale("d")
+    if g == GType.Q4_1:
+        planes["m"], planes["m_p"] = chunk_scale("m")
+    return QTensor(g, (n, K), planes)
+
+
 def check_last_axis(x: jnp.ndarray, gtype: GType):
     bs = block_size(gtype)
     if x.shape[-1] % bs != 0:

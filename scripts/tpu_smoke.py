@@ -1,0 +1,132 @@
+"""Real-TPU kernel verification (VERDICT r1 item 5 — committed, not /tmp).
+
+Runs every fused dequant-matmul format, the exact integer-dot kernel, and
+the flash-attention kernel (static + dynamic-npast/GQA forms) on the actual
+chip, checking VALUES against the jnp reference path. Uses the shared
+compile cache — warm runs finish in well under 5 minutes; a cold first run
+compiles ~12 small executables through the remote-compile endpoint.
+
+Run (one JAX process at a time):  python scripts/tpu_smoke.py
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILURES = []
+
+
+def check(name, got, want, rtol, atol):
+    got = np.asarray(got)
+    want = np.asarray(want)
+    err = np.max(np.abs(got - want) / (np.abs(want) + atol))
+    ok = np.allclose(got, want, rtol=rtol, atol=atol) and np.isfinite(got).all()
+    print(f"  {'ok ' if ok else 'FAIL'} {name:28s} max-rel-err {err:.2e}",
+          flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def main():
+    t0 = time.time()
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+
+    from ggmlsharp_tpu import GType, dequantize, quantize
+    from ggmlsharp_tpu.kernels.matmul_q import (
+        _DEQUANT_TILE, int_dot_supported, mul_mat_q_fused, mul_mat_q_int_dot,
+    )
+    from ggmlsharp_tpu.ops.matmul import mul_mat_q
+
+    rng = np.random.default_rng(11)
+    N, K = 512, 1024
+    w = jnp.asarray(rng.standard_normal((N, K)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+
+    # --- fused dequant-matmul, every registered format ----------------
+    # f32/HIGHEST mode: tight parity vs the jnp reference. bf16 mode (the
+    # perf path): loose check — bf16 product rounding of K-long sums is a
+    # few 1e-2 absolute at these magnitudes, still ~4x under the formats'
+    # own quantization noise.
+    from ggmlsharp_tpu.kernels import config as kcfg
+
+    for mode, rtol, atol in (("f32", 1e-4, 1e-4), ("bf16", 5e-2, 2e-1)):
+        kcfg.set_mm_dot(mode)
+        for g in _DEQUANT_TILE:
+            if mode == "f32" and g in (GType.Q4_K, GType.Q6_K):
+                # k-quant kernels ride f16 FUSED scale planes (kd=f16(d*sc),
+                # quant.quantize._kq_fused_scales) — by design ~2^-11 off
+                # the reference's exact f32 d*sc product
+                rt, at = 5e-2, 5e-2
+            else:
+                rt, at = rtol, atol
+            qw = jax.jit(lambda a, g=g: quantize(a, g))(w)
+            got = jax.jit(
+                lambda v, qw=qw: mul_mat_q_fused(qw, v, quantize_acts=False)
+            )(x)
+            want = jax.jit(
+                lambda v, qw=qw: mul_mat_q(qw, v, quantize_acts=False)
+            )(x)
+            check(f"fused {g.name} [{mode}]", got, want, rtol=rt, atol=at)
+    kcfg.set_mm_dot("bf16")
+
+    # --- exact integer-dot kernel (b=1) -------------------------------
+    x1 = x[:1]
+    for g in (GType.Q4_0, GType.Q8_0):
+        qw = jax.jit(lambda a, g=g: quantize(a, g))(w)
+        assert int_dot_supported(qw, 1)
+        got = jax.jit(lambda v, qw=qw: mul_mat_q_int_dot(qw, v))(x1)
+        want = jax.jit(
+            lambda v, qw=qw: mul_mat_q(qw, v, quantize_acts=True)
+        )(x1)
+        check(f"int-dot {g.name}", got, want, rtol=1e-3, atol=1e-3)
+
+    # --- flash attention: static causal -------------------------------
+    from ggmlsharp_tpu.kernels.flash import (
+        flash_attention, flash_attention_cached,
+    )
+
+    B, H, S, D = 2, 4, 256, 128
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32))
+
+    def ref_attn(q, k, v, npast):
+        s = jnp.einsum("bhsd,bhtd->bhst", q, k) / (D ** 0.5)
+        kpos = jnp.arange(k.shape[2])
+        qpos = npast[:, None] + jnp.arange(q.shape[2])
+        mask = kpos[None, None, None, :] <= qpos[:, None, :, None]
+        s = jnp.where(mask, s, -1e30)
+        return jnp.einsum("bhst,bhtd->bhsd", jax.nn.softmax(s, axis=-1), v)
+
+    got = jax.jit(lambda q, k, v: flash_attention(q, k, v, causal=True))(
+        q, k, v)
+    want = jax.jit(ref_attn)(q, k, v, jnp.zeros((B,), jnp.int32))
+    check("flash static causal", got, want, rtol=2e-2, atol=2e-3)
+
+    # --- flash cached: dynamic npast + GQA (n_rep=2) -------------------
+    kg = k[:, ::2]  # 2 kv heads
+    vg = v[:, ::2]
+    npast = jnp.asarray([37, 101], jnp.int32)
+    got = jax.jit(
+        lambda q, kk, vv, np_: flash_attention_cached(q, kk, vv, np_)
+    )(q[:, :, :8, :], kg, vg, npast)
+    want = jax.jit(
+        lambda q, kk, vv, np_: ref_attn(
+            q, jnp.repeat(kk, 2, axis=1), jnp.repeat(vv, 2, axis=1), np_)
+    )(q[:, :, :8, :], kg, vg, npast)
+    check("flash cached GQA dyn-npast", got, want, rtol=2e-2, atol=2e-3)
+
+    dt = time.time() - t0
+    print(f"{'SMOKE FAILED: ' + ', '.join(FAILURES) if FAILURES else 'SMOKE OK'}"
+          f"  ({dt:.0f}s)", flush=True)
+    sys.exit(1 if FAILURES else 0)
+
+
+if __name__ == "__main__":
+    main()
