@@ -1,3 +1,4 @@
-from .perplexity import perplexity, quantization_quality
+from .perplexity import (compare_quantizers, perplexity,
+                         quantization_quality)
 
-__all__ = ["perplexity", "quantization_quality"]
+__all__ = ["compare_quantizers", "perplexity", "quantization_quality"]

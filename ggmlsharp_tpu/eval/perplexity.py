@@ -93,3 +93,19 @@ def quantization_quality(forward, cfg, params_fp, params_q, rng=None,
         "delta_ppl": ppl_q - ppl_fp,
         "mean_kl": kl,
     }
+
+
+def compare_quantizers(forward, cfg, params_fp, quantize_fns: dict,
+                       rng=None, n_tokens: int = 256, chunk_len: int = 128):
+    """Quality ladder for alternative quantizers of the SAME format
+    (e.g. Q4_K fast min/max vs make_qkx2-style search): quantize params_fp
+    with each fn, return {name: quantization_quality metrics}. Used to
+    measure the k-quant search quantizer's Δppl/KL gain (VERDICT r1 item 9).
+    quantize_fns: {name: params_fp -> params_q}.
+    """
+    out = {}
+    for name, qfn in quantize_fns.items():
+        out[name] = quantization_quality(
+            forward, cfg, params_fp, qfn(params_fp), rng=rng,
+            n_tokens=n_tokens, chunk_len=chunk_len)
+    return out

@@ -78,7 +78,7 @@ def init_params(rng, cfg: GPT2Config, dtype=jnp.bfloat16):
 
 
 def quantize_params(params, gtype: GType, min_cols: int = 256,
-                    pad_rows_to: int | None = None):
+                    pad_rows_to: int | None = None, search: bool = False):
     """Weight-only quantization of every matmul weight (embeddings included).
     Biases/layernorms stay float (matching llama.cpp's policy). Weights whose
     row count is not a multiple of the kernel tile (the 50257-row LM head)
@@ -99,7 +99,7 @@ def quantize_params(params, gtype: GType, min_cols: int = 256,
             t = jnp.concatenate(
                 [t, jnp.zeros((pad, t.shape[1]), t.dtype)], axis=0
             )
-        return quantize(t.astype(jnp.float32), gtype)
+        return quantize(t.astype(jnp.float32), gtype, search=search)
 
     out = {
         "wte": q("wte", params["wte"], pad_rows=True),

@@ -98,7 +98,8 @@ def fuse_params(params):
 
 
 def quantize_params(params, gtype: GType, embd_gtype: GType | None = None,
-                    pad_rows_to: int | None = None, fuse: bool = True):
+                    pad_rows_to: int | None = None, fuse: bool = True,
+                    search: bool = False):
     """Weight-only quantize all matmul weights. llama.cpp policy analog:
     token embedding / output may use a different (often higher-bit) format.
     Row counts are padded to the kernel tile so the fused path applies
@@ -119,7 +120,7 @@ def quantize_params(params, gtype: GType, embd_gtype: GType | None = None,
             t = jnp.concatenate(
                 [t, jnp.zeros((pad, t.shape[1]), t.dtype)], axis=0
             )
-        return quantize(t.astype(jnp.float32), g)
+        return quantize(t.astype(jnp.float32), g, search=search)
 
     out = {
         "tok_embd": q(params["tok_embd"], embd_gtype, pad_rows=True),

@@ -82,30 +82,37 @@ def generate(forward, cfg, params, prompt, cache, n_tokens: int,
 
 
 def generate_scan(forward, cfg, params, prompt, cache, n_tokens: int):
-    """Fully-jitted greedy decode via lax.scan.
+    """Fully-jitted greedy decode: ONE dispatch for the whole generation.
 
-    KNOWN ISSUE (round 1): on TPU, XLA copies the scan-carried KV cache every
-    iteration (~300 ms/tok on GPT-2 124M vs 0.9 ms for the host-driven loop)
-    — the pallas custom-calls in the body appear to defeat the scan carry's
-    buffer aliasing. Use `generate`/`make_greedy_step` (host loop with
-    donation) for production decode; this stays for single-dispatch use cases
-    and as the regression target for fixing the aliasing."""
+    Round-1's lax.scan form made XLA copy the scan-carried KV cache every
+    step (~300 ms/tok on GPT-2 124M vs 0.9 ms host loop — the pallas
+    custom-calls in the body defeated the scan carry's buffer aliasing).
+    This is the lax.while_loop formulation: while-loop carries get strict
+    input/output buffer aliasing (XLA requires the loop state in-place), so
+    the per-layer cache buffers are updated in place across steps; tokens
+    land in a preallocated [B, n_tokens] buffer."""
     prefill, _ = make_decode_fns(forward, cfg)
+    B = prompt.shape[0]
 
     @jax.jit
     def run(params, prompt, cache):
         logits, cache = prefill(params, prompt, cache)
+        toks0 = jnp.zeros((B, n_tokens), jnp.int32)
 
-        def body(carry, _):
-            logits, cache = carry
+        def cond(c):
+            return c[0] < n_tokens
+
+        def body(c):
+            i, logits, cache, toks = c
             tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+            toks = jax.lax.dynamic_update_slice(toks, tok, (0, i))
             positions = cache.length[:, None]
-            lg, cache2 = forward(params, cfg, tok, cache, positions)
-            return (lg[:, -1, :], cache2), tok[:, 0]
+            lg, cache = forward(params, cfg, tok, cache, positions)
+            return i + 1, lg[:, -1, :], cache, toks
 
-        (logits, cache), toks = jax.lax.scan(
-            body, (logits, cache), None, length=n_tokens
+        _, logits, cache, toks = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), logits, cache, toks0)
         )
-        return toks.T, cache  # [B, n_tokens]
+        return toks, cache  # [B, n_tokens]
 
     return run(params, prompt, cache)

@@ -41,8 +41,10 @@ def make_qw(n, k, seed):
 
 
 def slope(fn, n1=4, n2=12):
-    """Chained dependent invocations; ends with a value fetch."""
-    fn()  # compile/warm
+    """Chained dependent invocations; every window (and the warmup!) ends
+    with a VALUE fetch — on axon, dispatch returns before compile/exec
+    finishes, so an unfetched warmup leaks compile time into the windows."""
+    np.asarray(fn())  # compile/warm, fetched
 
     def run(n):
         t0 = time.perf_counter()
@@ -70,17 +72,26 @@ def main():
     b = int(os.environ.get("DIAG_BATCH", "1"))
     log(f"device: {jax.devices()[0].device_kind}, batch={b}")
 
-    # --- individual matvecs, v1 vs v2 ---------------------------------
+    # --- individual matvecs, v1 vs v2 (dependent chain: y feeds x) ----
     total = {True: 0.0, False: 0.0}
     for label, n, k, cnt in SHAPES:
         qw = make_qw(n, k, n + k)
         x0 = jnp.ones((b, k), jnp.float32) * 0.01
 
         for v2 in (False, True):
-            def call(qw=qw, v2=v2, x0=x0, k=k):
-                return mq._call_kernel_planes(
-                    mq.to_storage_order(x0, 32), dict(qw.planes),
-                    GType.Q4_0, qw.shape[0], k, "bf16", v2)
+            @jax.jit
+            def step(x, qw=qw, v2=v2, k=k, n=n):
+                y = mq._call_kernel_planes(
+                    mq.to_storage_order(x, 32), dict(qw.planes),
+                    GType.Q4_0, n, k, "bf16", v2)
+                reps = (k + n - 1) // n
+                return jnp.tile(y, (1, reps))[:, :k] * 1e-3
+
+            state = [x0]
+
+            def call(step=step, state=state):
+                state[0] = step(state[0])
+                return state[0]
 
             dt = slope(call)
             eff = (qw["qs"].size * 4 + qw["d_p"].size * 4) / dt / 1e9
@@ -106,12 +117,15 @@ def main():
             g = mq.mul_mat_q_fused(wgu, x, quantize_acts=False)
             x = mq.mul_mat_q_fused(wdn, g[..., :11008] * 1e-3,
                                    quantize_acts=False) * 1e-3
-        return mq.mul_mat_q_fused(head, x, quantize_acts=False)
+        return mq.mul_mat_q_fused(head, x,
+                                  quantize_acts=False)[:, :4096] * 1e-4
 
     x = jnp.ones((b, 4096), jnp.float32) * 0.01
+    st = [x]
 
     def call_all():
-        return mm_only(x)
+        st[0] = mm_only(st[0])
+        return st[0]
 
     dt = slope(call_all, 2, 6)
     log(f"chained 32-layer matmul-only pass: {dt*1e3:.2f} ms "

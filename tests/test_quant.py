@@ -219,3 +219,46 @@ def test_quantize_under_jit_and_batch_dims():
     # same result as unjitted
     y2 = _rt(GType.Q4_0)(x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-6)
+
+
+def test_q4_k_search_improves_reconstruction():
+    """make_qkx2-style search (quantize(..., search=True)) must beat the
+    fast min/max fit on weighted AND plain reconstruction error for
+    realistic (outlier-bearing) weights."""
+    import jax
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((32, 1024)).astype(np.float32) * 0.05
+    base[:, ::37] *= 6.0
+    x = jnp.asarray(base)
+    errs = {}
+    for search in (False, True):
+        qt = jax.jit(
+            lambda a, s=search: quantize(a, GType.Q4_K, search=s))(x)
+        d = np.asarray(jax.jit(dequantize)(qt))
+        w = np.sqrt((base ** 2).mean(-1, keepdims=True)) + np.abs(base)
+        errs[search] = ((d - base) ** 2).mean(), (w * (d - base) ** 2).mean()
+    assert errs[True][0] < errs[False][0] * 0.97, errs
+    assert errs[True][1] < errs[False][1] * 0.97, errs
+
+
+def test_q4_k_search_improves_model_kl():
+    """Model-level evidence (eval.compare_quantizers): the search quantizer
+    lowers logits-KL vs fp32 on a small GPT-2."""
+    import jax
+    from ggmlsharp_tpu.eval import compare_quantizers
+    from ggmlsharp_tpu.models import gpt2
+
+    cfg = gpt2.GPT2Config(n_vocab=512, n_ctx=128, n_embd=256, n_head=4,
+                          n_layer=2)
+    params = gpt2.init_params(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+    res = compare_quantizers(
+        gpt2.forward, cfg, params,
+        {
+            "fast": lambda p: gpt2.quantize_params(p, GType.Q4_K),
+            "search": lambda p: gpt2.quantize_params(p, GType.Q4_K,
+                                                     search=True),
+        },
+        n_tokens=96, chunk_len=64,
+    )
+    assert res["search"]["mean_kl"] < res["fast"]["mean_kl"], res
