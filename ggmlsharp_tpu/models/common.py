@@ -131,6 +131,24 @@ def cached_attention(q, k_new, v_new, cache, layer, positions,
         out = _einsum_attention(q, k_all, v_all, positions, 1, softcap)
         return out.astype(q.dtype), cache
 
+    if impl == "ring" and S > 1:
+        # sequence-parallel prefill (long-context config): attention over
+        # the S new tokens via the ppermute K/V ring, S sharded over the
+        # installed sequence mesh. Requires prefill from an EMPTY cache
+        # (positions starting at 0) — decode steps (S == 1) fall through
+        # to the chunked path below.
+        from ..parallel.ring_attention import ring_attention, sequence_mesh
+
+        mesh, seq_axis = sequence_mesh()
+        if mesh is not None and S % mesh.shape[seq_axis] == 0:
+            kr, vr = k_new, v_new
+            if n_rep > 1:
+                kr = jnp.repeat(kr, n_rep, axis=1)
+                vr = jnp.repeat(vr, n_rep, axis=1)
+            out = ring_attention(q, kr, vr, mesh, seq_axis=seq_axis,
+                                 causal=True)
+            return out.astype(q.dtype), cache
+
     use_flash = (impl == "flash") or (impl == "auto" and S > 8)
 
     def attend(t):

@@ -10,7 +10,8 @@ scheduled paths (see kernels/).
 
 from .mesh import make_mesh
 from .pipeline import pipeline_forward
-from .ring_attention import ring_attention
+from .ring_attention import (ring_attention, sequence_mesh,
+                             set_sequence_mesh)
 from .sharding import (
     gpt2_param_specs,
     kv_cache_spec,
@@ -26,6 +27,8 @@ __all__ = [
     "make_mesh",
     "pipeline_forward",
     "ring_attention",
+    "sequence_mesh",
+    "set_sequence_mesh",
     "shard_params",
     "shard_qtensor_spec",
 ]

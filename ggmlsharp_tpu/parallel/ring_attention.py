@@ -77,6 +77,23 @@ def _ring_body(q, k, v, axis_name, scale, causal, chunk):
     return (acc / safe_l).astype(q.dtype)
 
 
+# --- model integration: sequence-parallel prefill routing -----------------
+# set_sequence_mesh installs a mesh+axis; models.common.cached_attention
+# then routes long prefills through ring_attention when GGML_TPU_ATTN=ring
+# (long-context config: prefill from an EMPTY cache, S sharded over the
+# ring). Cleared with set_sequence_mesh(None).
+_SP_MESH = (None, "seq")
+
+
+def set_sequence_mesh(mesh, seq_axis: str = "seq"):
+    global _SP_MESH
+    _SP_MESH = (mesh, seq_axis)
+
+
+def sequence_mesh():
+    return _SP_MESH
+
+
 def ring_attention(q, k, v, mesh, seq_axis: str = "model",
                    causal: bool = True, scale: float | None = None):
     """Exact attention with K/V sequence-sharded over `seq_axis`.

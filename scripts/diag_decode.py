@@ -1,10 +1,12 @@
 """Decode-step cost breakdown on the real TPU (slope-measured).
 
-Measures, at 7B shapes: each fused dequant-matmul individually, a chained
-all-layers matmul-only pass (pure kernel floor incl. per-call overhead),
-and the full decode step — to locate where the ~14 ms step actually goes.
+Measures, at 7B shapes: each fused dequant-matmul (looped 64x INSIDE one
+jit so per-execution time dominates relay jitter), a chained all-layers
+matmul-only pass (pure kernel floor incl. per-call overhead), and the full
+decode step — to locate where the ~14 ms step actually goes.
 Run: python scripts/diag_decode.py  (one JAX process at a time!)
 """
+import functools
 import os
 import sys
 import time
@@ -18,7 +20,7 @@ import numpy as np
 
 import ggmlsharp_tpu.kernels.matmul_q as mq
 from ggmlsharp_tpu import GType
-from ggmlsharp_tpu.quant.formats import QTensor
+from ggmlsharp_tpu.quant.formats import QTensor, to_storage_order
 
 
 def log(msg):
@@ -40,24 +42,26 @@ def make_qw(n, k, seed):
     return QTensor(GType.Q4_0, (n, k), {"qs": qs, "d_p": d_p})
 
 
-def slope(fn, n1=4, n2=12):
-    """Chained dependent invocations; every window (and the warmup!) ends
-    with a VALUE fetch — on axon, dispatch returns before compile/exec
-    finishes, so an unfetched warmup leaks compile time into the windows."""
-    np.asarray(fn())  # compile/warm, fetched
+def slope(fn, *args, n1=3, n2=9):
+    """fn(*args) returns an array; windows end with value fetches; warmup
+    fetched too (unfetched warmup leaks compile time into windows)."""
+    np.asarray(fn(*args))
 
     def run(n):
         t0 = time.perf_counter()
         out = None
         for _ in range(n):
-            out = fn()
+            out = fn(*args)
         np.asarray(out)
         return time.perf_counter() - t0
 
+    run(2)  # absorb post-compile residual stalls
     t1 = run(n1)
     t2 = run(n2)
     return (t2 - t1) / (n2 - n1)
 
+
+LOOP = 64
 
 SHAPES = [  # (label, n, k, count per 7B step)
     ("wqkv 12288x4096", 12288, 4096, 32),
@@ -68,48 +72,48 @@ SHAPES = [  # (label, n, k, count per 7B step)
 ]
 
 
+@functools.partial(jax.jit, static_argnames=("n", "k", "v2", "b"))
+def loop_kernel(qs, d_p, n, k, v2, b):
+    """LOOP dependent kernel invocations inside one executable."""
+    planes = {"qs": qs, "d_p": d_p}
+    x0 = jnp.ones((b, k), jnp.float32) * 0.01
+
+    def body(i, x):
+        y = mq._call_kernel_planes(
+            to_storage_order(x, 32), planes, GType.Q4_0, n, k, "bf16", v2)
+        reps = (k + n - 1) // n
+        return jnp.tile(y, (1, reps))[:, :k] * 1e-3 + 1e-6 * i
+
+    return jax.lax.fori_loop(0, LOOP, body, x0)
+
+
 def main():
     b = int(os.environ.get("DIAG_BATCH", "1"))
-    log(f"device: {jax.devices()[0].device_kind}, batch={b}")
+    log(f"device: {jax.devices()[0].device_kind}, batch={b}, loop={LOOP}")
 
-    # --- individual matvecs, v1 vs v2 (dependent chain: y feeds x) ----
     total = {True: 0.0, False: 0.0}
     for label, n, k, cnt in SHAPES:
         qw = make_qw(n, k, n + k)
-        x0 = jnp.ones((b, k), jnp.float32) * 0.01
-
+        wire_mb = (qw["qs"].size * 4 + qw["d_p"].size * 4) / 1e6
         for v2 in (False, True):
-            @jax.jit
-            def step(x, qw=qw, v2=v2, k=k, n=n):
-                y = mq._call_kernel_planes(
-                    mq.to_storage_order(x, 32), dict(qw.planes),
-                    GType.Q4_0, n, k, "bf16", v2)
-                reps = (k + n - 1) // n
-                return jnp.tile(y, (1, reps))[:, :k] * 1e-3
-
-            state = [x0]
-
-            def call(step=step, state=state):
-                state[0] = step(state[0])
-                return state[0]
-
-            dt = slope(call)
-            eff = (qw["qs"].size * 4 + qw["d_p"].size * 4) / dt / 1e9
+            dt = slope(loop_kernel, qw["qs"], qw["d_p"], n, k, v2, b) / LOOP
+            eff = wire_mb * 1e6 / dt / 1e9
             total[v2] += dt * cnt
-            log(f"  {label} v2={int(v2)}: {dt*1e3:7.3f} ms  {eff:6.1f} GB/s eff")
+            log(f"  {label} v2={int(v2)}: {dt*1e3:7.3f} ms  {eff:6.1f} GB/s"
+                f"  ({wire_mb:.1f} MB wire)")
     log(f"matmul-kernel floor per step: v1={total[False]*1e3:.2f} ms  "
         f"v2={total[True]*1e3:.2f} ms")
 
-    # --- chained all-layers matmul-only pass --------------------------
-    layers = []
-    for i in range(32):
-        layers.append((make_qw(12288, 4096, i), make_qw(4096, 4096, 100 + i),
-                       make_qw(22016, 4096, 200 + i),
-                       make_qw(4096, 11008, 300 + i)))
+    # --- chained all-layers matmul-only pass (params as args) ----------
+    layers = tuple(
+        (make_qw(12288, 4096, i), make_qw(4096, 4096, 100 + i),
+         make_qw(22016, 4096, 200 + i), make_qw(4096, 11008, 300 + i))
+        for i in range(32)
+    )
     head = make_qw(32256, 4096, 999)
 
     @jax.jit
-    def mm_only(x):
+    def mm_only(layers, head, x):
         for wqkv, wo, wgu, wdn in layers:
             y = mq.mul_mat_q_fused(wqkv, x, quantize_acts=False)
             x = mq.mul_mat_q_fused(wo, y[..., :4096] * 1e-3,
@@ -121,13 +125,11 @@ def main():
                                   quantize_acts=False)[:, :4096] * 1e-4
 
     x = jnp.ones((b, 4096), jnp.float32) * 0.01
-    st = [x]
 
-    def call_all():
-        st[0] = mm_only(st[0])
-        return st[0]
+    def call_all(layers, head, x):
+        return mm_only(layers, head, x)
 
-    dt = slope(call_all, 2, 6)
+    dt = slope(call_all, layers, head, x, n1=4, n2=12)
     log(f"chained 32-layer matmul-only pass: {dt*1e3:.2f} ms "
         f"(129 pallas calls + glue)")
 
@@ -151,7 +153,7 @@ def main():
         state[0], state[1] = gstep(params, state[0], state[1])
         return state[0]
 
-    dt = slope(step_once, 4, 16)
+    dt = slope(step_once, n1=8, n2=32)
     log(f"full decode step: {dt*1e3:.2f} ms  ({1.0/dt:.1f} tok/s)")
 
 

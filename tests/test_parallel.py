@@ -139,3 +139,96 @@ def test_pipeline_single_microbatch():
     got = np.asarray(pipeline_forward(stage_fn, Ws, x, mesh, n_micro=1))
     want = np.asarray(x) @ np.asarray(Ws[0]) @ np.asarray(Ws[1])
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_ring_attention_model_integration():
+    """Model-level sequence-parallel prefill: llama forward with
+    GGML_TPU_ATTN=ring + a 4-device sequence mesh must match the legacy
+    full-cache attention path (empty-cache prefill, GQA model)."""
+    import os
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ggmlsharp_tpu.models import llama, sampling
+    from ggmlsharp_tpu.parallel import set_sequence_mesh
+
+    cfg = llama.TINY_LLAMA
+    params = llama.init_params(jax.random.PRNGKey(9), cfg, dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(10), (2, 32), 0,
+                              cfg.n_vocab).astype(jnp.int32)
+
+    def prefill_logits():
+        cache = llama.new_cache(cfg, 2, dtype=jnp.float32)
+        prefill, _ = sampling.make_decode_fns(llama.forward, cfg)
+        lg, _ = prefill(params, toks, cache)
+        return np.asarray(lg)
+
+    os.environ["GGML_TPU_ATTN"] = "legacy"
+    try:
+        want = prefill_logits()
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("seq",))
+        set_sequence_mesh(mesh, "seq")
+        os.environ["GGML_TPU_ATTN"] = "ring"
+        got = prefill_logits()
+    finally:
+        os.environ.pop("GGML_TPU_ATTN", None)
+        set_sequence_mesh(None)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_1f1b_train_step_matches_sequential():
+    """1F1B pipelined (loss, grads) == sequential value_and_grad, for
+    M == S and M > S microbatches."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ggmlsharp_tpu.parallel.pipeline import pipeline_train_step
+
+    L, D = 8, 16
+    rng = np.random.default_rng(23)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((L, D, D)).astype(np.float32) * 0.3),
+        "b": jnp.asarray(rng.standard_normal((L, D)).astype(np.float32) * 0.1),
+    }
+
+    def stage_fn(p, h):
+        return jnp.tanh(h @ p["w"] + p["b"])
+
+    def loss_fn(out, y):
+        return jnp.mean((out - y) ** 2)
+
+    def sequential(params, x, y):
+        def apply(x):
+            h = x
+            for i in range(L):
+                h = stage_fn({"w": params["w"][i], "b": params["b"][i]}, h)
+            return h
+
+        M = x.shape[0] // mbs
+        xm = x.reshape(M, mbs, D)
+        ym = y.reshape(M, mbs, D)
+        def tot(params):
+            h = x
+            for i in range(L):
+                h = stage_fn({"w": params["w"][i], "b": params["b"][i]}, h)
+            hm = h.reshape(M, mbs, D)
+            return jnp.mean(
+                jnp.stack([loss_fn(hm[m], ym[m]) for m in range(M)]))
+        return jax.value_and_grad(tot)(params)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("model",))
+    for M in (4, 8):
+        B = 2 * M
+        mbs = 2
+        x = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        y = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        want_l, want_g = sequential(params, x, y)
+        got_l, got_g = pipeline_train_step(
+            stage_fn, loss_fn, params, x, y, mesh, n_micro=M)
+        np.testing.assert_allclose(float(got_l), float(want_l),
+                                   rtol=1e-5, atol=1e-6)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(got_g[k]), np.asarray(want_g[k]),
+                rtol=1e-4, atol=1e-5, err_msg=f"{k} M={M}")
