@@ -223,9 +223,17 @@ def run_workload():
         return
 
     gstep = sampling.make_greedy_step(mod.forward, cfg)
-    logits, cache = prefill(params, prompt, cache)
+    n1 = max(4, steps // 4)
+    n2 = n1 + steps
+    # one static length bucket covering the whole run → a single decode
+    # executable, attention reads only that prefix (no in-graph switch)
+    t_eff = sampling.length_bucket(
+        prefill_len + n1 + n2 + 4, getattr(cfg, "n_ctx", 2048))
+    logits, cache = prefill(params, prompt, cache,
+                            t_eff=sampling.length_bucket(
+                                prefill_len, getattr(cfg, "n_ctx", 2048)))
     tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
-    tok, cache = gstep(params, tok, cache)  # warmup (compile step)
+    tok, cache = gstep(params, tok, cache, t_eff=t_eff)  # warmup (compile)
     _np.asarray(tok)
     _log(f"decode step compiled at t={time.perf_counter()-t_start:.1f}s")
 
@@ -233,12 +241,9 @@ def run_workload():
         nonlocal tok, cache
         t0 = time.perf_counter()
         for _ in range(n):
-            tok, cache = gstep(params, tok, cache)
+            tok, cache = gstep(params, tok, cache, t_eff=t_eff)
         _np.asarray(tok)  # forces completion through the relay
         return time.perf_counter() - t0
-
-    n1 = max(4, steps // 4)
-    n2 = n1 + steps
     t_short = timed_chain(n1)
     t_long = timed_chain(n2)
     dt = t_long - t_short

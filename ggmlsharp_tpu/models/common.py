@@ -98,7 +98,8 @@ def _einsum_attention(q, k_sl, v_sl, positions, n_rep, softcap):
 
 
 def cached_attention(q, k_new, v_new, cache, layer, positions,
-                     n_rep: int = 1, attn_softcap: float | None = None):
+                     n_rep: int = 1, attn_softcap: float | None = None,
+                     prefix_bound: int | None = None):
     """Causal attention against the live KV-cache prefix for one layer.
 
     q, k_new, v_new: [B, H(q|kv), S, D]; positions: int32 [B, S] absolute
@@ -107,9 +108,11 @@ def cached_attention(q, k_new, v_new, cache, layer, positions,
     Returns ([B, Hq, S, D], cache).
 
     TPU design (vs the reference's stubbed FLASH_ATTN, Ggml.cs:3454-3476):
-      * the prefix length is bucketed (`_chunk_buckets`) and a lax.switch
-        slices only the first bucket ≥ live length — attention bandwidth
-        tracks the LIVE prefix, not the allocated cache;
+      * attention reads only the LIVE cache prefix, not the allocated tail:
+        `prefix_bound` (a STATIC bound ≥ all positions+1, chosen host-side
+        per length bucket — one executable per bucket, zero in-graph
+        control flow) or, when None, an in-graph lax.switch over geometric
+        `_chunk_buckets` (for fully-jitted callers like generate_scan);
       * prefill (S > 1) runs the Pallas online-softmax flash kernel
         (kernels.flash) — scores never materialize in HBM;
       * decode (S = 1) uses grouped einsum (scores are tiny; XLA fuses the
@@ -162,11 +165,15 @@ def cached_attention(q, k_new, v_new, cache, layer, positions,
                                           softcap=softcap)
         return _einsum_attention(q, k_sl, v_sl, positions, n_rep, softcap)
 
-    buckets = _chunk_buckets(T)
-    if len(buckets) == 1:
-        out = attend(T)
+    if prefix_bound is not None:
+        out = attend(min(int(prefix_bound), T))
     else:
-        lim = jnp.max(positions[:, -1]) + 1  # live prefix length bound
-        idx = sum((lim > b).astype(jnp.int32) for b in buckets[:-1])
-        out = jax.lax.switch(idx, [lambda t=t: attend(t) for t in buckets])
+        buckets = _chunk_buckets(T)
+        if len(buckets) == 1:
+            out = attend(T)
+        else:
+            lim = jnp.max(positions[:, -1]) + 1  # live prefix length bound
+            idx = sum((lim > b).astype(jnp.int32) for b in buckets[:-1])
+            out = jax.lax.switch(idx,
+                                 [lambda t=t: attend(t) for t in buckets])
     return out.astype(q.dtype), cache

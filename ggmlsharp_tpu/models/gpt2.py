@@ -133,7 +133,8 @@ def _layer_norm(x, g, b, eps):
     return ops.norm(x.astype(jnp.float32), eps=eps).astype(x.dtype) * g + b
 
 
-def forward(params, cfg: GPT2Config, tokens, cache: kvc.KVCache, positions):
+def forward(params, cfg: GPT2Config, tokens, cache: kvc.KVCache, positions,
+            prefix_bound: int | None = None):
     """tokens: int32 [B, S]; positions: int32 [B, S] absolute positions.
     Returns (logits [B, S, n_vocab] f32, updated cache)."""
     x = ops.get_rows(params["wte"], tokens)
@@ -148,7 +149,8 @@ def forward(params, cfg: GPT2Config, tokens, cache: kvc.KVCache, positions):
         q = split_heads(q, cfg.n_head)
         k = split_heads(k, cfg.n_head)
         v = split_heads(v, cfg.n_head)
-        a, cache = cached_attention(q, k, v, cache, i, positions)
+        a, cache = cached_attention(q, k, v, cache, i, positions,
+                                    prefix_bound=prefix_bound)
         x = x + linear(blk["attn"]["c_proj_w"], merge_heads(a), blk["attn"]["c_proj_b"])
 
         h = _layer_norm(x, blk["ln_2"]["g"], blk["ln_2"]["b"], cfg.ln_eps)

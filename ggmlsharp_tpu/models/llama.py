@@ -148,8 +148,11 @@ def _rms(x, g, eps):
     return ops.rms_norm(x.astype(jnp.float32), eps=eps).astype(x.dtype) * g
 
 
-def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions):
-    """tokens/positions: int32 [B, S]. Returns (logits f32 [B,S,V], cache)."""
+def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
+            prefix_bound: int | None = None):
+    """tokens/positions: int32 [B, S]. Returns (logits f32 [B,S,V], cache).
+    prefix_bound: optional STATIC upper bound on the live cache prefix
+    (host-side length bucketing — see common.cached_attention)."""
     x = ops.get_rows(params["tok_embd"], tokens)
     compute_dtype = params["norm"].dtype
     x = x.astype(compute_dtype)
@@ -177,7 +180,8 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions):
         )(t, positions)
         q = rope(q)
         k = rope(k)
-        a, cache = cached_attention(q, k, v, cache, i, positions, n_rep=n_rep)
+        a, cache = cached_attention(q, k, v, cache, i, positions, n_rep=n_rep,
+                                    prefix_bound=prefix_bound)
         x = x + linear(blk["wo"], merge_heads(a))
 
         h = _rms(x, blk["ffn_norm"], cfg.rms_eps)

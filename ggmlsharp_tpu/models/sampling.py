@@ -10,26 +10,45 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def length_bucket(n: int, max_len: int) -> int:
+    """Host-side length bucket: smallest geometric chunk bucket ≥ n (see
+    common._chunk_buckets). Passing this as the static `t_eff` of the decode
+    fns gives one executable per bucket with ZERO in-graph control flow —
+    attention reads only the first `t_eff` cache rows."""
+    from .common import _chunk_buckets
+
+    for b in _chunk_buckets(max_len):
+        if n <= b:
+            return b
+    return max_len
 
 
 def make_decode_fns(forward, cfg):
     """Returns (prefill, step) jitted functions.
 
-    prefill(params, tokens[B,S], cache) -> (last_logits [B,V], cache)
-    step(params, token[B,1], cache) -> (logits [B,V], cache)  (cache donated)
+    prefill(params, tokens[B,S], cache, t_eff=None) -> (last_logits, cache)
+    step(params, token[B,1], cache, t_eff=None) -> (logits [B,V], cache)
+    (cache donated). t_eff: optional STATIC live-prefix bound — compute it
+    host-side with `length_bucket(cur_len + S, cache.max_len)`; None keeps
+    the in-graph bucket switch (one executable total, a bit slower/step).
     """
 
-    @partial(jax.jit, donate_argnums=(2,))
-    def prefill(params, tokens, cache):
+    @partial(jax.jit, donate_argnums=(2,), static_argnames=("t_eff",))
+    def prefill(params, tokens, cache, t_eff=None):
         B, S = tokens.shape
         positions = cache.length[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
-        logits, cache = forward(params, cfg, tokens, cache, positions)
+        logits, cache = forward(params, cfg, tokens, cache, positions,
+                                prefix_bound=t_eff)
         return logits[:, -1, :], cache
 
-    @partial(jax.jit, donate_argnums=(2,))
-    def step(params, token, cache):
+    @partial(jax.jit, donate_argnums=(2,), static_argnames=("t_eff",))
+    def step(params, token, cache, t_eff=None):
         positions = cache.length[:, None]
-        logits, cache = forward(params, cfg, token, cache, positions)
+        logits, cache = forward(params, cfg, token, cache, positions,
+                                prefix_bound=t_eff)
         return logits[:, -1, :], cache
 
     return prefill, step
@@ -39,10 +58,11 @@ def make_greedy_step(forward, cfg):
     """Fused decode step for greedy loops: samples argmax INSIDE the jit so a
     host-driven loop costs one dispatch per token instead of two."""
 
-    @partial(jax.jit, donate_argnums=(2,))
-    def greedy_step(params, token, cache):
+    @partial(jax.jit, donate_argnums=(2,), static_argnames=("t_eff",))
+    def greedy_step(params, token, cache, t_eff=None):
         positions = cache.length[:, None]
-        logits, cache = forward(params, cfg, token, cache, positions)
+        logits, cache = forward(params, cfg, token, cache, positions,
+                                prefix_bound=t_eff)
         nxt = jnp.argmax(logits[:, -1, :], axis=-1, keepdims=True).astype(jnp.int32)
         return nxt, cache
 
@@ -67,7 +87,11 @@ def generate(forward, cfg, params, prompt, cache, n_tokens: int,
 
     prompt: int32 [B, S]. Returns (tokens [B, n_tokens], cache)."""
     prefill, step = make_decode_fns(forward, cfg)
-    logits, cache = prefill(params, prompt, cache)
+    T = cache.max_len
+    # host-tracked upper bound on the live prefix (one tiny fetch up front)
+    cur = prompt.shape[1] + int(np.max(jax.device_get(cache.length)))
+    logits, cache = prefill(params, prompt, cache,
+                            t_eff=length_bucket(cur, T))
     out = []
     tok = None
     for i in range(n_tokens):
@@ -77,7 +101,9 @@ def generate(forward, cfg, params, prompt, cache, n_tokens: int,
             sub = None
         tok = sample_token(logits, sub, temperature, top_k)
         out.append(tok)
-        logits, cache = step(params, tok, cache)
+        cur += 1
+        logits, cache = step(params, tok, cache,
+                             t_eff=length_bucket(cur, T))
     return jnp.concatenate(out, axis=1), cache
 
 

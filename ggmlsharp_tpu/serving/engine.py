@@ -78,10 +78,11 @@ class Engine:
     def _make_step(self):
         fwd, cfg = self.forward, self.cfg
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def step(params, cache, tokens, active):
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("t_eff",))
+        def step(params, cache, tokens, active, t_eff=None):
             positions = cache.length[:, None]
-            logits, cache2 = fwd(params, cfg, tokens, cache, positions)
+            logits, cache2 = fwd(params, cfg, tokens, cache, positions,
+                                 prefix_bound=t_eff)
             # only active slots advance
             cache2 = kvc.KVCache(
                 cache2.k, cache2.v, cache2.k_scale, cache2.v_scale,
@@ -122,7 +123,9 @@ class Engine:
                     jnp.zeros((1,), jnp.int32),
                 )
                 positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)[None]
-                logits, sub2 = fwd(params, cfg, tokens, sub, positions)
+                # bucket is static per compiled prefill → static prefix
+                logits, sub2 = fwd(params, cfg, tokens, sub, positions,
+                                   prefix_bound=bucket)
                 cache = kvc.KVCache(
                     _unslice(cache.k, sub2.k), _unslice(cache.v, sub2.v),
                     _unslice(cache.k_scale, sub2.k_scale),
@@ -194,8 +197,16 @@ class Engine:
         active = jnp.asarray(
             [[s is not None and not s.done] for s in self.slots], bool
         )[:, 0]
+        # host-side length bucket: attention reads only the live prefix;
+        # one decode executable per bucket
+        from ..models.sampling import length_bucket
+
+        live = [len(s.prompt) + len(s.out_tokens) + 1
+                for s in self.slots if s is not None]
+        t_eff = length_bucket(min(max(live, default=1), self.max_len),
+                              self.max_len)
         logits2, self.cache = self._step(
-            self.params, self.cache, jnp.asarray(toks), active
+            self.params, self.cache, jnp.asarray(toks), active, t_eff=t_eff
         )
         self._last_logits = logits2
 
