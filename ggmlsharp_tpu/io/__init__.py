@@ -8,8 +8,11 @@ sharded checkpoints).
 
 from .gguf import GGUFReader, GGUFWriter, load_gguf_llama, qtensor_from_wire, qtensor_to_wire
 from .checkpoint import load_checkpoint, save_checkpoint
+from .tokenizer import BPETokenizer, SPMTokenizer
+from .tokenizer import from_gguf as tokenizer_from_gguf
 
 __all__ = [
+    "BPETokenizer",
     "GGUFReader",
     "GGUFWriter",
     "load_checkpoint",
@@ -17,4 +20,6 @@ __all__ = [
     "qtensor_from_wire",
     "qtensor_to_wire",
     "save_checkpoint",
+    "SPMTokenizer",
+    "tokenizer_from_gguf",
 ]

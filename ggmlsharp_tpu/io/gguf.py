@@ -493,6 +493,12 @@ class GGUFWriter:
                 out.extend(struct.pack("<B", int(v)))
             elif t == _T_STR:
                 w_str(v)
+            elif t == _T_ARR:
+                et, items = v  # value = (element_type, list)
+                out.extend(struct.pack("<I", et))
+                out.extend(struct.pack("<Q", len(items)))
+                for it in items:
+                    w_val(et, it)
             elif fmt:
                 out.extend(struct.pack("<" + fmt, v))
             else:

@@ -167,3 +167,57 @@ def test_native_repack_matches_numpy():
             if a.dtype == np.float16:
                 a, b = a.view(np.uint16), b.view(np.uint16)
             np.testing.assert_array_equal(a, b, err_msg=f"{gtype} {key}")
+
+
+def test_spm_tokenizer_roundtrip_and_merge_order():
+    """SPM greedy score-merge: higher-score pair merges first; byte
+    fallback covers out-of-vocab characters; decode round-trips."""
+    from ggmlsharp_tpu.io.tokenizer import SPMTokenizer
+
+    tokens = ["<unk>", "<s>", "</s>", "▁", "▁he", "he", "ll", "llo", "o",
+              "▁hello", "h", "e", "l"] + [f"<0x{b:02X}>" for b in range(256)]
+    scores = [0.0, 0.0, 0.0, -1.0, -2.0, -3.0, -4.0, -5.0, -6.0, -0.5,
+              -9.0, -9.0, -9.0] + [-20.0] * 256
+    tok = SPMTokenizer(tokens, scores)
+    ids = tok.encode("hello", bos=True)
+    assert ids[0] == tok.bos_id
+    assert ids[1:] == [tokens.index("▁hello")]  # best-score full merge
+    assert tok.decode(ids) == "hello"
+    # out-of-vocab char → utf-8 byte tokens
+    ids2 = tok.encode("héllo", bos=False)
+    assert tok.decode(ids2) == "héllo"
+
+
+def test_bpe_tokenizer_roundtrip():
+    from ggmlsharp_tpu.io.tokenizer import BPETokenizer, _B2U
+
+    # tiny byte-level vocab: all single mapped bytes + two merges
+    singles = sorted(set(_B2U.values()))
+    tokens = singles + ["he", "hel"]
+    merges = ["h e", "he l"]
+    tok = BPETokenizer(tokens, merges)
+    ids = tok.encode("hello")
+    assert tok.decode(ids) == "hello"
+    assert tokens[ids[0]] == "hel"  # merges applied in rank order
+
+
+def test_tokenizer_from_gguf_metadata(tmp_path):
+    from ggmlsharp_tpu.io.gguf import GGUFReader, GGUFWriter
+    from ggmlsharp_tpu.io.tokenizer import SPMTokenizer, from_gguf
+
+    tokens = ["<unk>", "<s>", "</s>", "▁", "▁hi", "hi", "h", "i"] + \
+        [f"<0x{b:02X}>" for b in range(256)]
+    scores = [0.0, 0.0, 0.0, -1.0, -0.5, -2.0, -9.0, -9.0] + [-20.0] * 256
+    w = GGUFWriter()
+    w.add_meta("tokenizer.ggml.model", 8, "llama")
+    w.add_meta("tokenizer.ggml.tokens", 9, (8, tokens))   # arr of str
+    w.add_meta("tokenizer.ggml.scores", 9, (6, scores))   # arr of f32
+    w.add_meta("tokenizer.ggml.bos_token_id", 4, 1)
+    w.add_tensor("dummy", np.zeros((2, 2), np.float32))
+    path = str(tmp_path / "tok.gguf")
+    w.write(path)
+
+    tok = from_gguf(GGUFReader(path))
+    assert isinstance(tok, SPMTokenizer)
+    ids = tok.encode("hi")
+    assert tok.decode(ids) == "hi"
