@@ -37,7 +37,7 @@ def main():
                                 n_head_kv=4, n_layer=2, n_ff=512)
         params = llama.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
     qparams = jax.jit(
-        lambda p: llama.quantize_params(p, gt, pad_rows_to=0)
+        lambda p: llama.quantize_params(p, gt, pad_rows_to=0, fuse=False)
     )(params)
 
     w = GGUFWriter()
