@@ -197,7 +197,9 @@ def run_workload():
             return kvc.KVCache(c.k, c.v, c.k_scale, c.v_scale,
                                jnp.zeros_like(c.length))
 
-        lg, cache2 = prefill(params, prompt, cache)  # compile
+        t_eff = sampling.length_bucket(prefill_len,
+                                       getattr(cfg, "n_ctx", 2048))
+        lg, cache2 = prefill(params, prompt, cache, t_eff=t_eff)  # compile
         _np.asarray(lg)
         _log(f"prefill compiled at t={time.perf_counter()-t_start:.1f}s")
 
@@ -205,7 +207,8 @@ def run_workload():
             nonlocal cache2
             t0 = time.perf_counter()
             for _ in range(n):
-                lg, cache2 = prefill(params, prompt, reset(cache2))
+                lg, cache2 = prefill(params, prompt, reset(cache2),
+                                     t_eff=t_eff)
             _np.asarray(lg)
             return time.perf_counter() - t0
 
