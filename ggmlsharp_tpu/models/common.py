@@ -16,14 +16,19 @@ from ..quant.formats import QTensor
 from . import kv_cache as kvc
 
 
-def linear(w, x, b=None, quantize_acts: bool = True):
+def linear(w, x, b=None, quantize_acts: bool | None = None):
     """y = x·wᵀ (+ b). w: [n_out, k] array or QTensor; x: [..., k].
 
-    quantize_acts defaults True: ggml quantizes activations into the weight
-    format's companion Q8 type before every quantized matmul (the INIT-phase
-    trick) — required for perplexity parity, and what routes b=1 decode onto
-    the exact integer-dot kernel."""
+    quantize_acts defaults to config.quantize_activations (GGML_TPU_QUANT_ACTS,
+    True): ggml quantizes activations into the weight format's companion Q8
+    type before every quantized matmul (the INIT-phase trick) — required for
+    perplexity parity, and what routes b=1 decode onto the exact integer-dot
+    kernel. False skips the Q8 round-trip (weight-only quantization)."""
     if isinstance(w, QTensor):
+        if quantize_acts is None:
+            from ..config import get_config
+
+            quantize_acts = get_config().quantize_activations
         y = ops.mul_mat(w, x, quantize_acts=quantize_acts)
     else:
         y = ops.mul_mat_f(w, x)

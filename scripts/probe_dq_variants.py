@@ -145,23 +145,29 @@ def main():
     print(f"maxabs(b-c)={np.abs(yb-yc).max():.3e} (0 => fma fused)  "
           f"maxabs(a-c)={np.abs(ya-yc).max():.3e}", flush=True)
 
+    def slope(fn, n1=4, n2=12):
+        np.asarray(fn(x))
+
+        def run(n):
+            t0 = time.perf_counter()
+            out = x
+            for _ in range(n):
+                out = fn(out)
+            np.asarray(out)
+            return time.perf_counter() - t0
+
+        run(2)
+        return (run(n2) - run(n1)) / (n2 - n1)
+
     wire = qs.size * 4 + d_p.size * 4
     for name in ("a", "b", "c"):
-        np.asarray(loop_mm(x, qs, d_p, name))
-        t0 = time.perf_counter()
-        out = loop_mm(x, qs, d_p, name)
-        np.asarray(out)
-        t1 = time.perf_counter()
-        out = loop_mm(loop_mm(x, qs, d_p, name), qs, d_p, name)
-        np.asarray(out)
-        t2 = time.perf_counter()
-        per = ((t2 - t1) - (t1 - t0)) / LOOP
+        per = slope(lambda v, name=name: loop_mm(v, qs, d_p, name)) / LOOP
         print(f"variant {name}: {per*1e3:7.3f} ms  {wire/per/1e9:6.1f} GB/s",
               flush=True)
 
     np.asarray(dma_copy(qs))
 
-    def dma_loop(n):
+    def dma_run(n):
         t0 = time.perf_counter()
         out = None
         for _ in range(n):
@@ -169,8 +175,8 @@ def main():
         np.asarray(out)
         return time.perf_counter() - t0
 
-    t1, t2 = dma_loop(8), dma_loop(24)
-    per = (t2 - t1) / 16
+    dma_run(8)
+    per = (dma_run(48) - dma_run(16)) / 32
     print(f"dma copy (rd+wr): {per*1e3:7.3f} ms  "
           f"{2*qs.size*4/per/1e9:6.1f} GB/s", flush=True)
 
