@@ -333,7 +333,9 @@ def _call_kernel(x_storage, planes, gtype, n, k, plane_keys, mode):
     dq, _, _ = _DEQUANT_TILE[gtype]
     b = x_storage.shape[0]
     if mode == "bf16":
-        dt, precision = jnp.bfloat16, jax.lax.Precision.DEFAULT
+        # f32 LANE math feeding a DEFAULT-precision (single bf16 pass) MXU
+        # dot: 34% faster than bf16 lane ops on this VPU (probe_dq_variants)
+        dt, precision = jnp.float32, jax.lax.Precision.DEFAULT
     else:
         dt, precision = jnp.float32, jax.lax.Precision.HIGHEST
 
