@@ -93,3 +93,42 @@ def run(n_devices: int) -> None:
         logits, cache = step(qparams, tok, cache)
         jax.block_until_ready(logits)
         print(f"[dryrun] sharded Q4_0 decode step ok: logits {logits.shape}")
+
+        # --- overlapped ring reduce-scatter matmul (comm/compute overlap) --
+        from ..quant.quantize import quantize
+        from .overlap import row_parallel_mul_mat_overlapped
+
+        w = jax.random.normal(jax.random.PRNGKey(3), (256, 32 * n_devices * 8),
+                              jnp.float32) * 0.1
+        qw = quantize(w, GType.Q4_0)
+        xx = jax.random.normal(jax.random.PRNGKey(4), (2, w.shape[1]),
+                               jnp.float32)
+        y = row_parallel_mul_mat_overlapped(qw, xx, mesh, axis="model",
+                                            use_pallas=False)
+        jax.block_until_ready(y)
+        print(f"[dryrun] overlapped ring reduce-scatter matmul ok: {y.shape}")
+
+        # --- 1F1B pipelined training step over the model axis -------------
+        from .pipeline import pipeline_train_step
+
+        S_pp = mesh.shape["model"]
+        Lpp, Dpp = 2 * S_pp, 16
+        pp_params = {
+            "w": jax.random.normal(jax.random.PRNGKey(5), (Lpp, Dpp, Dpp),
+                                   jnp.float32) * 0.3,
+        }
+
+        def stage_fn(p, h):
+            return jnp.tanh(h @ p["w"])
+
+        def pp_loss(o, y):
+            return jnp.mean((o - y) ** 2)
+
+        xpp = jax.random.normal(jax.random.PRNGKey(6), (2 * S_pp, Dpp),
+                                jnp.float32)
+        ypp = jax.random.normal(jax.random.PRNGKey(7), (2 * S_pp, Dpp),
+                                jnp.float32)
+        lpp, gpp = pipeline_train_step(stage_fn, pp_loss, pp_params,
+                                       xpp, ypp, mesh)
+        assert float(lpp) == float(lpp), "1F1B loss is NaN"
+        print(f"[dryrun] 1F1B pipeline train step ok: loss={float(lpp):.4f}")
