@@ -51,6 +51,9 @@ def _int_dot_enabled() -> bool:
     # mode) for bit-exact ggml integer dots.
     return __import__("os").environ.get("GGML_TPU_INT_DOT", "0") == "1"
 MAX_K_F32 = 16384  # unpacked f32 tile must fit VMEM
+# activation block cap per grid step (VMEM is ~16 MB/core and must also hold
+# the weight tile + intermediates; prefill feeds b = B·S rows)
+_MAX_XB_BYTES = 4 * 1024 * 1024
 
 
 def _tile(x, n):
@@ -213,12 +216,22 @@ def _call_kernel_planes(x_storage, planes, gtype, n, k, mode, v2=True):
             preferred_element_type=jnp.float32, precision=precision,
         )
 
+    # batch tiling: the activation block must fit VMEM alongside the weight
+    # tile (prefill feeds b = B·S rows; (512, 11008) f32 alone is 22.5 MB).
+    # 2-D grid with b INNER: each weight tile is DMA'd once and reused for
+    # every b-tile; only the (small) x tiles re-stream.
+    cap = max(8, _MAX_XB_BYTES // (k * 4))
+    tile_b = b
+    while tile_b > cap and tile_b % 2 == 0:
+        tile_b //= 2
+
     def kernel(x_ref, *refs):
         if m_key is not None:
             qs_ref, dp_ref, mp_ref, o_ref = refs
         else:
             qs_ref, dp_ref, o_ref = refs
             mp_ref = None
+        bb = x_ref.shape[0]  # = tile_b
         d4f0 = _tile(_decode_f16x2(dp_ref), 4)  # (TN, W) f32
         m4f0 = None if mp_ref is None else _tile(_decode_f16x2(mp_ref), 4)
         q_all = qs_ref[:]
@@ -265,7 +278,7 @@ def _call_kernel_planes(x_storage, planes, gtype, n, k, mode, v2=True):
         d4 = d4f0.astype(dt)
         m4 = None if m4f0 is None else m4f0.astype(dt)
         x = x_ref[:].astype(dt)
-        acc = jnp.zeros((b, TILE_N), jnp.float32)
+        acc = jnp.zeros((bb, TILE_N), jnp.float32)
         for j in range(8):
             vj = ((q_all >> jnp.uint32(4 * j)) & jnp.uint32(0xF)
                   ).astype(jnp.int32).astype(dt)
@@ -276,18 +289,19 @@ def _call_kernel_planes(x_storage, planes, gtype, n, k, mode, v2=True):
             acc = acc + dot(xj, wj)
         o_ref[:] = acc
 
-    grid = (n // TILE_N,)
+    grid = (n // TILE_N, b // tile_b)  # b INNER: weight tile DMA'd once
     in_specs = [
-        pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_N, W), lambda i: (i, 0),  # qs: K/8 uint32 words
+        pl.BlockSpec((tile_b, k), lambda i, j: (j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_N, k // 64), lambda i: (i, 0),  # f16-pair scales
+        pl.BlockSpec((TILE_N, W), lambda i, j: (i, 0),  # qs: K/8 u32 words
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_N, k // 64), lambda i, j: (i, 0),  # f16 pairs
                      memory_space=pltpu.VMEM),
     ]
     args = [x_storage, planes["qs"], planes[d_key]]
     if m_key is not None:
         in_specs.append(
-            pl.BlockSpec((TILE_N, k // 64), lambda i: (i, 0),
+            pl.BlockSpec((TILE_N, k // 64), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(planes[m_key])
@@ -295,12 +309,12 @@ def _call_kernel_planes(x_storage, planes, gtype, n, k, mode, v2=True):
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((b, TILE_N), lambda i: (0, i),
+        out_specs=pl.BlockSpec((tile_b, TILE_N), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         interpret=interpret_mode(),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),  # disjoint output tiles
+            dimension_semantics=("parallel", "parallel"),  # disjoint tiles
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * k,
@@ -339,12 +353,17 @@ def _call_kernel(x_storage, planes, gtype, n, k, plane_keys, mode):
     else:
         dt, precision = jnp.float32, jax.lax.Precision.HIGHEST
 
+    cap = max(8, _MAX_XB_BYTES // (k * 4))
+    tile_b = b
+    while tile_b > cap and tile_b % 2 == 0:
+        tile_b //= 2
+
     def kernel(x_ref, *refs):
         *w_refs, o_ref = refs
         w = dq(dt, *w_refs)  # (TILE_N, K) storage order
-        # bf16 mode: single-pass MXU with f32 accumulation (2^-9 product
-        # rounding — far below quant noise). f32 mode: HIGHEST multi-pass,
-        # bit-comparable to the jnp reference (parity tests, exact evals).
+        # bf16 mode: f32 lanes into a single-pass DEFAULT MXU dot (2^-9
+        # product rounding — far below quant noise). f32 mode: HIGHEST
+        # multi-pass, bit-comparable to the jnp reference (parity tests).
         o_ref[:] = jax.lax.dot_general(
             x_ref[:].astype(dt), w,
             (((1,), (1,)), ((), ())),
@@ -352,18 +371,20 @@ def _call_kernel(x_storage, planes, gtype, n, k, plane_keys, mode):
             precision=precision,
         )
 
-    grid = (n // TILE_N,)
-    in_specs = [pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+    grid = (n // TILE_N, b // tile_b)  # b INNER: weight tile DMA'd once
+    in_specs = [pl.BlockSpec((tile_b, k), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM)]
     plane_vals = []
     for key in plane_keys:
         p = planes[key]
         pk = p.shape[1]
         in_specs.append(
-            pl.BlockSpec((TILE_N, pk), lambda i, pk=pk: (i, 0),
+            pl.BlockSpec((TILE_N, pk), lambda i, j, pk=pk: (i, 0),
                          memory_space=pltpu.VMEM)
         )
         plane_vals.append(p)
-    out_spec = pl.BlockSpec((b, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_b, TILE_N), lambda i, j: (j, i),
+                            memory_space=pltpu.VMEM)
 
     flops = 2 * b * n * k
     bytes_accessed = sum(p.size * p.dtype.itemsize for p in plane_vals) + b * k * 4 + b * n * 4
@@ -499,6 +520,12 @@ def mul_mat_q_fused(a: QTensor, bx, quantize_acts: bool = True):
         x2 = dequantize(quantize_activations(x2, a.gtype))
     _, keys, bs = _DEQUANT_TILE[a.gtype]
     x2 = to_storage_order(x2, bs)
+    # pad rows to a multiple of 8 so the kernels' batch tiling (power-of-2
+    # halving under the VMEM cap) always finds a valid tile
+    rows = x2.shape[0]
+    rpad = (-rows) % 8 if rows > 8 else 0
+    if rpad:
+        x2 = jnp.pad(x2, ((0, rpad), (0, 0)))
     if (a.gtype in _PLANEWISE and _planewise_enabled()
             and n % TILE_N == 0 and k % 64 == 0
             and all(key in a.planes for key in _PLANEWISE[a.gtype] if key)):
@@ -507,4 +534,6 @@ def mul_mat_q_fused(a: QTensor, bx, quantize_acts: bool = True):
     else:
         out = _call_kernel(x2, dict(a.planes), a.gtype, n, k, keys,
                            mm_dot_mode())
+    if rpad:
+        out = out[:rows]
     return out.reshape(*lead, n)
