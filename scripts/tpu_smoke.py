@@ -8,6 +8,7 @@ compiles ~12 small executables through the remote-compile endpoint.
 
 Run (one JAX process at a time):  python scripts/tpu_smoke.py
 """
+import functools
 import os
 import sys
 import time
@@ -86,7 +87,13 @@ def main():
         )(x1)
         check(f"int-dot {g.name}", got, want, rtol=1e-3, atol=1e-3)
 
-    # --- flash attention: static causal -------------------------------
+    # --- flash attention ----------------------------------------------
+    # The honest bar on this hardware: the kernel's deviation from an
+    # exact (HIGHEST-precision) f32 oracle must not exceed what XLA's own
+    # idiomatic einsum attention produces at DEFAULT (bf16 MXU) precision.
+    # A fixed atol mis-fires here: softmax on mostly-masked causal rows
+    # amplifies the ~2^-9 score rounding BOTH paths share (measured:
+    # flash 1.0e-2 vs einsum 1.2e-2 max-abs dev at B2/H4/S256/D128).
     from ggmlsharp_tpu.kernels.flash import (
         flash_attention, flash_attention_cached,
     )
@@ -96,18 +103,34 @@ def main():
     k = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32))
 
-    def ref_attn(q, k, v, npast):
-        s = jnp.einsum("bhsd,bhtd->bhst", q, k) / (D ** 0.5)
+    def ref_attn(q, k, v, npast, precision):
+        s = jnp.einsum("bhsd,bhtd->bhst", q, k, precision=precision) / (
+            D ** 0.5)
         kpos = jnp.arange(k.shape[2])
         qpos = npast[:, None] + jnp.arange(q.shape[2])
         mask = kpos[None, None, None, :] <= qpos[:, None, :, None]
         s = jnp.where(mask, s, -1e30)
-        return jnp.einsum("bhst,bhtd->bhsd", jax.nn.softmax(s, axis=-1), v)
+        return jnp.einsum("bhst,bhtd->bhsd", jax.nn.softmax(s, axis=-1), v,
+                          precision=precision)
 
+    def check_vs_oracle(name, got, exact, baseline):
+        got, exact, baseline = map(np.asarray, (got, exact, baseline))
+        dev = np.abs(got - exact).max()
+        bar = max(1.5 * np.abs(baseline - exact).max(), 1e-3)
+        ok = dev <= bar and np.isfinite(got).all()
+        print(f"  {'ok ' if ok else 'FAIL'} {name:28s} "
+              f"dev-vs-exact {dev:.2e} (bar {bar:.2e})", flush=True)
+        if not ok:
+            FAILURES.append(name)
+
+    np0 = jnp.zeros((B,), jnp.int32)
     got = jax.jit(lambda q, k, v: flash_attention(q, k, v, causal=True))(
         q, k, v)
-    want = jax.jit(ref_attn)(q, k, v, jnp.zeros((B,), jnp.int32))
-    check("flash static causal", got, want, rtol=2e-2, atol=2e-3)
+    exact = jax.jit(functools.partial(
+        ref_attn, precision=jax.lax.Precision.HIGHEST))(q, k, v, np0)
+    base = jax.jit(functools.partial(
+        ref_attn, precision=jax.lax.Precision.DEFAULT))(q, k, v, np0)
+    check_vs_oracle("flash static causal", got, exact, base)
 
     # --- flash cached: dynamic npast + GQA (n_rep=2) -------------------
     kg = k[:, ::2]  # 2 kv heads
@@ -116,11 +139,15 @@ def main():
     got = jax.jit(
         lambda q, kk, vv, np_: flash_attention_cached(q, kk, vv, np_)
     )(q[:, :, :8, :], kg, vg, npast)
-    want = jax.jit(
-        lambda q, kk, vv, np_: ref_attn(
-            q, jnp.repeat(kk, 2, axis=1), jnp.repeat(vv, 2, axis=1), np_)
-    )(q[:, :, :8, :], kg, vg, npast)
-    check("flash cached GQA dyn-npast", got, want, rtol=2e-2, atol=2e-3)
+    exact, base = (
+        jax.jit(
+            lambda q, kk, vv, np_, p=p: ref_attn(
+                q, jnp.repeat(kk, 2, axis=1), jnp.repeat(vv, 2, axis=1),
+                np_, p)
+        )(q[:, :, :8, :], kg, vg, npast)
+        for p in (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT)
+    )
+    check_vs_oracle("flash cached GQA dyn-npast", got, exact, base)
 
     dt = time.time() - t0
     print(f"{'SMOKE FAILED: ' + ', '.join(FAILURES) if FAILURES else 'SMOKE OK'}"
