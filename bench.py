@@ -108,7 +108,8 @@ def _synthetic_qparams(mod, cfg, gtype):
                 planes = {}
                 for j, (name, p) in enumerate(sorted(leaf.planes.items())):
                     if p.dtype == jnp.uint32 and name in (
-                        "d_p", "m_p", "kd_p", "km_p"
+                        "d_p", "m_p", "kd_p", "km_p",
+                        "d_t", "m_t", "kd_t", "km_t",  # swar transposed
                     ):
                         planes[name] = jnp.full(p.shape, scale_word, jnp.uint32)
                     elif p.dtype in (jnp.uint32, jnp.int8, jnp.uint8):

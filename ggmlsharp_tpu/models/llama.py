@@ -97,14 +97,45 @@ def fuse_params(params):
     return out
 
 
+def swar_params(params):
+    """Convert eligible matmul weights (NOT embeddings — get_rows needs row
+    layout) to the SWAR transposed layout (quant.formats.to_swar): the
+    fastest single-chip decode kernels (617-660 GB/s effective vs 530-550
+    planewise, scripts/probe_swar.py). Bit-identical values/scales."""
+    from ..quant.formats import swar_supported, to_swar
+
+    def conv(t):
+        return to_swar(t) if isinstance(t, QTensor) and swar_supported(t) \
+            else t
+
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    out["output"] = conv(out.get("output"))
+    out["blocks"] = [
+        {k: (conv(v) if k in ("wqkv", "wo", "w_gate_up", "w_down", "wq",
+                              "wk", "wv", "w_gate", "w_up") else v)
+         for k, v in b.items()}
+        for b in params["blocks"]
+    ]
+    return out
+
+
+def _swar_default() -> bool:
+    import os
+
+    return os.environ.get("GGML_TPU_SWAR", "1") != "0"
+
+
 def quantize_params(params, gtype: GType, embd_gtype: GType | None = None,
                     pad_rows_to: int | None = None, fuse: bool = True,
-                    search: bool = False):
+                    search: bool = False, swar: bool | None = None):
     """Weight-only quantize all matmul weights. llama.cpp policy analog:
     token embedding / output may use a different (often higher-bit) format.
     Row counts are padded to the kernel tile so the fused path applies
     (forward slices padded logits back to n_vocab). fuse=True additionally
-    merges qkv and gate/up weights (see fuse_params)."""
+    merges qkv and gate/up weights (see fuse_params). swar (default: env
+    GGML_TPU_SWAR, on) converts eligible weights to the SWAR kernel layout —
+    pass False for layouts that must keep (N, ·)-oriented planes (GGUF
+    export, tensor-parallel plane sharding)."""
     embd_gtype = embd_gtype or gtype
     if pad_rows_to is None:
         from ..kernels.matmul_q import TILE_N as pad_rows_to  # match kernel tile
@@ -141,7 +172,11 @@ def quantize_params(params, gtype: GType, embd_gtype: GType | None = None,
             for b in params["blocks"]
         ],
     }
-    return fuse_params(out) if fuse else out
+    if fuse:
+        out = fuse_params(out)
+        if swar if swar is not None else _swar_default():
+            out = swar_params(out)
+    return out
 
 
 def _rms(x, g, eps):

@@ -69,7 +69,8 @@ def run(n_devices: int) -> None:
               f"(mesh data={data}, model={n_devices//data}): loss={loss:.4f}")
 
         # --- one TP+DP quantized decode step over a sharded INT8 KV cache ---
-        qparams = llama.quantize_params(params, GType.Q4_0)
+        # swar=False: TP shards the (N, ·)-oriented planes (llama_param_specs)
+        qparams = llama.quantize_params(params, GType.Q4_0, swar=False)
         qparams = shd.shard_params(qparams, shd.llama_param_specs(), mesh)
         cache = llama.new_cache(cfg, B, int8=True)
         cspec = shd.kv_cache_spec()

@@ -258,6 +258,169 @@ def repack_k_chunks(qt: "QTensor", n_chunks: int) -> "QTensor":
     return QTensor(g, (n, K), planes)
 
 
+# --- SWAR transposed layout (kernels.matmul_q SWAR kernels) ---------------
+#
+# The planewise kernels unpack nibbles with ~4 VPU ops/element (shift, mask,
+# cast, scale-mul, 8 loop iterations). The SWAR layout instead stores the
+# packed plane TRANSPOSED — (K/8, N) uint32, weight rows along LANES — so a
+# kernel can unpack with two dense ops on whole words:
+#
+#   lo = P & 0x0F0F0F0F ; hi = (P >> 4) & 0x0F0F0F0F   # 3 ops per 8 elts
+#   v  = pltpu.bitcast(lo, int8)                        # (K/2, N) sublanes ×4
+#
+# Mosaic's 32→8 bitcast expands the SUBLANE axis little-endian-contiguously
+# (word row r → int8 rows 4r+b = byte b), and `pltpu.repeat` (used to expand
+# per-block scales) has TILE/concat semantics — row i of repeat(d, 16, 0)
+# reads d[i mod C]. Both constraints pin the k-order: int8 row i of the lo
+# plane must hold logical element k = 32·(i mod C) + 2·(i // C) (block
+# c = i mod C interleaved, even slots; hi plane holds k+1). Activations are
+# permuted to match OUTSIDE the kernel (swar_permute_x — dot products are
+# permutation-invariant). Measured on v5e: 617-660 GB/s effective vs
+# 530-550 for the planewise kernel (scripts/probe_swar.py).
+#
+# Large K is split into `n_chunks` standalone chunks (each block-interleaved
+# within itself) so the kernel's f32 intermediates fit VMEM; the kernel
+# accumulates over a chunk grid axis.
+
+_SWAR_SCALE_KEYS = {"d": "d_t", "m": "m_t", "kd": "kd_t", "km": "km_t"}
+
+
+def swar_pack_values(vals: jnp.ndarray, n_chunks: int = 1) -> jnp.ndarray:
+    """Nibble values (N, K) int in [0,15], element order → transposed
+    block-interleaved plane (K/8, N) uint32 (see module comment)."""
+    n, k = vals.shape
+    kc = k // n_chunks
+    assert kc % 64 == 0, (k, n_chunks)
+    c_blocks = kc // 32
+    chunks = []
+    for j in range(n_chunks):
+        v = vals[:, j * kc : (j + 1) * kc].astype(jnp.uint32)
+        # (N, C, 16, 2): [n, block c, slot t, parity]
+        v4 = v.reshape(n, c_blocks, 16, 2)
+        # int8 row i = t·C + c  →  (16, C) leading, then flatten
+        lo = jnp.transpose(v4[..., 0], (2, 1, 0)).reshape(kc // 2, n)
+        hi = jnp.transpose(v4[..., 1], (2, 1, 0)).reshape(kc // 2, n)
+        bytes_ = lo | (hi << jnp.uint32(4))  # (kc/2, N) one byte each
+        b4 = bytes_.reshape(kc // 8, 4, n)
+        word = b4[:, 0] | (b4[:, 1] << jnp.uint32(8)) \
+            | (b4[:, 2] << jnp.uint32(16)) | (b4[:, 3] << jnp.uint32(24))
+        chunks.append(word)
+    return jnp.concatenate(chunks, axis=0)
+
+
+def swar_unpack_values(plane: jnp.ndarray, n: int, k: int,
+                       n_chunks: int = 1) -> jnp.ndarray:
+    """Inverse of swar_pack_values → int32 (N, K) element order."""
+    kc = k // n_chunks
+    c_blocks = kc // 32
+    outs = []
+    for j in range(n_chunks):
+        word = plane[j * (kc // 8) : (j + 1) * (kc // 8)]
+        bytes_ = jnp.stack(
+            [(word >> jnp.uint32(8 * b)) & jnp.uint32(0xFF) for b in range(4)],
+            axis=1,
+        ).reshape(kc // 2, n)
+        lo = (bytes_ & jnp.uint32(0xF)).reshape(16, c_blocks, n)
+        hi = (bytes_ >> jnp.uint32(4)).reshape(16, c_blocks, n)
+        v4 = jnp.stack([lo, hi], axis=-1)  # (16, C, N, 2)
+        outs.append(
+            jnp.transpose(v4, (2, 1, 0, 3)).reshape(n, kc).astype(jnp.int32)
+        )
+    return jnp.concatenate(outs, axis=-1)
+
+
+def swar_pack_scales(d: jnp.ndarray, n_chunks: int = 1) -> jnp.ndarray:
+    """f16 scale plane (N, C) block order → transposed f16-pair plane
+    (C/2, N) uint32: row c packs (block c, block c + C_c/2) of its chunk, so
+    an in-kernel sublane lo/hi split + concat restores block-row order."""
+    n, c = d.shape
+    cc = c // n_chunks
+    assert cc % 2 == 0, (c, n_chunks)
+    bits = jax.lax.bitcast_convert_type(
+        d.astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    chunks = []
+    for j in range(n_chunks):
+        b = bits[:, j * cc : (j + 1) * cc]
+        w = b[:, : cc // 2] | (b[:, cc // 2 :] << jnp.uint32(16))
+        chunks.append(w.T)
+    return jnp.concatenate(chunks, axis=0)
+
+
+def swar_layout(n: int, k: int,
+                budget: int = 13 * 1024 * 1024) -> tuple[int, int]:
+    """Pick (tile, n_chunks) jointly for a (N, K) weight.
+
+    Legality (Pallas requires the last two block dims be (8, 128)-divisible
+    or equal to the full array dims):
+      * nc == 1: every k-axis block IS the full array — always legal;
+      * nc > 1: kc = k/nc must be % 512 == 0 so the xlo (kc/2 lanes), qs_t
+        (kc/8 sublanes) and scale (kc/64 sublanes) chunk blocks all tile.
+    VMEM: the f32 intermediates (wlo + whi + d16) are 3·(kc/2)·tile·4 B.
+    Prefers the largest tile that fits with the fewest chunks (k=11008 —
+    7B w_down — only admits nc=1, so it lands on tile=128)."""
+    import os
+
+    pref = int(os.environ.get("GGML_TPU_SWAR_TILE", "512"))
+    tiles = [t for t in (pref, 512, 256, 128) if n % t == 0]
+    for tile in tiles:
+        nc = 1
+        while nc <= k // 64:
+            kc = k // nc
+            if kc % 64 == 0 and (nc == 1 or kc % 512 == 0):
+                if 3 * (kc // 2) * tile * 4 <= budget:
+                    return tile, nc
+            nc *= 2
+    raise ValueError(f"no valid swar layout for shape ({n}, {k})")
+
+
+def to_swar(qt: "QTensor") -> "QTensor":
+    """Convert a 2-D Q4_0/Q4_1/Q4_K QTensor to the SWAR transposed layout
+    (planes qs_t/d_t[/m_t/kd_t/km_t]; drops qs/d_p — the small f16 block
+    planes are kept for dequantize/export). Bit-identical values/scales;
+    jit-friendly (pure layout transforms)."""
+    from ..dtypes import GType
+
+    n, k = qt.shape
+    tile, nc = swar_layout(n, k)
+    vals = unpack_nibbles(qt.planes["qs"], k)  # storage order
+    vals = from_storage_order(vals, 32)
+    planes = {"qs_t": swar_pack_values(vals, nc)}
+    if qt.gtype == GType.Q4_0:
+        scale_keys = ("d",)
+    elif qt.gtype == GType.Q4_1:
+        scale_keys = ("d", "m")
+    elif qt.gtype == GType.Q4_K:
+        scale_keys = ("kd", "km")
+    else:
+        raise ValueError(f"swar: unsupported {qt.gtype}")
+    for key in scale_keys:
+        planes[_SWAR_SCALE_KEYS[key]] = swar_pack_scales(qt.planes[key], nc)
+        planes[key] = qt.planes[key]
+    return QTensor(qt.gtype, qt.shape, planes)
+
+
+def swar_supported(qt: "QTensor") -> bool:
+    from ..dtypes import GType
+
+    if qt.gtype not in (GType.Q4_0, GType.Q4_1, GType.Q4_K):
+        return False
+    if len(qt.shape) != 2:
+        return False
+    n, k = qt.shape
+    if k % 64:
+        return False
+    keys = ("qs", "d") if qt.gtype == GType.Q4_0 else (
+        ("qs", "d", "m") if qt.gtype == GType.Q4_1 else ("qs", "kd", "km"))
+    if any(key not in qt.planes for key in keys):
+        return False
+    try:
+        swar_layout(n, k)
+    except ValueError:
+        return False
+    return True
+
+
 def check_last_axis(x: jnp.ndarray, gtype: GType):
     bs = block_size(gtype)
     if x.shape[-1] % bs != 0:

@@ -527,4 +527,20 @@ def quantize(x, gtype: GType, search: bool = False) -> QTensor:
 
 def dequantize(qt: QTensor):
     """dequantize_row_* analog: back to float32."""
+    if "qs_t" in qt.planes:  # SWAR transposed layout (formats.to_swar)
+        from .formats import swar_layout, swar_unpack_values
+
+        n, k = qt.shape
+        _, nc = swar_layout(n, k)
+        v = swar_unpack_values(qt.planes["qs_t"], n, k, nc).astype(F32)
+        if qt.gtype == GType.Q4_0:
+            d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
+            return (v - 8.0) * d
+        if qt.gtype == GType.Q4_1:
+            d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
+            m = jnp.repeat(qt["m"].astype(F32), 32, axis=-1)
+            return v * d + m
+        d = jnp.repeat(qt["kd"].astype(F32), 32, axis=-1)
+        m = jnp.repeat(qt["km"].astype(F32), 32, axis=-1)
+        return v * d - m
     return _DEQUANTIZE[qt.gtype](qt)

@@ -99,23 +99,23 @@ def swar_kernel(xlo_ref, xhi_ref, p_ref, d_ref, o_ref):
     o_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("n", "k"))
-def swar_mm(xlo, xhi, p, d, n, k):
+@functools.partial(jax.jit, static_argnames=("n", "k", "tile"))
+def swar_mm(xlo, xhi, p, d, n, k, tile=TILE):
     b = xlo.shape[0]
     return pl.pallas_call(
         swar_kernel,
-        grid=(n // TILE,),
+        grid=(n // tile,),
         in_specs=[
             pl.BlockSpec((b, k // 2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, k // 2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // 8, TILE), lambda i: (0, i),
+            pl.BlockSpec((k // 8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // 32, TILE), lambda i: (0, i),
+            pl.BlockSpec((k // 32, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((b, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         interpret=mq.interpret_mode(),
@@ -168,19 +168,19 @@ def check_correct(order, n=512, k=1024, b=8):
 
     plo, phi = perms(k, order)
     y = np.asarray(swar_mm(jnp.asarray(x[:, plo]), jnp.asarray(x[:, phi]),
-                           jnp.asarray(P), jnp.asarray(D), n, k))
+                           jnp.asarray(P), jnp.asarray(D), n, k, 256))
     err = np.abs(y - y_ref).max() / max(np.abs(y_ref).max(), 1e-9)
     log(f"swar correctness (order {order}): rel err {err:.3e}")
     return err < 2e-2  # DEFAULT bf16 dot rounding
 
 
 # ---------------------------------------------------------------- step 3
-@functools.partial(jax.jit, static_argnames=("n", "k", "b"))
-def loop_swar(p, d, n, k, b):
+@functools.partial(jax.jit, static_argnames=("n", "k", "b", "tile"))
+def loop_swar(p, d, n, k, b, tile=TILE):
     xlo = jnp.ones((b, k // 2), jnp.float32) * 0.01
 
     def body(i, xlo):
-        y = swar_mm(xlo, xlo, p, d, n, k)
+        y = swar_mm(xlo, xlo, p, d, n, k, tile)
         reps = (k // 2 + n - 1) // n
         return jnp.tile(y, (1, reps))[:, : k // 2] * 1e-3 + 1e-6 * i
 
@@ -229,17 +229,19 @@ def main():
         log("ABORT: swar kernel mismatch")
         return
 
-    for (n, k) in ((4096, 4096), (22016, 4096), (4096, 11008)):
-        if (k // 2) * TILE * 4 * 3 > 12 * 1024 * 1024:
-            log(f"  {n}x{k}: skipped (VMEM)")
-            continue
+    shapes = ((4096, 4096), (12288, 4096), (22016, 4096), (32256, 4096))
+    for (n, k) in shapes:
         rng = np.random.default_rng(1)
         P = jnp.asarray(rng.integers(0, 2**32, (k // 8, n), np.uint64)
                         .astype(np.uint32))
         D = jnp.asarray((rng.random((k // 32, n)).astype(np.float32)) * 0.01)
         wire = P.size * 4 + D.size * 4
-        dt = slope(loop_swar, P, D, n, k, 1) / LOOP
-        log(f"  swar {n}x{k}: {dt*1e3:7.3f} ms  {wire/dt/1e9:6.1f} GB/s")
+        for tile in (128, 256, 512):
+            if (k // 2) * tile * 4 * 3 > 12 * 1024 * 1024 or n % tile:
+                continue
+            dt = slope(loop_swar, P, D, n, k, 1, tile, n1=4, n2=12) / LOOP
+            log(f"  swar {n}x{k} T{tile}: {dt*1e3:7.3f} ms  "
+                f"{wire/dt/1e9:6.1f} GB/s")
 
         h = np.float16(0.01).view(np.uint16)
         word = np.uint32(h) | (np.uint32(h) << 16)
@@ -247,7 +249,7 @@ def main():
                          .astype(np.uint32))
         d_p = jnp.full((n, k // 64), word, jnp.uint32)
         wire2 = qs.size * 4 + d_p.size * 4
-        dt2 = slope(loop_v2, qs, d_p, n, k, True, 1) / LOOP
+        dt2 = slope(loop_v2, qs, d_p, n, k, True, 1, n1=4, n2=12) / LOOP
         log(f"  v2   {n}x{k}: {dt2*1e3:7.3f} ms  {wire2/dt2/1e9:6.1f} GB/s")
 
 

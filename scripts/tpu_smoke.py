@@ -76,6 +76,31 @@ def main():
             check(f"fused {g.name} [{mode}]", got, want, rtol=rt, atol=at)
     kcfg.set_mm_dot("bf16")
 
+    # --- SWAR transposed-layout kernels (quant.formats.to_swar) --------
+    # Layout conversion is bit-exact, so the bf16-mode tolerance is the
+    # same DEFAULT-dot rounding bar as the fused kernels above.
+    from ggmlsharp_tpu.quant.formats import swar_supported, to_swar
+
+    for g in (GType.Q4_0, GType.Q4_1, GType.Q4_K):
+        qw = jax.jit(lambda a, g=g: quantize(a, g))(w)
+        assert swar_supported(qw), g
+        qs = jax.jit(to_swar)(qw)
+        # layout round-trip: dequantize(swar) must equal dequantize(orig).
+        # Q4_K's swar dequant rides the fused f16 kd/km planes (~2^-11 off
+        # the exact f32 d*sc product) — same bar as the fused kernel above.
+        dtol = (5e-2, 1e-3) if g == GType.Q4_K else (1e-6, 1e-6)
+        dq_s = jax.jit(dequantize)(qs)
+        dq_o = jax.jit(dequantize)(qw)
+        check(f"swar dequant {g.name}", dq_s, dq_o, rtol=dtol[0],
+              atol=dtol[1])
+        got = jax.jit(
+            lambda v, qs=qs: mul_mat_q_fused(qs, v, quantize_acts=False)
+        )(x)
+        want = jax.jit(
+            lambda v, qw=qw: mul_mat_q(qw, v, quantize_acts=False)
+        )(x)
+        check(f"swar mm {g.name}", got, want, rtol=5e-2, atol=2e-1)
+
     # --- exact integer-dot kernel (b=1) -------------------------------
     x1 = x[:1]
     for g in (GType.Q4_0, GType.Q8_0):

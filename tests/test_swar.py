@@ -1,0 +1,120 @@
+"""SWAR transposed-layout kernel parity (quant.formats.to_swar +
+kernels.matmul_q.mul_mat_swar) — CPU interpret mode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggmlsharp_tpu import GType, dequantize, quantize
+from ggmlsharp_tpu.kernels.matmul_q import (
+    _call_kernel_swar, mul_mat_q_fused, swar_permute_x,
+)
+from ggmlsharp_tpu.ops.matmul import mul_mat_q
+from ggmlsharp_tpu.quant.formats import (
+    swar_pack_scales, swar_pack_values, swar_supported, swar_unpack_values,
+    to_swar,
+)
+
+
+@pytest.mark.parametrize("nc", [1, 2, 4])
+def test_pack_unpack_roundtrip(nc):
+    rng = np.random.default_rng(0)
+    n, k = 64, 512
+    vals = jnp.asarray(rng.integers(0, 16, (n, k)), jnp.int32)
+    plane = swar_pack_values(vals, nc)
+    assert plane.shape == (k // 8, n) and plane.dtype == jnp.uint32
+    back = swar_unpack_values(plane, n, k, nc)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(vals))
+
+
+@pytest.mark.parametrize("gtype", [GType.Q4_0, GType.Q4_1, GType.Q4_K])
+def test_to_swar_dequant_identity(gtype):
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((512, 512)).astype(np.float32) * 0.1)
+    qt = quantize(w, gtype)
+    ref = np.asarray(dequantize(qt))
+    sw = to_swar(qt)
+    assert "qs_t" in sw.planes and "qs" not in sw.planes
+    got = np.asarray(dequantize(sw))
+    if gtype == GType.Q4_K:
+        # swar rides the f16-FUSED kd/km planes (like the fused kernels);
+        # the reference reconstructs from exact f32 d*sc — ~2^-11 apart.
+        # Compare exactly against the kd/km reconstruction instead.
+        from ggmlsharp_tpu.quant.formats import (
+            from_storage_order, unpack_nibbles,
+        )
+
+        k = qt.shape[-1]
+        v = np.asarray(from_storage_order(unpack_nibbles(qt["qs"], k), 32))
+        kd = np.repeat(np.asarray(qt["kd"]).astype(np.float32), 32, axis=-1)
+        km = np.repeat(np.asarray(qt["km"]).astype(np.float32), 32, axis=-1)
+        np.testing.assert_allclose(got, v * kd - km, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=5e-4)
+    else:
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("gtype", [GType.Q4_0, GType.Q4_1, GType.Q4_K])
+@pytest.mark.parametrize("rows", [1, 3, 16])
+def test_swar_matmul_parity(gtype, rows):
+    rng = np.random.default_rng(2)
+    n, k = 512, 256
+    w = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((rows, k)).astype(np.float32))
+    qt = quantize(w, gtype)
+    assert swar_supported(qt)
+    sw = to_swar(qt)
+    got = np.asarray(mul_mat_q_fused(sw, x, quantize_acts=False))
+    want = np.asarray(mul_mat_q(qt, x, quantize_acts=False))
+    # exact reference for the values the kernel actually consumes (Q4_K's
+    # kd/km f16-fused scales differ ~2^-11 from the d*sc reconstruction)
+    want_kd = np.asarray(x) @ np.asarray(dequantize(sw)).T
+    np.testing.assert_allclose(got, want_kd, rtol=2e-5, atol=2e-5)
+    tol = 2e-2 if gtype == GType.Q4_K else 2e-5
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+def test_swar_chunked_kernel_parity():
+    """Force multi-chunk accumulation (the k=11008 path) at small shapes."""
+    rng = np.random.default_rng(3)
+    n, k, nc, tile = 256, 512, 2, 128
+    w = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((4, k)).astype(np.float32))
+    qt = quantize(w, GType.Q4_0)
+    from ggmlsharp_tpu.quant.formats import (
+        from_storage_order, unpack_nibbles,
+    )
+
+    raw = from_storage_order(unpack_nibbles(qt.planes["qs"], k), 32)
+    planes = {
+        "qs_t": swar_pack_values(raw, nc),
+        "d_t": swar_pack_scales(qt.planes["d"], nc),
+    }
+    xlo, xhi = swar_permute_x(x, k, nc)
+    got = np.asarray(_call_kernel_swar(
+        xlo, xhi, planes, GType.Q4_0, n, k, tile, nc, 4))
+    want = np.asarray(mul_mat_q(qt, x, quantize_acts=False))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_quantize_params_swar_forward_parity():
+    from ggmlsharp_tpu.models import llama
+
+    cfg = llama.LlamaConfig(
+        n_vocab=256, n_ctx=64, n_embd=256, n_head=4, n_head_kv=2,
+        n_layer=2, n_ff=512,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    qp_ref = llama.quantize_params(params, GType.Q4_0, swar=False)
+    qp_swar = llama.quantize_params(params, GType.Q4_0, swar=True)
+    assert any(
+        "qs_t" in b["wqkv"].planes for b in qp_swar["blocks"]
+    )
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    cache_a = llama.new_cache(cfg, 1)
+    cache_b = llama.new_cache(cfg, 1)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    la, _ = llama.forward(qp_ref, cfg, tokens, cache_a, pos)
+    lb, _ = llama.forward(qp_swar, cfg, tokens, cache_b, pos)
+    np.testing.assert_allclose(
+        np.asarray(la), np.asarray(lb), rtol=5e-4, atol=5e-4)
