@@ -447,6 +447,72 @@ def _call_kernel_swar(xlo, xhi, planes, gtype, n, k, tile, nc, tile_b):
     )(*args)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "k", "tile", "nc", "tile_b"),
+)
+def _call_kernel_swar_q8(x, planes, n, k, tile, nc, tile_b):
+    """Q8_0 variant: one full-width plane, no nibble masks — a single 32→8
+    sublane bitcast IS the unpack (~1.3 VPU ops/element). x: (b, K) f32 in
+    the q8 swar k-order (swar_permute_x_q8)."""
+    b = x.shape[0]
+    kc = k // nc
+    cc = kc // 32
+
+    def kernel(x_ref, qs_ref, d_ref, o_ref):
+        jc = pl.program_id(2)
+
+        @pl.when(jc == 0)
+        def _init():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        v = pltpu.bitcast(qs_ref[:], jnp.int8)  # (kc, tile) signed
+        d16 = pltpu.repeat(_decode_f16x2_rows(d_ref), 32, axis=0)
+        w = v.astype(jnp.float32) * d16
+        o_ref[:] = o_ref[:] + jax.lax.dot_general(
+            x_ref[:], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile, b // tile_b, nc),
+        in_specs=[
+            pl.BlockSpec((tile_b, kc), lambda i, jb, jc: (jb, jc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc // 4, tile), lambda i, jb, jc: (jc, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cc // 2, tile), lambda i, jb, jc: (jc, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, tile), lambda i, jb, jc: (jb, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        interpret=interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * k,
+            bytes_accessed=planes["qs_t"].size * 4 + b * k * 4 + b * n * 4,
+            transcendentals=0,
+        ),
+    )(x, planes["qs_t"], planes["d_t"])
+
+
+def swar_permute_x_q8(x2, k: int, nc: int):
+    """Element-order activations (b, K) → q8 swar k-order: per chunk,
+    position i ← element 32·(i mod C) + i//C."""
+    b = x2.shape[0]
+    kc = k // nc
+    cc = kc // 32
+    outs = []
+    for j in range(nc):
+        xc = x2[:, j * kc : (j + 1) * kc].reshape(b, cc, 32)
+        outs.append(jnp.transpose(xc, (0, 2, 1)).reshape(b, kc))
+    return jnp.concatenate(outs, axis=1)
+
+
 def swar_permute_x(x2, k: int, nc: int):
     """Element-order activations (b, K) → (x_lo, x_hi) in the swar k-order:
     per chunk, row i ← element 32·(i mod C) + 2·(i//C) (+1 for hi)."""
@@ -478,14 +544,21 @@ def mul_mat_swar(a: QTensor, bx, quantize_acts: bool = True):
     if rpad:
         x2 = jnp.pad(x2, ((0, rpad), (0, 0)))
     b = x2.shape[0]
-    tile, nc = swar_layout(n, k)
+    from ..quant.formats import swar_kt_bytes
+
+    tile, nc = swar_layout(n, k, kt_bytes=swar_kt_bytes(a.gtype))
     cap = max(8, _MAX_XB_BYTES // (k * 4))
     tile_b = b
     while tile_b > cap and tile_b % 2 == 0:
         tile_b //= 2
-    xlo, xhi = swar_permute_x(x2, k, nc)
-    out = _call_kernel_swar(xlo, xhi, dict(a.planes), a.gtype, n, k,
-                            tile, nc, tile_b)
+    if a.gtype == GType.Q8_0:
+        xq = swar_permute_x_q8(x2, k, nc)
+        out = _call_kernel_swar_q8(xq, dict(a.planes), n, k, tile, nc,
+                                   tile_b)
+    else:
+        xlo, xhi = swar_permute_x(x2, k, nc)
+        out = _call_kernel_swar(xlo, xhi, dict(a.planes), a.gtype, n, k,
+                                tile, nc, tile_b)
     if rpad:
         out = out[:rows]
     return out.reshape(*lead, n)

@@ -78,14 +78,21 @@ def init_params(rng, cfg: GPT2Config, dtype=jnp.bfloat16):
 
 
 def quantize_params(params, gtype: GType, min_cols: int = 256,
-                    pad_rows_to: int | None = None, search: bool = False):
+                    pad_rows_to: int | None = None, search: bool = False,
+                    swar: bool | None = None):
     """Weight-only quantization of every matmul weight (embeddings included).
     Biases/layernorms stay float (matching llama.cpp's policy). Weights whose
     row count is not a multiple of the kernel tile (the 50257-row LM head)
     are zero-padded so the fused Pallas path applies — forward slices the
-    padded logits back to n_vocab."""
+    padded logits back to n_vocab. swar (default: env GGML_TPU_SWAR, on)
+    converts eligible BLOCK weights to the SWAR kernel layout — never wte,
+    which doubles as the embedding table (get_rows needs row layout)."""
     if pad_rows_to is None:
         from ..kernels.matmul_q import TILE_N as pad_rows_to  # match kernel tile
+    from .llama import _swar_default
+    from ..quant.formats import swar_supported, to_swar
+
+    use_swar = swar if swar is not None else _swar_default()
 
     def q(name, t, pad_rows=False):
         if isinstance(t, QTensor) or t.ndim != 2 or t.shape[-1] % 256:
@@ -99,7 +106,10 @@ def quantize_params(params, gtype: GType, min_cols: int = 256,
             t = jnp.concatenate(
                 [t, jnp.zeros((pad, t.shape[1]), t.dtype)], axis=0
             )
-        return quantize(t.astype(jnp.float32), gtype, search=search)
+        qt = quantize(t.astype(jnp.float32), gtype, search=search)
+        if use_swar and not pad_rows and swar_supported(qt):
+            qt = to_swar(qt)
+        return qt
 
     out = {
         "wte": q("wte", params["wte"], pad_rows=True),

@@ -284,6 +284,50 @@ def repack_k_chunks(qt: "QTensor", n_chunks: int) -> "QTensor":
 
 _SWAR_SCALE_KEYS = {"d": "d_t", "m": "m_t", "kd": "kd_t", "km": "km_t"}
 
+_SWAR_GTYPES_Q4 = ("Q4_0", "Q4_1", "Q4_K")
+
+
+def swar_pack_values_q8(vals: jnp.ndarray, n_chunks: int = 1) -> jnp.ndarray:
+    """Signed int8 values (N, K), element order → transposed
+    block-interleaved plane (K/4, N) uint32. The single plane holds every
+    element: int8 row i ← logical element 32·(i mod C) + i//C (the Q8 analog
+    of the lo/hi rule — blocks interleave so a 32× sublane `pltpu.repeat`
+    expands per-block scales), 4 consecutive rows per word (bitcast order)."""
+    n, k = vals.shape
+    kc = k // n_chunks
+    assert kc % 32 == 0, (k, n_chunks)
+    c_blocks = kc // 32
+    chunks = []
+    for j in range(n_chunks):
+        v = (vals[:, j * kc : (j + 1) * kc].astype(jnp.int32)
+             & 0xFF).astype(jnp.uint32)
+        rows = jnp.transpose(
+            v.reshape(n, c_blocks, 32), (2, 1, 0)
+        ).reshape(kc, n)
+        b4 = rows.reshape(kc // 4, 4, n)
+        word = b4[:, 0] | (b4[:, 1] << jnp.uint32(8)) \
+            | (b4[:, 2] << jnp.uint32(16)) | (b4[:, 3] << jnp.uint32(24))
+        chunks.append(word)
+    return jnp.concatenate(chunks, axis=0)
+
+
+def swar_unpack_values_q8(plane: jnp.ndarray, n: int, k: int,
+                          n_chunks: int = 1) -> jnp.ndarray:
+    """Inverse of swar_pack_values_q8 → int32 (N, K) element order (signed)."""
+    kc = k // n_chunks
+    c_blocks = kc // 32
+    outs = []
+    for j in range(n_chunks):
+        word = plane[j * (kc // 4) : (j + 1) * (kc // 4)]
+        rows = jnp.stack(
+            [(word >> jnp.uint32(8 * b)) & jnp.uint32(0xFF) for b in range(4)],
+            axis=1,
+        ).reshape(kc, n).astype(jnp.int32)
+        rows = ((rows ^ 0x80) - 0x80)  # sign-extend int8
+        v = rows.reshape(32, c_blocks, n)
+        outs.append(jnp.transpose(v, (2, 1, 0)).reshape(n, kc))
+    return jnp.concatenate(outs, axis=-1)
+
 
 def swar_pack_values(vals: jnp.ndarray, n_chunks: int = 1) -> jnp.ndarray:
     """Nibble values (N, K) int in [0,15], element order → transposed
@@ -347,8 +391,8 @@ def swar_pack_scales(d: jnp.ndarray, n_chunks: int = 1) -> jnp.ndarray:
     return jnp.concatenate(chunks, axis=0)
 
 
-def swar_layout(n: int, k: int,
-                budget: int = 13 * 1024 * 1024) -> tuple[int, int]:
+def swar_layout(n: int, k: int, budget: int = 13 * 1024 * 1024,
+                kt_bytes: int = 6) -> tuple[int, int]:
     """Pick (tile, n_chunks) jointly for a (N, K) weight.
 
     Legality (Pallas requires the last two block dims be (8, 128)-divisible
@@ -356,7 +400,9 @@ def swar_layout(n: int, k: int,
       * nc == 1: every k-axis block IS the full array — always legal;
       * nc > 1: kc = k/nc must be % 512 == 0 so the xlo (kc/2 lanes), qs_t
         (kc/8 sublanes) and scale (kc/64 sublanes) chunk blocks all tile.
-    VMEM: the f32 intermediates (wlo + whi + d16) are 3·(kc/2)·tile·4 B.
+    VMEM: the f32 kernel intermediates are kt_bytes·kc·tile bytes —
+    4-bit formats 6 (wlo + whi + d16, each (kc/2)·tile·4 B), Q8_0 8
+    (w + d16, each kc·tile·4 B).
     Prefers the largest tile that fits with the fewest chunks (k=11008 —
     7B w_down — only admits nc=1, so it lands on tile=128)."""
     import os
@@ -368,32 +414,43 @@ def swar_layout(n: int, k: int,
         while nc <= k // 64:
             kc = k // nc
             if kc % 64 == 0 and (nc == 1 or kc % 512 == 0):
-                if 3 * (kc // 2) * tile * 4 <= budget:
+                if kt_bytes * kc * tile <= budget:
                     return tile, nc
             nc *= 2
     raise ValueError(f"no valid swar layout for shape ({n}, {k})")
 
 
+def swar_kt_bytes(gtype: "GType") -> int:
+    from ..dtypes import GType
+
+    return 8 if gtype == GType.Q8_0 else 6
+
+
 def to_swar(qt: "QTensor") -> "QTensor":
-    """Convert a 2-D Q4_0/Q4_1/Q4_K QTensor to the SWAR transposed layout
-    (planes qs_t/d_t[/m_t/kd_t/km_t]; drops qs/d_p — the small f16 block
-    planes are kept for dequantize/export). Bit-identical values/scales;
-    jit-friendly (pure layout transforms)."""
+    """Convert a 2-D Q4_0/Q4_1/Q4_K/Q8_0 QTensor to the SWAR transposed
+    layout (planes qs_t/d_t[/m_t/kd_t/km_t]; drops qs/d_p — the small f16
+    block planes are kept for dequantize/export). Bit-identical
+    values/scales; jit-friendly (pure layout transforms)."""
     from ..dtypes import GType
 
     n, k = qt.shape
-    tile, nc = swar_layout(n, k)
-    vals = unpack_nibbles(qt.planes["qs"], k)  # storage order
-    vals = from_storage_order(vals, 32)
-    planes = {"qs_t": swar_pack_values(vals, nc)}
-    if qt.gtype == GType.Q4_0:
+    tile, nc = swar_layout(n, k, kt_bytes=swar_kt_bytes(qt.gtype))
+    if qt.gtype == GType.Q8_0:
+        vals = from_storage_order(qt.planes["qs"], 32).astype(jnp.int32)
+        planes = {"qs_t": swar_pack_values_q8(vals, nc)}
         scale_keys = ("d",)
-    elif qt.gtype == GType.Q4_1:
-        scale_keys = ("d", "m")
-    elif qt.gtype == GType.Q4_K:
-        scale_keys = ("kd", "km")
     else:
-        raise ValueError(f"swar: unsupported {qt.gtype}")
+        vals = unpack_nibbles(qt.planes["qs"], k)  # storage order
+        vals = from_storage_order(vals, 32)
+        planes = {"qs_t": swar_pack_values(vals, nc)}
+        if qt.gtype == GType.Q4_0:
+            scale_keys = ("d",)
+        elif qt.gtype == GType.Q4_1:
+            scale_keys = ("d", "m")
+        elif qt.gtype == GType.Q4_K:
+            scale_keys = ("kd", "km")
+        else:
+            raise ValueError(f"swar: unsupported {qt.gtype}")
     for key in scale_keys:
         planes[_SWAR_SCALE_KEYS[key]] = swar_pack_scales(qt.planes[key], nc)
         planes[key] = qt.planes[key]
@@ -403,19 +460,21 @@ def to_swar(qt: "QTensor") -> "QTensor":
 def swar_supported(qt: "QTensor") -> bool:
     from ..dtypes import GType
 
-    if qt.gtype not in (GType.Q4_0, GType.Q4_1, GType.Q4_K):
+    if qt.gtype not in (GType.Q4_0, GType.Q4_1, GType.Q4_K, GType.Q8_0):
         return False
     if len(qt.shape) != 2:
         return False
     n, k = qt.shape
     if k % 64:
         return False
-    keys = ("qs", "d") if qt.gtype == GType.Q4_0 else (
-        ("qs", "d", "m") if qt.gtype == GType.Q4_1 else ("qs", "kd", "km"))
+    keys = {
+        GType.Q4_0: ("qs", "d"), GType.Q8_0: ("qs", "d"),
+        GType.Q4_1: ("qs", "d", "m"), GType.Q4_K: ("qs", "kd", "km"),
+    }[qt.gtype]
     if any(key not in qt.planes for key in keys):
         return False
     try:
-        swar_layout(n, k)
+        swar_layout(n, k, kt_bytes=swar_kt_bytes(qt.gtype))
     except ValueError:
         return False
     return True

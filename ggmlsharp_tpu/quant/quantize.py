@@ -528,10 +528,17 @@ def quantize(x, gtype: GType, search: bool = False) -> QTensor:
 def dequantize(qt: QTensor):
     """dequantize_row_* analog: back to float32."""
     if "qs_t" in qt.planes:  # SWAR transposed layout (formats.to_swar)
-        from .formats import swar_layout, swar_unpack_values
+        from .formats import (
+            swar_kt_bytes, swar_layout, swar_unpack_values,
+            swar_unpack_values_q8,
+        )
 
         n, k = qt.shape
-        _, nc = swar_layout(n, k)
+        _, nc = swar_layout(n, k, kt_bytes=swar_kt_bytes(qt.gtype))
+        if qt.gtype == GType.Q8_0:
+            v = swar_unpack_values_q8(qt.planes["qs_t"], n, k, nc).astype(F32)
+            d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
+            return v * d
         v = swar_unpack_values(qt.planes["qs_t"], n, k, nc).astype(F32)
         if qt.gtype == GType.Q4_0:
             d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)

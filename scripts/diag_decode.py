@@ -87,11 +87,32 @@ def loop_kernel(qs, d_p, n, k, v2, b):
     return jax.lax.fori_loop(0, LOOP, body, x0)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "k", "b"))
+def loop_kernel_swar(qs_t, d_t, n, k, b):
+    """LOOP dependent swar-kernel invocations inside one executable."""
+    from ggmlsharp_tpu.quant.formats import swar_layout
+
+    tile, nc = swar_layout(n, k)
+    planes = {"qs_t": qs_t, "d_t": d_t}
+    x0 = jnp.ones((b, k // 2), jnp.float32) * 0.01
+
+    def body(i, xlo):
+        y = mq._call_kernel_swar(xlo, xlo, planes, GType.Q4_0, n, k,
+                                 tile, nc, b)
+        reps = (k // 2 + n - 1) // n
+        return jnp.tile(y, (1, reps))[:, : k // 2] * 1e-3 + 1e-6 * i
+
+    return jax.lax.fori_loop(0, LOOP, body, x0)
+
+
 def main():
     b = int(os.environ.get("DIAG_BATCH", "1"))
+    bsw = max(8, b)  # swar kernel pads decode rows to a sublane
     log(f"device: {jax.devices()[0].device_kind}, batch={b}, loop={LOOP}")
 
-    total = {True: 0.0, False: 0.0}
+    h = np.float16(0.01).view(np.uint16)
+    word = np.uint32(h) | (np.uint32(h) << 16)
+    total = {True: 0.0, False: 0.0, "swar": 0.0}
     for label, n, k, cnt in SHAPES:
         qw = make_qw(n, k, n + k)
         wire_mb = (qw["qs"].size * 4 + qw["d_p"].size * 4) / 1e6
@@ -101,8 +122,17 @@ def main():
             total[v2] += dt * cnt
             log(f"  {label} v2={int(v2)}: {dt*1e3:7.3f} ms  {eff:6.1f} GB/s"
                 f"  ({wire_mb:.1f} MB wire)")
+        qs_t = jax.jit(
+            lambda s=n + k: jax.random.bits(
+                jax.random.PRNGKey(s), (k // 8, n), jnp.uint32)
+        )()
+        d_t = jax.jit(lambda: jnp.full((k // 64, n), word, jnp.uint32))()
+        dt = slope(loop_kernel_swar, qs_t, d_t, n, k, bsw) / LOOP
+        eff = wire_mb * 1e6 / dt / 1e9
+        total["swar"] += dt * cnt
+        log(f"  {label} swar: {dt*1e3:7.3f} ms  {eff:6.1f} GB/s")
     log(f"matmul-kernel floor per step: v1={total[False]*1e3:.2f} ms  "
-        f"v2={total[True]*1e3:.2f} ms")
+        f"v2={total[True]*1e3:.2f} ms  swar={total['swar']*1e3:.2f} ms")
 
     # --- chained all-layers matmul-only pass (params as args) ----------
     layers = tuple(

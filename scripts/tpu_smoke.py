@@ -81,7 +81,7 @@ def main():
     # same DEFAULT-dot rounding bar as the fused kernels above.
     from ggmlsharp_tpu.quant.formats import swar_supported, to_swar
 
-    for g in (GType.Q4_0, GType.Q4_1, GType.Q4_K):
+    for g in (GType.Q4_0, GType.Q4_1, GType.Q4_K, GType.Q8_0):
         qw = jax.jit(lambda a, g=g: quantize(a, g))(w)
         assert swar_supported(qw), g
         qs = jax.jit(to_swar)(qw)

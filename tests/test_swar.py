@@ -11,8 +11,8 @@ from ggmlsharp_tpu.kernels.matmul_q import (
 )
 from ggmlsharp_tpu.ops.matmul import mul_mat_q
 from ggmlsharp_tpu.quant.formats import (
-    swar_pack_scales, swar_pack_values, swar_supported, swar_unpack_values,
-    to_swar,
+    swar_pack_scales, swar_pack_values, swar_pack_values_q8, swar_supported,
+    swar_unpack_values, swar_unpack_values_q8, to_swar,
 )
 
 
@@ -27,7 +27,19 @@ def test_pack_unpack_roundtrip(nc):
     np.testing.assert_array_equal(np.asarray(back), np.asarray(vals))
 
 
-@pytest.mark.parametrize("gtype", [GType.Q4_0, GType.Q4_1, GType.Q4_K])
+@pytest.mark.parametrize("nc", [1, 2, 4])
+def test_pack_unpack_roundtrip_q8(nc):
+    rng = np.random.default_rng(4)
+    n, k = 64, 512
+    vals = jnp.asarray(rng.integers(-128, 128, (n, k)), jnp.int32)
+    plane = swar_pack_values_q8(vals, nc)
+    assert plane.shape == (k // 4, n) and plane.dtype == jnp.uint32
+    back = swar_unpack_values_q8(plane, n, k, nc)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(vals))
+
+
+@pytest.mark.parametrize(
+    "gtype", [GType.Q4_0, GType.Q4_1, GType.Q4_K, GType.Q8_0])
 def test_to_swar_dequant_identity(gtype):
     rng = np.random.default_rng(1)
     w = jnp.asarray(rng.standard_normal((512, 512)).astype(np.float32) * 0.1)
@@ -54,7 +66,8 @@ def test_to_swar_dequant_identity(gtype):
         np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("gtype", [GType.Q4_0, GType.Q4_1, GType.Q4_K])
+@pytest.mark.parametrize(
+    "gtype", [GType.Q4_0, GType.Q4_1, GType.Q4_K, GType.Q8_0])
 @pytest.mark.parametrize("rows", [1, 3, 16])
 def test_swar_matmul_parity(gtype, rows):
     rng = np.random.default_rng(2)
@@ -95,6 +108,28 @@ def test_swar_chunked_kernel_parity():
         xlo, xhi, planes, GType.Q4_0, n, k, tile, nc, 4))
     want = np.asarray(mul_mat_q(qt, x, quantize_acts=False))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_gpt2_quantize_params_swar_forward_parity():
+    from ggmlsharp_tpu.models import gpt2
+
+    cfg = gpt2.GPT2Config(n_vocab=512, n_ctx=64, n_embd=256, n_head=4,
+                          n_layer=2)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    qp_ref = gpt2.quantize_params(params, GType.Q8_0, swar=False)
+    qp_swar = gpt2.quantize_params(params, GType.Q8_0, swar=True)
+    assert any(
+        "qs_t" in b["attn"]["c_attn_w"].planes for b in qp_swar["blocks"]
+    )
+    assert "qs_t" not in qp_swar["wte"].planes  # embedding table stays rows
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    cache_a = gpt2.new_cache(cfg, 1)
+    cache_b = gpt2.new_cache(cfg, 1)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    la, _ = gpt2.forward(qp_ref, cfg, tokens, cache_a, pos)
+    lb, _ = gpt2.forward(qp_swar, cfg, tokens, cache_b, pos)
+    np.testing.assert_allclose(
+        np.asarray(la), np.asarray(lb), rtol=5e-4, atol=5e-4)
 
 
 def test_quantize_params_swar_forward_parity():
