@@ -368,16 +368,20 @@ def _call_kernel_swar(xlo, xhi, planes, gtype, n, k, tile, nc, tile_b):
     the output tile accumulates across chunks in VMEM."""
     b = xlo.shape[0]
     kc = k // nc
-    cc = kc // 32
-    has_m = gtype != GType.Q4_0
-    msign = 1.0 if gtype == GType.Q4_1 else -1.0
+    is_q6 = gtype == GType.Q6_K
+    is_q5 = gtype in (GType.Q5_0, GType.Q5_1)
+    cc = kc // 16 if is_q6 else kc // 32  # scale blocks per chunk
+    rep = kc // 2 // cc  # sublane scale expansion (8 for Q6_K, else 16)
+    has_m = gtype in (GType.Q4_1, GType.Q4_K, GType.Q5_1)
+    msign = -1.0 if gtype == GType.Q4_K else 1.0
 
     def kernel(xlo_ref, xhi_ref, *refs):
-        if has_m:
-            qs_ref, d_ref, m_ref, o_ref = refs
-        else:
-            qs_ref, d_ref, o_ref = refs
-            m_ref = None
+        rest = list(refs)
+        qs_ref = rest.pop(0)
+        qh_ref = rest.pop(0) if (is_q6 or is_q5) else None
+        d_ref = rest.pop(0)
+        m_ref = rest.pop(0) if has_m else None
+        (o_ref,) = rest
         jc = pl.program_id(2)
 
         @pl.when(jc == 0)
@@ -388,16 +392,37 @@ def _call_kernel_swar(xlo, xhi, planes, gtype, n, k, tile, nc, tile_b):
         mask = jnp.uint32(0x0F0F0F0F)
         vlo = pltpu.bitcast(p & mask, jnp.int8)
         vhi = pltpu.bitcast((p >> jnp.uint32(4)) & mask, jnp.int8)
-        d16 = pltpu.repeat(_decode_f16x2_rows(d_ref), 16, axis=0)
+        d16 = pltpu.repeat(_decode_f16x2_rows(d_ref), rep, axis=0)
         flo = vlo.astype(jnp.float32)
         fhi = vhi.astype(jnp.float32)
-        if gtype == GType.Q4_0:
+        if is_q6:
+            # 2-bit high plane: 4 dense masks + bitcasts; concat rows land
+            # in [lo-plane; hi-plane] order (formats.swar_pack_qh2)
+            q = qh_ref[:]
+            m2 = jnp.uint32(0x03030303)
+            hcat = jnp.concatenate(
+                [pltpu.bitcast((q >> jnp.uint32(2 * s)) & m2, jnp.int8)
+                 for s in range(4)], axis=0)  # (kc, tile)
+            flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0 - 32.0
+            fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0 - 32.0
+        elif is_q5:
+            # 1-bit high plane: 8 dense masks + bitcasts; same combined-row
+            # contract as qh2 (formats.swar_pack_qh1)
+            q = qh_ref[:]
+            m1 = jnp.uint32(0x01010101)
+            hcat = jnp.concatenate(
+                [pltpu.bitcast((q >> jnp.uint32(s)) & m1, jnp.int8)
+                 for s in range(8)], axis=0)  # (kc, tile)
+            off = 16.0 if gtype == GType.Q5_0 else 0.0
+            flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0 - off
+            fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0 - off
+        elif gtype == GType.Q4_0:
             flo = flo - 8.0
             fhi = fhi - 8.0
         wlo = flo * d16
         whi = fhi * d16
         if m_ref is not None:
-            m16 = pltpu.repeat(_decode_f16x2_rows(m_ref), 16, axis=0)
+            m16 = pltpu.repeat(_decode_f16x2_rows(m_ref), rep, axis=0)
             wlo = wlo + jnp.float32(msign) * m16
             whi = whi + jnp.float32(msign) * m16
 
@@ -417,11 +442,21 @@ def _call_kernel_swar(xlo, xhi, planes, gtype, n, k, tile, nc, tile_b):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((kc // 8, tile), lambda i, jb, jc: (jc, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((cc // 2, tile), lambda i, jb, jc: (jc, i),
-                     memory_space=pltpu.VMEM),
     ]
-    d_key = "kd_t" if gtype == GType.Q4_K else "d_t"
-    args = [xlo, xhi, planes["qs_t"], planes[d_key]]
+    d_key = "kd_t" if gtype in (GType.Q4_K, GType.Q6_K) else "d_t"
+    args = [xlo, xhi, planes["qs_t"]]
+    if is_q6 or is_q5:
+        qh_rows = kc // 16 if is_q6 else kc // 32
+        in_specs.append(
+            pl.BlockSpec((qh_rows, tile), lambda i, jb, jc: (jc, i),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(planes["qh_t"])
+    in_specs.append(
+        pl.BlockSpec((cc // 2, tile), lambda i, jb, jc: (jc, i),
+                     memory_space=pltpu.VMEM)
+    )
+    args.append(planes[d_key])
     if has_m:
         in_specs.append(
             pl.BlockSpec((cc // 2, tile), lambda i, jb, jc: (jc, i),
@@ -513,15 +548,15 @@ def swar_permute_x_q8(x2, k: int, nc: int):
     return jnp.concatenate(outs, axis=1)
 
 
-def swar_permute_x(x2, k: int, nc: int):
+def swar_permute_x(x2, k: int, nc: int, block: int = 32):
     """Element-order activations (b, K) → (x_lo, x_hi) in the swar k-order:
-    per chunk, row i ← element 32·(i mod C) + 2·(i//C) (+1 for hi)."""
+    per chunk, row i ← element block·(i mod C) + 2·(i//C) (+1 for hi)."""
     b = x2.shape[0]
     kc = k // nc
-    cc = kc // 32
+    cc = kc // block
     los, his = [], []
     for j in range(nc):
-        xc = x2[:, j * kc : (j + 1) * kc].reshape(b, cc, 16, 2)
+        xc = x2[:, j * kc : (j + 1) * kc].reshape(b, cc, block // 2, 2)
         los.append(jnp.transpose(xc[..., 0], (0, 2, 1)).reshape(b, kc // 2))
         his.append(jnp.transpose(xc[..., 1], (0, 2, 1)).reshape(b, kc // 2))
     return jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
@@ -556,7 +591,8 @@ def mul_mat_swar(a: QTensor, bx, quantize_acts: bool = True):
         out = _call_kernel_swar_q8(xq, dict(a.planes), n, k, tile, nc,
                                    tile_b)
     else:
-        xlo, xhi = swar_permute_x(x2, k, nc)
+        xlo, xhi = swar_permute_x(
+            x2, k, nc, block=16 if a.gtype == GType.Q6_K else 32)
         out = _call_kernel_swar(xlo, xhi, dict(a.planes), a.gtype, n, k,
                                 tile, nc, tile_b)
     if rpad:

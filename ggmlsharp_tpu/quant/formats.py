@@ -329,19 +329,23 @@ def swar_unpack_values_q8(plane: jnp.ndarray, n: int, k: int,
     return jnp.concatenate(outs, axis=-1)
 
 
-def swar_pack_values(vals: jnp.ndarray, n_chunks: int = 1) -> jnp.ndarray:
+def swar_pack_values(vals: jnp.ndarray, n_chunks: int = 1,
+                     block: int = 32) -> jnp.ndarray:
     """Nibble values (N, K) int in [0,15], element order → transposed
-    block-interleaved plane (K/8, N) uint32 (see module comment)."""
+    block-interleaved plane (K/8, N) uint32 (see module comment). `block`
+    is the scale granularity: int8 row i ← element block·(i mod C) +
+    2·(i//C), C = kc/block — so `pltpu.repeat(d, block/2, 0)` expands
+    per-block scales (32 for the legacy/Q4_K formats, 16 for Q6_K)."""
     n, k = vals.shape
     kc = k // n_chunks
-    assert kc % 64 == 0, (k, n_chunks)
-    c_blocks = kc // 32
+    assert kc % 64 == 0 and kc % block == 0, (k, n_chunks, block)
+    c_blocks = kc // block
     chunks = []
     for j in range(n_chunks):
         v = vals[:, j * kc : (j + 1) * kc].astype(jnp.uint32)
-        # (N, C, 16, 2): [n, block c, slot t, parity]
-        v4 = v.reshape(n, c_blocks, 16, 2)
-        # int8 row i = t·C + c  →  (16, C) leading, then flatten
+        # (N, C, block/2, 2): [n, block c, slot t, parity]
+        v4 = v.reshape(n, c_blocks, block // 2, 2)
+        # int8 row i = t·C + c  →  (block/2, C) leading, then flatten
         lo = jnp.transpose(v4[..., 0], (2, 1, 0)).reshape(kc // 2, n)
         hi = jnp.transpose(v4[..., 1], (2, 1, 0)).reshape(kc // 2, n)
         bytes_ = lo | (hi << jnp.uint32(4))  # (kc/2, N) one byte each
@@ -353,10 +357,10 @@ def swar_pack_values(vals: jnp.ndarray, n_chunks: int = 1) -> jnp.ndarray:
 
 
 def swar_unpack_values(plane: jnp.ndarray, n: int, k: int,
-                       n_chunks: int = 1) -> jnp.ndarray:
+                       n_chunks: int = 1, block: int = 32) -> jnp.ndarray:
     """Inverse of swar_pack_values → int32 (N, K) element order."""
     kc = k // n_chunks
-    c_blocks = kc // 32
+    c_blocks = kc // block
     outs = []
     for j in range(n_chunks):
         word = plane[j * (kc // 8) : (j + 1) * (kc // 8)]
@@ -364,9 +368,112 @@ def swar_unpack_values(plane: jnp.ndarray, n: int, k: int,
             [(word >> jnp.uint32(8 * b)) & jnp.uint32(0xFF) for b in range(4)],
             axis=1,
         ).reshape(kc // 2, n)
-        lo = (bytes_ & jnp.uint32(0xF)).reshape(16, c_blocks, n)
-        hi = (bytes_ >> jnp.uint32(4)).reshape(16, c_blocks, n)
-        v4 = jnp.stack([lo, hi], axis=-1)  # (16, C, N, 2)
+        lo = (bytes_ & jnp.uint32(0xF)).reshape(block // 2, c_blocks, n)
+        hi = (bytes_ >> jnp.uint32(4)).reshape(block // 2, c_blocks, n)
+        v4 = jnp.stack([lo, hi], axis=-1)  # (block/2, C, N, 2)
+        outs.append(
+            jnp.transpose(v4, (2, 1, 0, 3)).reshape(n, kc).astype(jnp.int32)
+        )
+    return jnp.concatenate(outs, axis=-1)
+
+
+def swar_pack_qh2(vals: jnp.ndarray, n_chunks: int = 1,
+                  block: int = 16) -> jnp.ndarray:
+    """2-bit high values (N, K) int in [0,3], element order → transposed
+    plane (K/16, N) uint32, 16 fields per word. Field placement inverts the
+    kernel's unpack — `concat([bitcast((Q >> 2s) & 0x03030303, int8) for
+    s in 0..3], axis=0)` — so concat row j = s·(kc/4) + 4w + b must hold
+    the high bits of the element at combined row j ([lo-plane rows;
+    hi-plane rows] in swar_pack_values order): value(j) lands in word w,
+    byte b, 2-bit field s with j = s·(kc/4) + 4w + b."""
+    n, k = vals.shape
+    kc = k // n_chunks
+    assert kc % 64 == 0 and kc % block == 0, (k, n_chunks, block)
+    c_blocks = kc // block
+    chunks = []
+    for j in range(n_chunks):
+        v = vals[:, j * kc : (j + 1) * kc].astype(jnp.uint32)
+        v4 = v.reshape(n, c_blocks, block // 2, 2)
+        lo = jnp.transpose(v4[..., 0], (2, 1, 0)).reshape(kc // 2, n)
+        hi = jnp.transpose(v4[..., 1], (2, 1, 0)).reshape(kc // 2, n)
+        H = jnp.concatenate([lo, hi], axis=0)  # (kc, n), combined row j
+        Hr = H.reshape(4, kc // 16, 4, n)  # [s, w, b, n]
+        word = jnp.zeros((kc // 16, n), jnp.uint32)
+        for s in range(4):
+            for b in range(4):
+                word = word | (Hr[s, :, b] << jnp.uint32(8 * b + 2 * s))
+        chunks.append(word)
+    return jnp.concatenate(chunks, axis=0)
+
+
+def swar_unpack_qh2(plane: jnp.ndarray, n: int, k: int,
+                    n_chunks: int = 1, block: int = 16) -> jnp.ndarray:
+    """Inverse of swar_pack_qh2 → int32 (N, K) element order."""
+    kc = k // n_chunks
+    c_blocks = kc // block
+    outs = []
+    for j in range(n_chunks):
+        word = plane[j * (kc // 16) : (j + 1) * (kc // 16)]
+        Hr = jnp.stack(
+            [jnp.stack(
+                [(word >> jnp.uint32(8 * b + 2 * s)) & jnp.uint32(3)
+                 for b in range(4)], axis=1)
+             for s in range(4)], axis=0)  # [s, w, b, n]
+        H = Hr.reshape(kc, n)
+        lo = H[: kc // 2].reshape(block // 2, c_blocks, n)
+        hi = H[kc // 2 :].reshape(block // 2, c_blocks, n)
+        v4 = jnp.stack([lo, hi], axis=-1)
+        outs.append(
+            jnp.transpose(v4, (2, 1, 0, 3)).reshape(n, kc).astype(jnp.int32)
+        )
+    return jnp.concatenate(outs, axis=-1)
+
+
+def swar_pack_qh1(vals: jnp.ndarray, n_chunks: int = 1,
+                  block: int = 32) -> jnp.ndarray:
+    """1-bit high values (N, K) in {0,1}, element order → transposed plane
+    (K/32, N) uint32, 32 fields per word. Same inversion contract as
+    swar_pack_qh2 but for the kernel's 8-shift unpack —
+    `concat([bitcast((Q >> s) & 0x01010101, int8) for s in 0..7], axis=0)`
+    — so value(j) lands in word w, byte b, bit s with j = s·(kc/8) + 4w + b
+    (combined row order = [lo-plane rows; hi-plane rows])."""
+    n, k = vals.shape
+    kc = k // n_chunks
+    assert kc % 64 == 0 and kc % block == 0, (k, n_chunks, block)
+    c_blocks = kc // block
+    chunks = []
+    for j in range(n_chunks):
+        v = vals[:, j * kc : (j + 1) * kc].astype(jnp.uint32)
+        v4 = v.reshape(n, c_blocks, block // 2, 2)
+        lo = jnp.transpose(v4[..., 0], (2, 1, 0)).reshape(kc // 2, n)
+        hi = jnp.transpose(v4[..., 1], (2, 1, 0)).reshape(kc // 2, n)
+        H = jnp.concatenate([lo, hi], axis=0)  # (kc, n), combined row j
+        Hr = H.reshape(8, kc // 32, 4, n)  # [s, w, b, n]
+        word = jnp.zeros((kc // 32, n), jnp.uint32)
+        for s in range(8):
+            for b in range(4):
+                word = word | (Hr[s, :, b] << jnp.uint32(8 * b + s))
+        chunks.append(word)
+    return jnp.concatenate(chunks, axis=0)
+
+
+def swar_unpack_qh1(plane: jnp.ndarray, n: int, k: int,
+                    n_chunks: int = 1, block: int = 32) -> jnp.ndarray:
+    """Inverse of swar_pack_qh1 → int32 (N, K) element order."""
+    kc = k // n_chunks
+    c_blocks = kc // block
+    outs = []
+    for j in range(n_chunks):
+        word = plane[j * (kc // 32) : (j + 1) * (kc // 32)]
+        Hr = jnp.stack(
+            [jnp.stack(
+                [(word >> jnp.uint32(8 * b + s)) & jnp.uint32(1)
+                 for b in range(4)], axis=1)
+             for s in range(8)], axis=0)  # [s, w, b, n]
+        H = Hr.reshape(kc, n)
+        lo = H[: kc // 2].reshape(block // 2, c_blocks, n)
+        hi = H[kc // 2 :].reshape(block // 2, c_blocks, n)
+        v4 = jnp.stack([lo, hi], axis=-1)
         outs.append(
             jnp.transpose(v4, (2, 1, 0, 3)).reshape(n, kc).astype(jnp.int32)
         )
@@ -423,7 +530,9 @@ def swar_layout(n: int, k: int, budget: int = 13 * 1024 * 1024,
 def swar_kt_bytes(gtype: "GType") -> int:
     from ..dtypes import GType
 
-    return 8 if gtype == GType.Q8_0 else 6
+    # Q8_0: w + d16 at full-K rows; Q5x/Q6_K: add the int8 high-bit concat
+    return 8 if gtype in (GType.Q8_0, GType.Q5_0, GType.Q5_1,
+                          GType.Q6_K) else 6
 
 
 def to_swar(qt: "QTensor") -> "QTensor":
@@ -439,6 +548,25 @@ def to_swar(qt: "QTensor") -> "QTensor":
         vals = from_storage_order(qt.planes["qs"], 32).astype(jnp.int32)
         planes = {"qs_t": swar_pack_values_q8(vals, nc)}
         scale_keys = ("d",)
+    elif qt.gtype in (GType.Q5_0, GType.Q5_1):
+        from .quantize import _unpack_high_bits
+
+        lo = from_storage_order(unpack_nibbles(qt.planes["qs"], k), 32)
+        hb = _unpack_high_bits(qt.planes["qh"]).reshape(n, k)
+        planes = {
+            "qs_t": swar_pack_values(lo, nc),
+            "qh_t": swar_pack_qh1(hb, nc),
+        }
+        scale_keys = ("d",) if qt.gtype == GType.Q5_0 else ("d", "m")
+    elif qt.gtype == GType.Q6_K:
+        flat = unpack_nibbles(qt.planes["ql"], k) \
+            | (unpack_2bit(qt.planes["qh"], k) << 4)
+        vals = from_storage_order(flat, 16)  # biased [0, 63]
+        planes = {
+            "qs_t": swar_pack_values(vals & 0xF, nc, block=16),
+            "qh_t": swar_pack_qh2(vals >> 4, nc, block=16),
+        }
+        scale_keys = ("kd",)
     else:
         vals = unpack_nibbles(qt.planes["qs"], k)  # storage order
         vals = from_storage_order(vals, 32)
@@ -460,7 +588,8 @@ def to_swar(qt: "QTensor") -> "QTensor":
 def swar_supported(qt: "QTensor") -> bool:
     from ..dtypes import GType
 
-    if qt.gtype not in (GType.Q4_0, GType.Q4_1, GType.Q4_K, GType.Q8_0):
+    if qt.gtype not in (GType.Q4_0, GType.Q4_1, GType.Q4_K, GType.Q8_0,
+                        GType.Q5_0, GType.Q5_1, GType.Q6_K):
         return False
     if len(qt.shape) != 2:
         return False
@@ -470,6 +599,8 @@ def swar_supported(qt: "QTensor") -> bool:
     keys = {
         GType.Q4_0: ("qs", "d"), GType.Q8_0: ("qs", "d"),
         GType.Q4_1: ("qs", "d", "m"), GType.Q4_K: ("qs", "kd", "km"),
+        GType.Q5_0: ("qs", "qh", "d"), GType.Q5_1: ("qs", "qh", "d", "m"),
+        GType.Q6_K: ("ql", "qh", "kd"),
     }[qt.gtype]
     if any(key not in qt.planes for key in keys):
         return False

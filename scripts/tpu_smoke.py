@@ -81,14 +81,16 @@ def main():
     # same DEFAULT-dot rounding bar as the fused kernels above.
     from ggmlsharp_tpu.quant.formats import swar_supported, to_swar
 
-    for g in (GType.Q4_0, GType.Q4_1, GType.Q4_K, GType.Q8_0):
+    for g in (GType.Q4_0, GType.Q4_1, GType.Q4_K, GType.Q8_0, GType.Q5_0,
+              GType.Q5_1, GType.Q6_K):
         qw = jax.jit(lambda a, g=g: quantize(a, g))(w)
         assert swar_supported(qw), g
         qs = jax.jit(to_swar)(qw)
         # layout round-trip: dequantize(swar) must equal dequantize(orig).
-        # Q4_K's swar dequant rides the fused f16 kd/km planes (~2^-11 off
-        # the exact f32 d*sc product) — same bar as the fused kernel above.
-        dtol = (5e-2, 1e-3) if g == GType.Q4_K else (1e-6, 1e-6)
+        # Q4_K/Q6_K swar dequant rides the fused f16 kd(/km) planes (~2^-11
+        # off the exact f32 d*sc product) — same bar as the fused kernels.
+        dtol = ((5e-2, 1e-3) if g in (GType.Q4_K, GType.Q6_K)
+                else (1e-6, 1e-6))
         dq_s = jax.jit(dequantize)(qs)
         dq_o = jax.jit(dequantize)(qw)
         check(f"swar dequant {g.name}", dq_s, dq_o, rtol=dtol[0],

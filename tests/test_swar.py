@@ -11,7 +11,8 @@ from ggmlsharp_tpu.kernels.matmul_q import (
 )
 from ggmlsharp_tpu.ops.matmul import mul_mat_q
 from ggmlsharp_tpu.quant.formats import (
-    swar_pack_scales, swar_pack_values, swar_pack_values_q8, swar_supported,
+    swar_pack_qh1, swar_pack_qh2, swar_pack_scales, swar_pack_values,
+    swar_pack_values_q8, swar_supported, swar_unpack_qh1, swar_unpack_qh2,
     swar_unpack_values, swar_unpack_values_q8, to_swar,
 )
 
@@ -36,6 +37,65 @@ def test_pack_unpack_roundtrip_q8(nc):
     assert plane.shape == (k // 4, n) and plane.dtype == jnp.uint32
     back = swar_unpack_values_q8(plane, n, k, nc)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(vals))
+
+
+@pytest.mark.parametrize("nc", [1, 2])
+def test_pack_unpack_roundtrip_qh2(nc):
+    rng = np.random.default_rng(5)
+    n, k = 64, 512
+    vals = jnp.asarray(rng.integers(0, 4, (n, k)), jnp.int32)
+    plane = swar_pack_qh2(vals, nc)
+    assert plane.shape == (k // 16, n) and plane.dtype == jnp.uint32
+    back = swar_unpack_qh2(plane, n, k, nc)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(vals))
+
+
+@pytest.mark.parametrize("nc", [1, 2])
+def test_pack_unpack_roundtrip_qh1(nc):
+    rng = np.random.default_rng(7)
+    n, k = 64, 512
+    vals = jnp.asarray(rng.integers(0, 2, (n, k)), jnp.int32)
+    plane = swar_pack_qh1(vals, nc)
+    assert plane.shape == (k // 32, n) and plane.dtype == jnp.uint32
+    back = swar_unpack_qh1(plane, n, k, nc)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(vals))
+
+
+@pytest.mark.parametrize("gtype", [GType.Q5_0, GType.Q5_1])
+def test_to_swar_dequant_identity_q5(gtype):
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.standard_normal((256, 512)).astype(np.float32) * 0.1)
+    qt = quantize(w, gtype)
+    assert swar_supported(qt)
+    sw = to_swar(qt)
+    assert "qs_t" in sw.planes and "qh_t" in sw.planes
+    # Q5 scales are plain f16 planes — swar dequant is bit-exact vs original
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(sw)), np.asarray(dequantize(qt)))
+
+
+def test_to_swar_dequant_identity_q6_k():
+    rng = np.random.default_rng(6)
+    w = jnp.asarray(rng.standard_normal((512, 512)).astype(np.float32) * 0.1)
+    qt = quantize(w, GType.Q6_K)
+    assert swar_supported(qt)
+    sw = to_swar(qt)
+    assert "qs_t" in sw.planes and "qh_t" in sw.planes
+    got = np.asarray(dequantize(sw))
+    # swar rides the f16-FUSED kd plane; the reference reconstructs from
+    # exact f32 d*sc — ~2^-11 apart. Exact vs the kd reconstruction:
+    from ggmlsharp_tpu.quant.formats import (
+        from_storage_order, unpack_2bit, unpack_nibbles,
+    )
+
+    k = qt.shape[-1]
+    flat = np.asarray(unpack_nibbles(qt["ql"], k)) \
+        | (np.asarray(unpack_2bit(qt["qh"], k)) << 4)
+    v = np.asarray(from_storage_order(jnp.asarray(flat), 16)) - 32
+    kd = np.repeat(np.asarray(qt["kd"]).astype(np.float32), 16, axis=-1)
+    np.testing.assert_allclose(got, v * kd, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        got, np.asarray(dequantize(qt)), rtol=2e-3, atol=5e-4)
 
 
 @pytest.mark.parametrize(
@@ -67,7 +127,8 @@ def test_to_swar_dequant_identity(gtype):
 
 
 @pytest.mark.parametrize(
-    "gtype", [GType.Q4_0, GType.Q4_1, GType.Q4_K, GType.Q8_0])
+    "gtype", [GType.Q4_0, GType.Q4_1, GType.Q4_K, GType.Q8_0, GType.Q5_0,
+              GType.Q5_1, GType.Q6_K])
 @pytest.mark.parametrize("rows", [1, 3, 16])
 def test_swar_matmul_parity(gtype, rows):
     rng = np.random.default_rng(2)
@@ -83,7 +144,7 @@ def test_swar_matmul_parity(gtype, rows):
     # kd/km f16-fused scales differ ~2^-11 from the d*sc reconstruction)
     want_kd = np.asarray(x) @ np.asarray(dequantize(sw)).T
     np.testing.assert_allclose(got, want_kd, rtol=2e-5, atol=2e-5)
-    tol = 2e-2 if gtype == GType.Q4_K else 2e-5
+    tol = 2e-2 if gtype in (GType.Q4_K, GType.Q6_K) else 2e-5
     np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
 
 
