@@ -158,6 +158,7 @@ def run_workload():
     gtypes = {
         "q8_0": GType.Q8_0, "q4_0": GType.Q4_0, "q4_1": GType.Q4_1,
         "q4_k": GType.Q4_K, "q6_k": GType.Q6_K, "q5_0": GType.Q5_0,
+        "q5_1": GType.Q5_1,
     }
 
     _log(f"workload {model} {fmt} b={batch} steps={steps} — building params")
@@ -231,8 +232,11 @@ def run_workload():
     n2 = n1 + steps
     # one static length bucket covering the whole run → a single decode
     # executable, attention reads only that prefix (no in-graph switch)
+    # cache.length is RESET to its post-prefill value before every timed
+    # window (the decoded positions repeat; attention cost is identical), so
+    # the bucket only needs to cover one window regardless of BENCH_REPS
     t_eff = sampling.length_bucket(
-        prefill_len + n1 + n2 + 4, getattr(cfg, "n_ctx", 2048))
+        prefill_len + n1 + n2 + 8, getattr(cfg, "n_ctx", 2048))
     logits, cache = prefill(params, prompt, cache,
                             t_eff=sampling.length_bucket(
                                 prefill_len, getattr(cfg, "n_ctx", 2048)))
@@ -241,13 +245,64 @@ def run_workload():
     _np.asarray(tok)
     _log(f"decode step compiled at t={time.perf_counter()-t_start:.1f}s")
 
+    # BENCH_CHAIN=1 (default for sub-ms steps, i.e. every model except 7B):
+    # run the n-step greedy chain as ONE jitted dispatch (lax.fori_loop —
+    # the generate_scan while-loop machinery, models/sampling.py) so the
+    # measurement resolves device throughput instead of per-step relay
+    # round-trips (~ms each, high variance) that swamp a ~0.4 ms step.
+    chain_default = "0" if model == "llama-7b" else "1"
+    if os.environ.get("BENCH_CHAIN", chain_default) == "1":
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("n",),
+                           donate_argnums=(2,))
+        def jit_chain(params, tok, cache, n):
+            def body(_, c):
+                t, cc = c
+                return gstep(params, t, cc, t_eff=t_eff)
+
+            return jax.lax.fori_loop(0, n, body, (tok, cache))
+
+        def run_once(n):
+            nonlocal tok, cache
+            t0 = time.perf_counter()
+            tok, cache = jit_chain(params, tok, cache, n)
+            _np.asarray(tok)
+            return time.perf_counter() - t0
+    else:
+        def run_once(n):
+            nonlocal tok, cache
+            t0 = time.perf_counter()
+            for _ in range(n):
+                tok, cache = gstep(params, tok, cache, t_eff=t_eff)
+            _np.asarray(tok)  # forces completion through the relay
+            return time.perf_counter() - t0
+
+    # Each timed window is (true device time + relay dispatch/fetch jitter,
+    # which is strictly additive and tens of ms in bad windows). min over
+    # BENCH_REPS repetitions estimates the jitter-free window; the two-length
+    # slope then cancels the remaining fixed latency. cache.length is reset
+    # to the post-prefill value before each window so positions repeat and
+    # one t_eff bucket covers every rep.
+    from ggmlsharp_tpu.models.kv_cache import KVCache
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    len0 = _np.asarray(cache.length)  # host copy — chain mode donates cache
+
+    def reset_len(c):
+        return KVCache(c.k, c.v, c.k_scale, c.v_scale,
+                       jnp.asarray(len0))
+
+    run_once(n1)  # compile/warm (chain mode compiles the n1 executable)
+
     def timed_chain(n):
-        nonlocal tok, cache
-        t0 = time.perf_counter()
-        for _ in range(n):
-            tok, cache = gstep(params, tok, cache, t_eff=t_eff)
-        _np.asarray(tok)  # forces completion through the relay
-        return time.perf_counter() - t0
+        nonlocal cache
+        best = None
+        for _ in range(reps):
+            cache = reset_len(cache)
+            t = run_once(n)
+            best = t if best is None else min(best, t)
+        return best
     t_short = timed_chain(n1)
     t_long = timed_chain(n2)
     dt = t_long - t_short

@@ -342,7 +342,10 @@ def _planewise_enabled() -> bool:
 def _decode_f16x2_rows(ref):
     """Sublane-axis analog of _decode_f16x2: uint32 f16-pair plane
     (C/2, TILE) → f32 (C, TILE), row c ← block c (lo halves first)."""
-    p = ref[:]
+    return _decode_f16x2_arr(ref[:])
+
+
+def _decode_f16x2_arr(p):
     u = jnp.concatenate(
         [p & jnp.uint32(0xFFFF), p >> jnp.uint32(16)], axis=0
     )

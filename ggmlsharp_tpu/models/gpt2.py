@@ -16,6 +16,7 @@ from ..quant.formats import QTensor
 from ..quant.quantize import dequantize, quantize
 from ..dtypes import GType
 from . import kv_cache as kvc
+from ..kernels.mlp_fused import _MAX_FUSED_B
 from .common import cached_attention, linear, merge_heads, split_heads
 
 
@@ -128,14 +129,35 @@ def quantize_params(params, gtype: GType, min_cols: int = 256,
                     "c_proj_b": b["attn"]["c_proj_b"],
                 },
                 "ln_2": b["ln_2"],
-                "mlp": {
-                    "c_fc_w": q("mlp", b["mlp"]["c_fc_w"]),
-                    "c_fc_b": b["mlp"]["c_fc_b"],
-                    "c_proj_w": q("mlp", b["mlp"]["c_proj_w"]),
-                    "c_proj_b": b["mlp"]["c_proj_b"],
-                },
+                "mlp": _q_mlp(b["mlp"], q, gtype, use_swar),
             }
         )
+    return out
+
+
+def _q_mlp(mlp, q, gtype, use_swar):
+    """Quantize one MLP. When the pair qualifies for the fused megakernel
+    (Q8_0, SWAR on, fits VMEM — kernels.mlp_fused), ALSO pack both matmuls
+    plus the GELU into one pallas-call's planes (same payload bits, W1 lanes
+    permuted); decode-sized row counts ride it, prefill keeps the per-matmul
+    SWAR kernels (forward picks by row count)."""
+    import os
+
+    from ..kernels.mlp_fused import fuse_mlp_q8, mlp_fuse_supported
+
+    out = {"c_fc_b": mlp["c_fc_b"], "c_proj_b": mlp["c_proj_b"]}
+    if (use_swar and gtype == GType.Q8_0
+            and os.environ.get("GGML_TPU_MLP_FUSED", "1") == "1"
+            and not isinstance(mlp["c_fc_w"], QTensor)):
+        from ..quant.quantize import quantize
+
+        fc = quantize(mlp["c_fc_w"].astype(jnp.float32), gtype)
+        pj = quantize(mlp["c_proj_w"].astype(jnp.float32), gtype)
+        if mlp_fuse_supported(fc, pj):
+            out["fused"] = fuse_mlp_q8(fc, mlp["c_fc_b"], pj,
+                                       mlp["c_proj_b"])
+    out["c_fc_w"] = q("mlp", mlp["c_fc_w"])
+    out["c_proj_w"] = q("mlp", mlp["c_proj_w"])
     return out
 
 
@@ -164,8 +186,22 @@ def forward(params, cfg: GPT2Config, tokens, cache: kvc.KVCache, positions,
         x = x + linear(blk["attn"]["c_proj_w"], merge_heads(a), blk["attn"]["c_proj_b"])
 
         h = _layer_norm(x, blk["ln_2"]["g"], blk["ln_2"]["b"], cfg.ln_eps)
-        h = ops.gelu(linear(blk["mlp"]["c_fc_w"], h, blk["mlp"]["c_fc_b"]))
-        x = x + linear(blk["mlp"]["c_proj_w"], h, blk["mlp"]["c_proj_b"])
+        rows = 1
+        for s in h.shape[:-1]:
+            rows *= s
+        if "fused" in blk["mlp"] and rows <= _MAX_FUSED_B:
+            from ..config import get_config
+            from ..kernels.mlp_fused import flash_ff_q8
+
+            x = x + flash_ff_q8(
+                blk["mlp"]["fused"], h,
+                quantize_acts=get_config().quantize_activations,
+            ).astype(x.dtype)
+        else:
+            h = ops.gelu(
+                linear(blk["mlp"]["c_fc_w"], h, blk["mlp"]["c_fc_b"]))
+            x = x + linear(blk["mlp"]["c_proj_w"], h,
+                           blk["mlp"]["c_proj_b"])
 
     x = _layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], cfg.ln_eps)
     wte = params["wte"]

@@ -103,6 +103,49 @@ def main():
         )(x)
         check(f"swar mm {g.name}", got, want, rtol=5e-2, atol=2e-1)
 
+    # --- fused GELU-MLP megakernel (kernels.mlp_fused) ------------------
+    from ggmlsharp_tpu.kernels.mlp_fused import (
+        flash_ff_q8, fuse_mlp_q8, mlp_fuse_supported,
+    )
+    from ggmlsharp_tpu.ops.basic import gelu
+
+    w1 = jnp.asarray(rng.standard_normal((2048, 512)).astype(np.float32) * .1)
+    w2 = jnp.asarray(rng.standard_normal((512, 2048)).astype(np.float32) * .1)
+    b1 = jnp.asarray(rng.standard_normal(2048).astype(np.float32) * .05)
+    b2 = jnp.asarray(rng.standard_normal(512).astype(np.float32) * .05)
+    q1 = jax.jit(lambda a: quantize(a, GType.Q8_0))(w1)
+    q2 = jax.jit(lambda a: quantize(a, GType.Q8_0))(w2)
+    assert mlp_fuse_supported(q1, q2)
+    fused = jax.jit(lambda a, b, c, d: fuse_mlp_q8(a, b, c, d))(q1, b1, q2, b2)
+    xm = jnp.asarray(rng.standard_normal((1, 512)).astype(np.float32))
+    got = jax.jit(
+        lambda v: flash_ff_q8(fused, v, quantize_acts=False))(xm)
+    want = jax.jit(lambda v: mul_mat_q(
+        q2, gelu(mul_mat_q(q1, v, quantize_acts=False) + b1),
+        quantize_acts=False) + b2)(xm)
+    check("mlp megakernel Q8_0", got, want, rtol=5e-2, atol=2e-1)
+
+    # --- SwiGLU megakernel (llama MLP, 4-bit SWAR planes) ---------------
+    from ggmlsharp_tpu.kernels.mlp_fused import (
+        flash_ff_silu_q4, fuse_mlp_silu_q4, mlp_silu_fuse_supported,
+    )
+    from ggmlsharp_tpu.ops.basic import silu
+
+    wg = jnp.asarray(rng.standard_normal((2048, 512)).astype(np.float32) * .1)
+    wd = jnp.asarray(rng.standard_normal((512, 1024)).astype(np.float32) * .1)
+    qg = jax.jit(lambda a: quantize(a, GType.Q4_0))(wg)
+    qd = jax.jit(lambda a: quantize(a, GType.Q4_0))(wd)
+    assert mlp_silu_fuse_supported(qg, qd)
+    sfused = jax.jit(lambda a, b: fuse_mlp_silu_q4(a, b))(qg, qd)
+    got = jax.jit(
+        lambda v: flash_ff_silu_q4(sfused, v, quantize_acts=False))(xm)
+    def silu_ref(v):
+        gu = mul_mat_q(qg, v, quantize_acts=False)
+        h = silu(gu[:, :1024]) * gu[:, 1024:]
+        return mul_mat_q(qd, h, quantize_acts=False)
+    want = jax.jit(silu_ref)(xm)
+    check("mlp megakernel SwiGLU Q4_0", got, want, rtol=5e-2, atol=2e-1)
+
     # --- exact integer-dot kernel (b=1) -------------------------------
     x1 = x[:1]
     for g in (GType.Q4_0, GType.Q8_0):

@@ -171,9 +171,13 @@ def test_swar_chunked_kernel_parity():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
-def test_gpt2_quantize_params_swar_forward_parity():
+def test_gpt2_quantize_params_swar_forward_parity(monkeypatch):
     from ggmlsharp_tpu.models import gpt2
 
+    # layout-parity only: the MLP megakernel (tested in test_mlp_fused)
+    # legitimately skips the h requantization round-trip, moving logits
+    # beyond this test's layout-noise bar
+    monkeypatch.setenv("GGML_TPU_MLP_FUSED", "0")
     cfg = gpt2.GPT2Config(n_vocab=512, n_ctx=64, n_embd=256, n_head=4,
                           n_layer=2)
     params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
