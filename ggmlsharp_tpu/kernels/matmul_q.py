@@ -365,10 +365,19 @@ def _decode_f16x2_arr(p):
     jax.jit,
     static_argnames=("gtype", "n", "k", "tile", "nc", "tile_b"),
 )
-def _call_kernel_swar(xlo, xhi, planes, gtype, n, k, tile, nc, tile_b):
-    """xlo/xhi: (b, K/2) f32 in swar k-order (swar_permute_x). Grid
-    (N-tiles, b-tiles, k-chunks) with the chunk axis innermost sequential:
-    the output tile accumulates across chunks in VMEM."""
+def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
+    """xlo/xhi: (b, K/2) f32 in swar k-order (swar_permute_x); xs: (b, C)
+    per-quant-block activation sums in block order. Grid (N-tiles, b-tiles,
+    k-chunks) with the chunk axis innermost sequential: the output tile
+    accumulates across chunks in VMEM.
+
+    Affine fold: the per-element value offsets (−8 Q4_0, −16 Q5_0, −32
+    Q6_K) and min planes (±m for Q4_1/Q5_1/Q4_K) never touch the VPU's
+    per-element path — Σₖ x·off·d_blk(k) = Σ_c (Σ_{k∈c} x)·off·d_c is ONE
+    tiny MXU dot of xs against per-block coefficients (the planewise-v2
+    trick, generalized). Removes ~1 VPU op/element plus the m16 sublane
+    repeat in a VPU-bound kernel; identical math, different summation
+    order (same rounding class as the DEFAULT bf16 dot itself)."""
     b = xlo.shape[0]
     kc = k // nc
     is_q6 = gtype == GType.Q6_K
@@ -377,8 +386,10 @@ def _call_kernel_swar(xlo, xhi, planes, gtype, n, k, tile, nc, tile_b):
     rep = kc // 2 // cc  # sublane scale expansion (8 for Q6_K, else 16)
     has_m = gtype in (GType.Q4_1, GType.Q4_K, GType.Q5_1)
     msign = -1.0 if gtype == GType.Q4_K else 1.0
+    voff = {GType.Q4_0: -8.0, GType.Q5_0: -16.0, GType.Q6_K: -32.0}.get(
+        gtype, 0.0)
 
-    def kernel(xlo_ref, xhi_ref, *refs):
+    def kernel(xlo_ref, xhi_ref, xs_ref, *refs):
         rest = list(refs)
         qs_ref = rest.pop(0)
         qh_ref = rest.pop(0) if (is_q6 or is_q5) else None
@@ -395,7 +406,8 @@ def _call_kernel_swar(xlo, xhi, planes, gtype, n, k, tile, nc, tile_b):
         mask = jnp.uint32(0x0F0F0F0F)
         vlo = pltpu.bitcast(p & mask, jnp.int8)
         vhi = pltpu.bitcast((p >> jnp.uint32(4)) & mask, jnp.int8)
-        d16 = pltpu.repeat(_decode_f16x2_rows(d_ref), rep, axis=0)
+        d_dec = _decode_f16x2_rows(d_ref)  # (cc, tile) f32, row c ← block c
+        d16 = pltpu.repeat(d_dec, rep, axis=0)
         flo = vlo.astype(jnp.float32)
         fhi = vhi.astype(jnp.float32)
         if is_q6:
@@ -406,8 +418,8 @@ def _call_kernel_swar(xlo, xhi, planes, gtype, n, k, tile, nc, tile_b):
             hcat = jnp.concatenate(
                 [pltpu.bitcast((q >> jnp.uint32(2 * s)) & m2, jnp.int8)
                  for s in range(4)], axis=0)  # (kc, tile)
-            flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0 - 32.0
-            fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0 - 32.0
+            flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0
+            fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0
         elif is_q5:
             # 1-bit high plane: 8 dense masks + bitcasts; same combined-row
             # contract as qh2 (formats.swar_pack_qh1)
@@ -416,18 +428,16 @@ def _call_kernel_swar(xlo, xhi, planes, gtype, n, k, tile, nc, tile_b):
             hcat = jnp.concatenate(
                 [pltpu.bitcast((q >> jnp.uint32(s)) & m1, jnp.int8)
                  for s in range(8)], axis=0)  # (kc, tile)
-            off = 16.0 if gtype == GType.Q5_0 else 0.0
-            flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0 - off
-            fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0 - off
-        elif gtype == GType.Q4_0:
-            flo = flo - 8.0
-            fhi = fhi - 8.0
+            flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0
+            fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0
         wlo = flo * d16
         whi = fhi * d16
+        # per-block affine coefficients (cc, tile): off·d and/or ±m
+        caff = d_dec * jnp.float32(voff) if voff else None
         if m_ref is not None:
-            m16 = pltpu.repeat(_decode_f16x2_rows(m_ref), rep, axis=0)
-            wlo = wlo + jnp.float32(msign) * m16
-            whi = whi + jnp.float32(msign) * m16
+            m_dec = _decode_f16x2_rows(m_ref)
+            maff = jnp.float32(msign) * m_dec
+            caff = maff if caff is None else caff + maff
 
         def dot(a, w):
             return jax.lax.dot_general(
@@ -435,7 +445,10 @@ def _call_kernel_swar(xlo, xhi, planes, gtype, n, k, tile, nc, tile_b):
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
 
-        o_ref[:] = o_ref[:] + dot(xlo_ref[:], wlo) + dot(xhi_ref[:], whi)
+        acc = dot(xlo_ref[:], wlo) + dot(xhi_ref[:], whi)
+        if caff is not None:
+            acc = acc + dot(xs_ref[:], caff)
+        o_ref[:] = o_ref[:] + acc
 
     grid = (n // tile, b // tile_b, nc)
     in_specs = [
@@ -443,11 +456,13 @@ def _call_kernel_swar(xlo, xhi, planes, gtype, n, k, tile, nc, tile_b):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_b, kc // 2), lambda i, jb, jc: (jb, jc),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_b, cc), lambda i, jb, jc: (jb, jc),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((kc // 8, tile), lambda i, jb, jc: (jc, i),
                      memory_space=pltpu.VMEM),
     ]
     d_key = "kd_t" if gtype in (GType.Q4_K, GType.Q6_K) else "d_t"
-    args = [xlo, xhi, planes["qs_t"]]
+    args = [xlo, xhi, xs, planes["qs_t"]]
     if is_q6 or is_q5:
         qh_rows = kc // 16 if is_q6 else kc // 32
         in_specs.append(
@@ -584,19 +599,25 @@ def mul_mat_swar(a: QTensor, bx, quantize_acts: bool = True):
     b = x2.shape[0]
     from ..quant.formats import swar_kt_bytes
 
-    tile, nc = swar_layout(n, k, kt_bytes=swar_kt_bytes(a.gtype))
-    cap = max(8, _MAX_XB_BYTES // (k * 4))
+    tile, nc, kp = swar_layout(n, k, kt_bytes=swar_kt_bytes(a.gtype))
+    if kp != k:  # layout k-padding: planes hold zero blocks past k
+        x2 = jnp.pad(x2, ((0, 0), (0, kp - k)))
+    cap = max(8, _MAX_XB_BYTES // (kp * 4))
     tile_b = b
     while tile_b > cap and tile_b % 2 == 0:
         tile_b //= 2
     if a.gtype == GType.Q8_0:
-        xq = swar_permute_x_q8(x2, k, nc)
-        out = _call_kernel_swar_q8(xq, dict(a.planes), n, k, tile, nc,
+        xq = swar_permute_x_q8(x2, kp, nc)
+        out = _call_kernel_swar_q8(xq, dict(a.planes), n, kp, tile, nc,
                                    tile_b)
     else:
-        xlo, xhi = swar_permute_x(
-            x2, k, nc, block=16 if a.gtype == GType.Q6_K else 32)
-        out = _call_kernel_swar(xlo, xhi, dict(a.planes), a.gtype, n, k,
+        block = 16 if a.gtype == GType.Q6_K else 32
+        xlo, xhi = swar_permute_x(x2, kp, nc, block=block)
+        # per-quant-block activation sums for the in-kernel affine fold
+        # (offset/min terms ride one small MXU dot instead of per-element
+        # VPU work) — block order matches the decoded scale rows
+        xs = x2.reshape(b, kp // block, block).sum(axis=-1)
+        out = _call_kernel_swar(xlo, xhi, xs, dict(a.planes), a.gtype, n, kp,
                                 tile, nc, tile_b)
     if rpad:
         out = out[:rows]

@@ -499,32 +499,50 @@ def swar_pack_scales(d: jnp.ndarray, n_chunks: int = 1) -> jnp.ndarray:
 
 
 def swar_layout(n: int, k: int, budget: int = 13 * 1024 * 1024,
-                kt_bytes: int = 6) -> tuple[int, int]:
-    """Pick (tile, n_chunks) jointly for a (N, K) weight.
+                kt_bytes: int = 6) -> tuple[int, int, int]:
+    """Pick (tile, n_chunks, k_padded) jointly for a (N, K) weight.
 
     Legality (Pallas requires the last two block dims be (8, 128)-divisible
     or equal to the full array dims):
       * nc == 1: every k-axis block IS the full array — always legal;
-      * nc > 1: kc = k/nc must be % 512 == 0 so the xlo (kc/2 lanes), qs_t
+      * nc > 1: kc = kp/nc must be % 512 == 0 so the xlo (kc/2 lanes), qs_t
         (kc/8 sublanes) and scale (kc/64 sublanes) chunk blocks all tile.
     VMEM: the f32 kernel intermediates are kt_bytes·kc·tile bytes —
     4-bit formats 6 (wlo + whi + d16, each (kc/2)·tile·4 B), Q8_0 8
     (w + d16, each kc·tile·4 B).
-    Prefers the largest tile that fits with the fewest chunks (k=11008 —
-    7B w_down — only admits nc=1, so it lands on tile=128)."""
+    Prefers the largest tile with the fewest chunks. When K itself admits
+    only a small tile (k=11008 — 7B w_down — has no 512-divisible chunking,
+    so unpadded it lands on tile=128 at 477-555 GB/s vs 617-660 for
+    tile 512), K is PADDED up to the next multiple of 512 (kp=11264, 2.3%
+    extra weight bytes) — to_swar packs zero blocks (d=0) and mul_mat_swar
+    zero-pads activations, so results are unchanged."""
     import os
 
     pref = int(os.environ.get("GGML_TPU_SWAR_TILE", "512"))
     tiles = [t for t in (pref, 512, 256, 128) if n % t == 0]
-    for tile in tiles:
-        nc = 1
-        while nc <= k // 64:
-            kc = k // nc
-            if kc % 64 == 0 and (nc == 1 or kc % 512 == 0):
-                if kt_bytes * kc * tile <= budget:
+
+    def best(kx):
+        # nc candidates: 1, plus every divisor of kx with a 512-multiple kc
+        cands = [1] + [d for d in range(2, kx // 512 + 1)
+                       if kx % d == 0 and (kx // d) % 512 == 0]
+        for tile in tiles:
+            for nc in cands:
+                kc = kx // nc
+                if kc % 64 == 0 and kt_bytes * kc * tile <= budget:
                     return tile, nc
-            nc *= 2
-    raise ValueError(f"no valid swar layout for shape ({n}, {k})")
+        return None
+
+    r = best(k)
+    if r is not None and r[0] == tiles[0]:
+        return r[0], r[1], k
+    kp = -(-k // 512) * 512
+    if kp != k and os.environ.get("GGML_TPU_SWAR_PAD", "1") == "1":
+        rp = best(kp)
+        if rp is not None and (r is None or rp[0] > r[0]):
+            return rp[0], rp[1], kp
+    if r is None:
+        raise ValueError(f"no valid swar layout for shape ({n}, {k})")
+    return r[0], r[1], k
 
 
 def swar_kt_bytes(gtype: "GType") -> int:
@@ -543,10 +561,15 @@ def to_swar(qt: "QTensor") -> "QTensor":
     from ..dtypes import GType
 
     n, k = qt.shape
-    tile, nc = swar_layout(n, k, kt_bytes=swar_kt_bytes(qt.gtype))
+    tile, nc, kp = swar_layout(n, k, kt_bytes=swar_kt_bytes(qt.gtype))
+    block = 16 if qt.gtype == GType.Q6_K else 32
+
+    def padk(a):  # zero blocks: values 0, and (below) scale d = 0
+        return a if kp == k else jnp.pad(a, ((0, 0), (0, kp - k)))
+
     if qt.gtype == GType.Q8_0:
         vals = from_storage_order(qt.planes["qs"], 32).astype(jnp.int32)
-        planes = {"qs_t": swar_pack_values_q8(vals, nc)}
+        planes = {"qs_t": swar_pack_values_q8(padk(vals), nc)}
         scale_keys = ("d",)
     elif qt.gtype in (GType.Q5_0, GType.Q5_1):
         from .quantize import _unpack_high_bits
@@ -554,8 +577,8 @@ def to_swar(qt: "QTensor") -> "QTensor":
         lo = from_storage_order(unpack_nibbles(qt.planes["qs"], k), 32)
         hb = _unpack_high_bits(qt.planes["qh"]).reshape(n, k)
         planes = {
-            "qs_t": swar_pack_values(lo, nc),
-            "qh_t": swar_pack_qh1(hb, nc),
+            "qs_t": swar_pack_values(padk(lo), nc),
+            "qh_t": swar_pack_qh1(padk(hb), nc),
         }
         scale_keys = ("d",) if qt.gtype == GType.Q5_0 else ("d", "m")
     elif qt.gtype == GType.Q6_K:
@@ -563,14 +586,14 @@ def to_swar(qt: "QTensor") -> "QTensor":
             | (unpack_2bit(qt.planes["qh"], k) << 4)
         vals = from_storage_order(flat, 16)  # biased [0, 63]
         planes = {
-            "qs_t": swar_pack_values(vals & 0xF, nc, block=16),
-            "qh_t": swar_pack_qh2(vals >> 4, nc, block=16),
+            "qs_t": swar_pack_values(padk(vals & 0xF), nc, block=16),
+            "qh_t": swar_pack_qh2(padk(vals >> 4), nc, block=16),
         }
         scale_keys = ("kd",)
     else:
         vals = unpack_nibbles(qt.planes["qs"], k)  # storage order
         vals = from_storage_order(vals, 32)
-        planes = {"qs_t": swar_pack_values(vals, nc)}
+        planes = {"qs_t": swar_pack_values(padk(vals), nc)}
         if qt.gtype == GType.Q4_0:
             scale_keys = ("d",)
         elif qt.gtype == GType.Q4_1:
@@ -579,8 +602,12 @@ def to_swar(qt: "QTensor") -> "QTensor":
             scale_keys = ("kd", "km")
         else:
             raise ValueError(f"swar: unsupported {qt.gtype}")
+    cpad = (kp - k) // block
     for key in scale_keys:
-        planes[_SWAR_SCALE_KEYS[key]] = swar_pack_scales(qt.planes[key], nc)
+        sc = qt.planes[key]
+        if cpad:
+            sc = jnp.pad(sc, ((0, 0), (0, cpad)))  # d/m = 0 on pad blocks
+        planes[_SWAR_SCALE_KEYS[key]] = swar_pack_scales(sc, nc)
         planes[key] = qt.planes[key]
     return QTensor(qt.gtype, qt.shape, planes)
 

@@ -534,17 +534,22 @@ def dequantize(qt: QTensor):
         )
 
         n, k = qt.shape
-        _, nc = swar_layout(n, k, kt_bytes=swar_kt_bytes(qt.gtype))
+        _, nc, kp = swar_layout(n, k, kt_bytes=swar_kt_bytes(qt.gtype))
+
+        def unpad(v):  # drop zero pad blocks (swar_layout k-padding)
+            return v if kp == k else v[:, :k]
+
         if qt.gtype == GType.Q8_0:
-            v = swar_unpack_values_q8(qt.planes["qs_t"], n, k, nc).astype(F32)
+            v = unpad(swar_unpack_values_q8(qt.planes["qs_t"], n, kp, nc)
+                      ).astype(F32)
             d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
             return v * d
         if qt.gtype in (GType.Q5_0, GType.Q5_1):
             from .formats import swar_unpack_qh1
 
-            v = (swar_unpack_values(qt.planes["qs_t"], n, k, nc)
-                 | (swar_unpack_qh1(qt.planes["qh_t"], n, k, nc) << 4)
-                 ).astype(F32)
+            v = unpad(swar_unpack_values(qt.planes["qs_t"], n, kp, nc)
+                      | (swar_unpack_qh1(qt.planes["qh_t"], n, kp, nc) << 4)
+                      ).astype(F32)
             d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
             if qt.gtype == GType.Q5_0:
                 return (v - 16.0) * d
@@ -553,12 +558,14 @@ def dequantize(qt: QTensor):
         if qt.gtype == GType.Q6_K:
             from .formats import swar_unpack_qh2
 
-            v = (swar_unpack_values(qt.planes["qs_t"], n, k, nc, block=16)
-                 | (swar_unpack_qh2(qt.planes["qh_t"], n, k, nc) << 4)
-                 ).astype(F32)
+            v = unpad(
+                swar_unpack_values(qt.planes["qs_t"], n, kp, nc, block=16)
+                | (swar_unpack_qh2(qt.planes["qh_t"], n, kp, nc) << 4)
+            ).astype(F32)
             d = jnp.repeat(qt["kd"].astype(F32), 16, axis=-1)
             return (v - 32.0) * d
-        v = swar_unpack_values(qt.planes["qs_t"], n, k, nc).astype(F32)
+        v = unpad(swar_unpack_values(qt.planes["qs_t"], n, kp, nc)
+                  ).astype(F32)
         if qt.gtype == GType.Q4_0:
             d = jnp.repeat(qt["d"].astype(F32), 32, axis=-1)
             return (v - 8.0) * d

@@ -92,15 +92,16 @@ def loop_kernel_swar(qs_t, d_t, n, k, b):
     """LOOP dependent swar-kernel invocations inside one executable."""
     from ggmlsharp_tpu.quant.formats import swar_layout
 
-    tile, nc = swar_layout(n, k)
+    tile, nc, kp = swar_layout(n, k)
     planes = {"qs_t": qs_t, "d_t": d_t}
-    x0 = jnp.ones((b, k // 2), jnp.float32) * 0.01
+    x0 = jnp.ones((b, kp // 2), jnp.float32) * 0.01
+    xs0 = jnp.ones((b, kp // 32), jnp.float32) * 0.32
 
     def body(i, xlo):
-        y = mq._call_kernel_swar(xlo, xlo, planes, GType.Q4_0, n, k,
+        y = mq._call_kernel_swar(xlo, xlo, xs0, planes, GType.Q4_0, n, kp,
                                  tile, nc, b)
-        reps = (k // 2 + n - 1) // n
-        return jnp.tile(y, (1, reps))[:, : k // 2] * 1e-3 + 1e-6 * i
+        reps = (kp // 2 + n - 1) // n
+        return jnp.tile(y, (1, reps))[:, : kp // 2] * 1e-3 + 1e-6 * i
 
     return jax.lax.fori_loop(0, LOOP, body, x0)
 
@@ -122,13 +123,16 @@ def main():
             total[v2] += dt * cnt
             log(f"  {label} v2={int(v2)}: {dt*1e3:7.3f} ms  {eff:6.1f} GB/s"
                 f"  ({wire_mb:.1f} MB wire)")
+        from ggmlsharp_tpu.quant.formats import swar_layout
+
+        _, _, kp = swar_layout(n, k)
         qs_t = jax.jit(
             lambda s=n + k: jax.random.bits(
-                jax.random.PRNGKey(s), (k // 8, n), jnp.uint32)
+                jax.random.PRNGKey(s), (kp // 8, n), jnp.uint32)
         )()
-        d_t = jax.jit(lambda: jnp.full((k // 64, n), word, jnp.uint32))()
+        d_t = jax.jit(lambda: jnp.full((kp // 64, n), word, jnp.uint32))()
         dt = slope(loop_kernel_swar, qs_t, d_t, n, k, bsw) / LOOP
-        eff = wire_mb * 1e6 / dt / 1e9
+        eff = (qs_t.size + d_t.size) * 4 / dt / 1e9
         total["swar"] += dt * cnt
         log(f"  {label} swar: {dt*1e3:7.3f} ms  {eff:6.1f} GB/s")
     log(f"matmul-kernel floor per step: v1={total[False]*1e3:.2f} ms  "

@@ -165,8 +165,9 @@ def test_swar_chunked_kernel_parity():
         "d_t": swar_pack_scales(qt.planes["d"], nc),
     }
     xlo, xhi = swar_permute_x(x, k, nc)
+    xs = x.reshape(4, k // 32, 32).sum(axis=-1)
     got = np.asarray(_call_kernel_swar(
-        xlo, xhi, planes, GType.Q4_0, n, k, tile, nc, 4))
+        xlo, xhi, xs, planes, GType.Q4_0, n, k, tile, nc, 4))
     want = np.asarray(mul_mat_q(qt, x, quantize_acts=False))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
@@ -218,3 +219,26 @@ def test_quantize_params_swar_forward_parity():
     lb, _ = llama.forward(qp_swar, cfg, tokens, cache_b, pos)
     np.testing.assert_allclose(
         np.asarray(la), np.asarray(lb), rtol=5e-4, atol=5e-4)
+
+
+def test_swar_k_padding_parity():
+    """K with no 512-divisible chunking (4544) pads to 4608 so the layout
+    rides lane tile 512 (the 7B w_down k=11008 → 11264 case, shrunk);
+    zero pad blocks (d=0) + zero-padded activations leave results exact."""
+    from ggmlsharp_tpu.quant.formats import swar_layout
+
+    n, k = 512, 4544
+    tile, nc, kp = swar_layout(n, k)
+    assert kp == 4608 and tile == 512 and kp % nc == 0
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((4, k)).astype(np.float32))
+    qt = quantize(w, GType.Q4_0)
+    sw = to_swar(qt)
+    assert sw.planes["qs_t"].shape == (kp // 8, n)
+    np.testing.assert_allclose(
+        np.asarray(dequantize(sw)), np.asarray(dequantize(qt)),
+        rtol=1e-6, atol=1e-6)
+    got = np.asarray(mul_mat_q_fused(sw, x, quantize_acts=False))
+    want = np.asarray(mul_mat_q(qt, x, quantize_acts=False))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
