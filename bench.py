@@ -107,9 +107,11 @@ def _synthetic_qparams(mod, cfg, gtype):
             if isinstance(leaf, QTensor):
                 planes = {}
                 for j, (name, p) in enumerate(sorted(leaf.planes.items())):
-                    if p.dtype == jnp.uint32 and name in (
-                        "d_p", "m_p", "kd_p", "km_p",
-                        "d_t", "m_t", "kd_t", "km_t",  # swar transposed
+                    # every uint32 scale plane (f16 pairs) gets a small
+                    # constant scale; covers the fused-kernel dicts too
+                    # (d1/d2, d_a/d_p/d_f/d_c)
+                    if p.dtype == jnp.uint32 and name.split("_")[0] in (
+                        "d", "m", "kd", "km", "d1", "d2",
                     ):
                         planes[name] = jnp.full(p.shape, scale_word, jnp.uint32)
                     elif p.dtype in (jnp.uint32, jnp.int8, jnp.uint8):

@@ -118,20 +118,32 @@ def quantize_params(params, gtype: GType, min_cols: int = 256,
         "ln_f": params["ln_f"],
         "blocks": [],
     }
+    import os
+
+    layer_fuse = (gtype == GType.Q8_0
+                  and os.environ.get("GGML_TPU_LAYER_FUSED", "1") == "1")
     for b in params["blocks"]:
-        out["blocks"].append(
-            {
-                "ln_1": b["ln_1"],
-                "attn": {
-                    "c_attn_w": q("attn", b["attn"]["c_attn_w"]),
-                    "c_attn_b": b["attn"]["c_attn_b"],
-                    "c_proj_w": q("attn", b["attn"]["c_proj_w"]),
-                    "c_proj_b": b["attn"]["c_proj_b"],
-                },
-                "ln_2": b["ln_2"],
-                "mlp": _q_mlp(b["mlp"], q, gtype, use_swar),
-            }
-        )
+        qb = {
+            "ln_1": b["ln_1"],
+            "attn": {
+                "c_attn_w": q("attn", b["attn"]["c_attn_w"]),
+                "c_attn_b": b["attn"]["c_attn_b"],
+                "c_proj_w": q("attn", b["attn"]["c_proj_w"]),
+                "c_proj_b": b["attn"]["c_proj_b"],
+            },
+            "ln_2": b["ln_2"],
+            "mlp": _q_mlp(b["mlp"], q, gtype, use_swar),
+        }
+        if layer_fuse and not isinstance(b["attn"]["c_attn_w"], QTensor):
+            from ..kernels.gpt2_layer import fuse_gpt2_layer, _pick_tile
+
+            E = b["attn"]["c_proj_w"].shape[0]
+            F = b["mlp"]["c_fc_w"].shape[0]
+            if (E % 128 == 0 and F % 128 == 0
+                    and all((_pick_tile(3 * E, E), _pick_tile(E, E),
+                             _pick_tile(F, E), _pick_tile(E, F)))):
+                qb["layer_fused"] = fuse_gpt2_layer(b)
+        out["blocks"].append(qb)
     return out
 
 
@@ -165,25 +177,112 @@ def _layer_norm(x, g, b, eps):
     return ops.norm(x.astype(jnp.float32), eps=eps).astype(x.dtype) * g + b
 
 
+def _wire_perm(E):
+    """Wire (Q8 SWAR k-order) lane permutation + inverse, as static arrays."""
+    import numpy as np
+
+    from ..kernels.mlp_fused import q8_korder_perm
+
+    sig = q8_korder_perm(E)
+    return sig, np.argsort(sig)
+
+
+def _forward_wire_decode(params, cfg: GPT2Config, tokens, cache, positions,
+                         prefix_bound):
+    """Single-token decode through whole-layer megakernels
+    (kernels.gpt2_layer): one pallas call per block, activations in wire
+    order end to end, flat wire-order KV cache (one row write per layer).
+    The ggml activation round-trip is skipped inside blocks (intermediates
+    never leave VMEM — strictly less quantization noise than unfused)."""
+    from ..kernels.gpt2_layer import gpt2_layer_step
+
+    E = cfg.n_embd
+    sig, inv = _wire_perm(E)
+    x = ops.get_rows(params["wte"], tokens)
+    x = x + jnp.take(params["wpe"], jnp.clip(positions, 0, cfg.n_ctx - 1),
+                     axis=0)
+    xw = x.reshape(1, E).astype(jnp.float32)[:, sig]
+    npast = positions[0, 0]
+    T = cache.max_len
+    if prefix_bound is not None:
+        T = min(int(prefix_bound), T)
+    for i, blk in enumerate(params["blocks"]):
+        kc = jax.lax.slice(cache.k[i][0], (0, 0), (T, E))
+        vc = jax.lax.slice(cache.v[i][0], (0, 0), (T, E))
+        xw, kn, vn = gpt2_layer_step(blk["layer_fused"], xw, kc, vc, npast,
+                                     cfg.n_head, cfg.ln_eps)
+        cache = kvc.update_layer_flat(cache, i, kn[None], vn[None],
+                                      positions)
+    x = xw[:, inv]
+    x = _layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], cfg.ln_eps)
+    wte = params["wte"]
+    if isinstance(wte, QTensor):
+        logits = ops.mul_mat(wte, x, quantize_acts=False)
+    else:
+        logits = ops.mul_mat_f(wte, x.astype(wte.dtype))
+    logits = logits[..., : cfg.n_vocab]
+    return (logits.reshape(1, 1, -1).astype(jnp.float32),
+            kvc.advance(cache, 1))
+
+
+def _flat_read_heads(cache, layer, n_head, t):
+    """Fallback view of a flat wire cache as [B, H, t, D] (element order) —
+    correctness path for configs the megakernel doesn't cover."""
+    E = cache.k[layer].shape[-1]
+    _, inv = _wire_perm(E)
+    B = cache.k[layer].shape[0]
+
+    def view(buf):
+        rows = jax.lax.slice(buf, (0, 0, 0), (B, t, E))[..., inv]
+        return rows.reshape(B, t, n_head, E // n_head).transpose(0, 2, 1, 3)
+
+    return view(cache.k[layer]), view(cache.v[layer])
+
+
 def forward(params, cfg: GPT2Config, tokens, cache: kvc.KVCache, positions,
             prefix_bound: int | None = None):
     """tokens: int32 [B, S]; positions: int32 [B, S] absolute positions.
     Returns (logits [B, S, n_vocab] f32, updated cache)."""
+    B, S = tokens.shape
+    flat = kvc.is_flat(cache)
+    if (flat and S == 1 and B == 1
+            and all("layer_fused" in b for b in params["blocks"])):
+        return _forward_wire_decode(params, cfg, tokens, cache, positions,
+                                    prefix_bound)
     x = ops.get_rows(params["wte"], tokens)
     x = x + jnp.take(params["wpe"], jnp.clip(positions, 0, cfg.n_ctx - 1), axis=0)
     compute_dtype = params["wpe"].dtype
     x = x.astype(compute_dtype)
+    sig = _wire_perm(cfg.n_embd)[0] if flat else None
 
     for i, blk in enumerate(params["blocks"]):
         h = _layer_norm(x, blk["ln_1"]["g"], blk["ln_1"]["b"], cfg.ln_eps)
         qkv = linear(blk["attn"]["c_attn_w"], h, blk["attn"]["c_attn_b"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = split_heads(q, cfg.n_head)
-        k = split_heads(k, cfg.n_head)
-        v = split_heads(v, cfg.n_head)
-        a, cache = cached_attention(q, k, v, cache, i, positions,
-                                    prefix_bound=prefix_bound)
-        x = x + linear(blk["attn"]["c_proj_w"], merge_heads(a), blk["attn"]["c_proj_b"])
+        if flat:
+            # flat wire cache: write wire-order rows; attend over the live
+            # prefix read back as heads (prefill) — decode (S == 1) normally
+            # rides _forward_wire_decode instead and never lands here
+            cache = kvc.update_layer_flat(
+                cache, i, k.reshape(B, S, -1)[..., sig],
+                v.reshape(B, S, -1)[..., sig], positions)
+            t = cache.max_len
+            if prefix_bound is not None:
+                t = min(int(prefix_bound), t)
+            k_all, v_all = _flat_read_heads(cache, i, cfg.n_head, t)
+            from .common import _einsum_attention
+
+            a = merge_heads(_einsum_attention(
+                split_heads(q, cfg.n_head), k_all.astype(q.dtype),
+                v_all.astype(q.dtype), positions, 1, 0.0)).astype(q.dtype)
+        else:
+            q = split_heads(q, cfg.n_head)
+            k = split_heads(k, cfg.n_head)
+            v = split_heads(v, cfg.n_head)
+            a, cache = cached_attention(q, k, v, cache, i, positions,
+                                        prefix_bound=prefix_bound)
+            a = merge_heads(a)
+        x = x + linear(blk["attn"]["c_proj_w"], a, blk["attn"]["c_proj_b"])
 
         h = _layer_norm(x, blk["ln_2"]["g"], blk["ln_2"]["b"], cfg.ln_eps)
         rows = 1
@@ -214,7 +313,16 @@ def forward(params, cfg: GPT2Config, tokens, cache: kvc.KVCache, positions,
 
 
 def new_cache(cfg: GPT2Config, batch: int, dtype=jnp.bfloat16, int8=False,
-              max_len: int | None = None):
+              max_len: int | None = None, flat: bool | None = None):
+    """flat=None: auto — the flat wire-order cache (one [B, T, E] buffer per
+    layer, feeding the whole-layer decode megakernel) when layer fusion is
+    on (GGML_TPU_LAYER_FUSED, default) and the workload is single-slot
+    float decode; head-major [B, H, T, D] otherwise."""
+    if flat is None:
+        import os
+
+        flat = (batch == 1 and not int8
+                and os.environ.get("GGML_TPU_LAYER_FUSED", "1") == "1")
     return kvc.init_cache(cfg.n_layer, batch, cfg.n_head,
                           max_len or cfg.n_ctx, cfg.head_dim,
-                          dtype=dtype, int8=int8)
+                          dtype=dtype, int8=int8, flat=flat)

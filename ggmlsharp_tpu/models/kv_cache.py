@@ -54,11 +54,23 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k[0].shape[2]
+        # flat wire-order caches are [B, T, E]; head caches [B, H, T, D]
+        return self.k[0].shape[1 if self.k[0].ndim == 3 else 2]
 
 
 def init_cache(n_layer, batch, n_head_kv, n_ctx, head_dim,
-               dtype=jnp.bfloat16, int8: bool = False) -> KVCache:
+               dtype=jnp.bfloat16, int8: bool = False,
+               flat: bool = False) -> KVCache:
+    """flat=True: per-layer [B, T, H·D] buffers holding WIRE-ORDER rows for
+    the whole-layer decode megakernel (kernels.gpt2_layer) — one dynamic
+    row write per step, no head axis. Mutually exclusive with int8."""
+    if flat:
+        fshape = (batch, n_ctx, n_head_kv * head_dim)
+        return KVCache(
+            tuple(jnp.zeros(fshape, dtype) for _ in range(n_layer)),
+            tuple(jnp.zeros(fshape, dtype) for _ in range(n_layer)),
+            None, None, jnp.zeros((batch,), jnp.int32),
+        )
     shape = (batch, n_head_kv, n_ctx, head_dim)
     # distinct buffers per layer and per k/v — aliased zeros break donation
     if int8:
@@ -133,6 +145,25 @@ def read_layer(cache: KVCache, layer: int, compute_dtype=jnp.float32):
         return k.astype(compute_dtype), v.astype(compute_dtype)
     return (cache.k[layer].astype(compute_dtype),
             cache.v[layer].astype(compute_dtype))
+
+
+def is_flat(cache: KVCache) -> bool:
+    return cache.k[0].ndim == 3
+
+
+def update_layer_flat(cache: KVCache, layer: int, k_rows, v_rows,
+                      positions) -> KVCache:
+    """Write wire-order rows into a flat cache. k_rows/v_rows: [B, S, E];
+    positions int32 [B, S] contiguous per batch row."""
+
+    def upd(buf_b, rows_b, start_b):
+        return jax.lax.dynamic_update_slice(
+            buf_b, rows_b.astype(buf_b.dtype), (start_b, 0))
+
+    k = jax.vmap(upd)(cache.k[layer], k_rows, positions[:, 0])
+    v = jax.vmap(upd)(cache.v[layer], v_rows, positions[:, 0])
+    return KVCache(_replace(cache.k, layer, k), _replace(cache.v, layer, v),
+                   None, None, cache.length)
 
 
 def advance(cache: KVCache, n: int | jnp.ndarray) -> KVCache:
