@@ -518,6 +518,12 @@ def swar_layout(n: int, k: int, budget: int = 13 * 1024 * 1024,
     zero-pads activations, so results are unchanged."""
     import os
 
+    from ..kernels.tune import lookup
+
+    tuned = lookup(kt_bytes, n, k)
+    if tuned is not None:
+        return tuned
+
     pref = int(os.environ.get("GGML_TPU_SWAR_TILE", "512"))
     tiles = [t for t in (pref, 512, 256, 128) if n % t == 0]
 

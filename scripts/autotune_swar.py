@@ -1,0 +1,137 @@
+"""Autotune SWAR kernel layouts on the real TPU.
+
+For each benchmark-relevant (kt_class, N, K) shape, probes every legal
+(tile, nc, kp) candidate with the 64x-looped in-jit slope (per-execution
+time dominates relay jitter) and writes the winners to
+ggmlsharp_tpu/kernels/tune_v5e.json — consulted by quant.formats.swar_layout
+ahead of its heuristic (kernels/tune.py).
+
+Run: python scripts/autotune_swar.py   (one JAX process at a time;
+~2 compiles per candidate on a cold cache). GGML_TPU_TUNE_OUT overrides the
+output path.
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
+os.environ.pop("GGML_TPU_TUNE", None)
+sys.path.insert(0, "/root/repo/")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import ggmlsharp_tpu.kernels.matmul_q as mq
+from ggmlsharp_tpu import GType
+
+LOOP = 64
+
+# (n, k) weight shapes that dominate the benchmark models
+SHAPES = [
+    (12288, 4096), (4096, 4096), (22016, 4096), (4096, 11008),
+    (32256, 4096),                      # llama-7B + lm head
+    (2304, 768), (768, 768), (3072, 768), (768, 3072), (50432, 768),
+]
+KT_GTYPE = {6: GType.Q4_0, 8: GType.Q8_0}
+
+
+def candidates(n, k, kt):
+    """Legal (tile, nc, kp) triples (VMEM budget as in swar_layout)."""
+    budget = 13 * 1024 * 1024
+    out = []
+    for kp in {k, -(-k // 512) * 512}:
+        ncs = [1] + [d for d in range(2, kp // 512 + 1)
+                     if kp % d == 0 and (kp // d) % 512 == 0]
+        for tile in (512, 384, 256, 128):
+            if n % tile:
+                continue
+            for nc in ncs:
+                kc = kp // nc
+                if kc % 64 == 0 and kt * kc * tile <= budget:
+                    out.append((tile, nc, kp))
+    return sorted(set(out))
+
+
+@functools.partial(jax.jit, static_argnames=("g", "n", "kp", "tile", "nc"))
+def loop_q4(qs_t, d_t, g, n, kp, tile, nc):
+    planes = {"qs_t": qs_t, "d_t": d_t}
+    x0 = jnp.ones((8, kp // 2), jnp.float32) * 0.01
+    xs0 = jnp.ones((8, kp // 32), jnp.float32) * 0.32
+
+    def body(i, xlo):
+        y = mq._call_kernel_swar(xlo, xlo, xs0, planes, g, n, kp,
+                                 tile, nc, 8)
+        reps = (kp // 2 + n - 1) // n
+        return jnp.tile(y, (1, reps))[:, : kp // 2] * 1e-3 + 1e-6 * i
+
+    return jax.lax.fori_loop(0, LOOP, body, x0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "kp", "tile", "nc"))
+def loop_q8(qs_t, d_t, n, kp, tile, nc):
+    planes = {"qs_t": qs_t, "d_t": d_t}
+    x0 = jnp.ones((8, kp), jnp.float32) * 0.01
+
+    def body(i, x):
+        y = mq._call_kernel_swar_q8(x, planes, n, kp, tile, nc, 8)
+        reps = (kp + n - 1) // n
+        return jnp.tile(y, (1, reps))[:, :kp] * 1e-3 + 1e-6 * i
+
+    return jax.lax.fori_loop(0, LOOP, body, x0)
+
+
+def slope(fn, *args):
+    np.asarray(fn(*args))  # compile + absorb stalls
+    times = []
+    for n_runs in (2, 3, 9):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_runs):
+            out = fn(*args)
+        np.asarray(out)
+        times.append(time.perf_counter() - t0)
+    return (times[2] - times[1]) / 6
+
+
+def main():
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+    h = np.float16(0.01).view(np.uint16)
+    word = np.uint32(h) | (np.uint32(h) << 16)
+    table = {}
+    for kt, g in KT_GTYPE.items():
+        qdiv = 4 if kt == 8 else 8  # packed rows per K: u32 words
+        for n, k in SHAPES:
+            best, best_dt = None, None
+            rows = []
+            for tile, nc, kp in candidates(n, k, kt):
+                qs_t = jax.jit(lambda kp=kp, n=n: jax.random.bits(
+                    jax.random.PRNGKey(n + kp), (kp // qdiv, n), jnp.uint32))()
+                d_t = jax.jit(lambda kp=kp, n=n: jnp.full(
+                    (kp // 64, n), word, jnp.uint32))()
+                if kt == 8:
+                    dt = slope(loop_q8, qs_t, d_t, n, kp, tile, nc) / LOOP
+                else:
+                    dt = slope(loop_q4, qs_t, d_t, g, n, kp, tile, nc) / LOOP
+                gbs = (qs_t.size + d_t.size) * 4 / dt / 1e9
+                rows.append((tile, nc, kp, dt, gbs))
+                if best_dt is None or dt < best_dt:
+                    best, best_dt = (tile, nc, kp), dt
+            for tile, nc, kp, dt, gbs in rows:
+                mark = " <-- best" if (tile, nc, kp) == best else ""
+                print(f"  kt{kt} {n}x{k} t={tile:4d} nc={nc:2d} kp={kp}: "
+                      f"{dt*1e3:7.3f} ms {gbs:6.1f} GB/s{mark}", flush=True)
+            table[f"kt{kt}:{n}x{k}"] = list(best) + [round(best_dt * 1e6, 2)]
+    out_path = os.environ.get(
+        "GGML_TPU_TUNE_OUT",
+        "/root/repo/ggmlsharp_tpu/kernels/tune_v5e.json")
+    # keep [tile, nc, kp] (lookup ignores the trailing us diagnostic)
+    with open(out_path, "w") as f:
+        json.dump(table, f, indent=1, sort_keys=True)
+    print(f"wrote {out_path} ({len(table)} entries)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -242,3 +242,24 @@ def test_swar_k_padding_parity():
     got = np.asarray(mul_mat_q_fused(sw, x, quantize_acts=False))
     want = np.asarray(mul_mat_q(qt, x, quantize_acts=False))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_swar_layout_tune_table(tmp_path, monkeypatch):
+    """A measured (tile, nc, kp) entry overrides the layout heuristic; a
+    corrupt entry falls back to it (kernels/tune.py)."""
+    import json
+
+    from ggmlsharp_tpu.kernels import tune
+    from ggmlsharp_tpu.quant.formats import swar_layout
+
+    path = tmp_path / "tune.json"
+    path.write_text(json.dumps({
+        "kt6:512x4096": [128, 8, 4096],
+        "kt6:512x256": [999, 1, 256],  # illegal tile -> ignored
+    }))
+    monkeypatch.setenv("GGML_TPU_TUNE", str(path))
+    tune._load.cache_clear()
+    assert swar_layout(512, 4096) == (128, 8, 4096)
+    assert swar_layout(512, 256)[0] != 999
+    monkeypatch.delenv("GGML_TPU_TUNE")
+    tune._load.cache_clear()
