@@ -1,0 +1,161 @@
+"""Fused single-token decode attention over a flat KV cache — one pallas
+call per layer replacing the XLA einsum+mask+softmax+weighted-sum chain.
+
+The llama/GPT decode step spends ~25 us/layer on attention glue: a dozen
+small XLA ops over [B, H, T, D] cache slices. This kernel reads the cache in
+FLAT layout [T, E_kv] (token rows, head-major lanes — exactly what
+merge_heads produces, one dynamic row write per step) and computes causal
+softmax attention for one query token in a single pass, chunked over T with
+the standard online-softmax recurrence so arbitrarily long prefixes stream
+through VMEM.
+
+Per-head math without a head transpose (the kernels/gpt2_layer.py trick):
+lane j of the cache belongs to head j // D, so per-head score reduction is
+one MXU dot against an iota-built one-hot matrix OH[j, h] = (j//D == h),
+and broadcasting per-head weights back to lanes uses its transpose:
+
+    S(Tc, H)  = (K_chunk ∘ q) · OH
+    P         = exp(S − m_run)            # online max/denominator per head
+    acc(1, E) += Σ_T (P · OHᵀ) ∘ V_chunk
+
+GQA rides the same kernel: the caller pre-splits the query into n_rep
+rows (1 kv-aligned sub-query per repeat group, q.reshape(Hkv, n_rep, D)
+transposed), the kernel runs the recurrence per row, and the caller
+reassembles [Hq, D] — K/V are never repeated (BASELINE's no-repeat rule).
+
+The fresh token's K/V initialize the recurrence (score row npast of the
+cache is stale and masked out), so its K/V never round-trip through HBM
+before being attended.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .config import interpret_mode
+
+_NEG = -1e30
+
+
+def _onehot(E, H, D, shape, head_axis):
+    wire = 1 - head_axis
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, wire)
+    h = jax.lax.broadcasted_iota(jnp.int32, shape, head_axis)
+    return ((j // D) == h).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "D", "n_rep", "Tc"))
+def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc):
+    """q: (n_rep, E_kv) f32 PRE-SCALED sub-queries; kn/vn: (1, E_kv) fresh
+    rows; kc/vc: (T, E_kv) flat cache (row npast stale); npast: (1,) int32.
+    Returns (n_rep, E_kv): attention output per repeat group, kv-lane
+    layout."""
+    E = q.shape[-1]
+    T = kc.shape[0]
+    nch = T // Tc
+
+    def kernel(np_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref, o_ref,
+               m_s, l_s, a_s):
+        jc = pl.program_id(0)
+        npast = np_ref[0]
+        OH = _onehot(E, H, D, (E, H), 1)
+        OHT = _onehot(E, H, D, (H, E), 0)
+
+        def dot(a, w):
+            return jax.lax.dot_general(
+                a, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        @pl.when(jc == 0)
+        def _init():
+            knf = kn_ref[:].astype(jnp.float32)
+            for r in range(n_rep):
+                # fresh token seeds the recurrence: weight exp(0) = 1
+                m_s[r : r + 1] = dot(knf * q_ref[r : r + 1], OH)
+                l_s[r : r + 1] = jnp.ones((1, H), jnp.float32)
+                a_s[r : r + 1] = vn_ref[:].astype(jnp.float32)
+
+        kf = kc_ref[:].astype(jnp.float32)
+        vf = vc_ref[:].astype(jnp.float32)
+        idx = jc * Tc + jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0)
+        live = (idx <= npast) & (idx != npast)  # stale fresh row excluded
+        for r in range(n_rep):
+            S = dot(kf * q_ref[r : r + 1], OH)
+            S = jnp.where(live, S, _NEG)
+            m_old = m_s[r : r + 1]
+            m_new = jnp.maximum(m_old, jnp.max(S, axis=0, keepdims=True))
+            corr = jnp.exp(m_old - m_new)
+            P = jnp.exp(S - m_new)
+            l_s[r : r + 1] = l_s[r : r + 1] * corr + jnp.sum(
+                P, axis=0, keepdims=True)
+            contrib = jnp.sum(dot(P, OHT) * vf, axis=0, keepdims=True)
+            a_s[r : r + 1] = a_s[r : r + 1] * dot(corr, OHT) + contrib
+            m_s[r : r + 1] = m_new
+
+        @pl.when(jc == nch - 1)
+        def _final():
+            for r in range(n_rep):
+                o_ref[r : r + 1] = a_s[r : r + 1] / dot(
+                    l_s[r : r + 1], OHT)
+
+    full = lambda jc: (0, 0)
+    chunk = lambda jc: (jc, 0)
+    vspec = lambda shp, im: pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nch,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vspec((n_rep, E), full),
+            vspec((1, E), full), vspec((1, E), full),
+            vspec((Tc, E), chunk), vspec((Tc, E), chunk),
+        ],
+        out_specs=vspec((n_rep, E), full),
+        out_shape=jax.ShapeDtypeStruct((n_rep, E), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_rep, H), jnp.float32),
+            pltpu.VMEM((n_rep, H), jnp.float32),
+            pltpu.VMEM((n_rep, E), jnp.float32),
+        ],
+        interpret=interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_rep * T * E,
+            bytes_accessed=2 * T * E * kc.dtype.itemsize,
+            transcendentals=n_rep * T * H,
+        ),
+    )(npast, q, kn, vn, kc, vc)
+
+
+def flash_decode_flat(q_heads, k_new, v_new, k_cache, v_cache, npast,
+                      n_head_kv: int, head_dim: int):
+    """Decode attention for ONE token over a flat cache.
+
+    q_heads: (Hq, D) f32 UNscaled; k_new/v_new: (1, E_kv) element-order
+    rows; k_cache/v_cache: (T, E_kv) flat prefix slice (bucketed; row
+    `npast` stale); npast: int32 scalar. Returns (Hq, D) f32."""
+    Hq, D = q_heads.shape
+    n_rep = Hq // n_head_kv
+    E = n_head_kv * head_dim
+    scale = 1.0 / (D ** 0.5)
+    # q head hq = hkv·n_rep + r → sub-query row r aligned to kv lanes
+    qr = (q_heads.astype(jnp.float32) * scale).reshape(
+        n_head_kv, n_rep, D).transpose(1, 0, 2).reshape(n_rep, E)
+    T = k_cache.shape[0]
+    Tc = T if T <= 512 else 512
+    while T % Tc:
+        Tc //= 2
+    out = _call_flash_decode(
+        qr, k_new.astype(jnp.float32), v_new.astype(jnp.float32),
+        k_cache, v_cache, jnp.reshape(npast, (1,)).astype(jnp.int32),
+        n_head_kv, head_dim, n_rep, Tc)
+    return out.reshape(n_rep, n_head_kv, D).transpose(1, 0, 2).reshape(
+        Hq, D)

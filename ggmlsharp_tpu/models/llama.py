@@ -236,9 +236,37 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
         )(t, positions)
         q = rope(q)
         k = rope(k)
-        a, cache = cached_attention(q, k, v, cache, i, positions, n_rep=n_rep,
-                                    prefix_bound=prefix_bound)
-        x = x + linear(blk["wo"], merge_heads(a))
+        if kvc.is_flat(cache):
+            # flat [B, T, E_kv] cache (element-order merge_heads rows):
+            # decode rides the fused flash-decode kernel — one pallas call
+            # replaces the einsum/mask/softmax chain (kernels.attn_decode)
+            kn, vn = merge_heads(k), merge_heads(v)
+            cache = kvc.update_layer_flat(cache, i, kn, vn, positions)
+            t = cache.max_len
+            if prefix_bound is not None:
+                t = min(int(prefix_bound), t)
+            if S == 1:
+                from ..kernels.attn_decode import flash_decode_flat
+
+                kc = jax.lax.slice(cache.k[i][0], (0, 0), (t, nkv))
+                vc = jax.lax.slice(cache.v[i][0], (0, 0), (t, nkv))
+                out = flash_decode_flat(
+                    merge_heads(q)[0, 0].reshape(cfg.n_head, hd),
+                    kn[0], vn[0], kc, vc, positions[0, 0],
+                    cfg.n_head_kv, hd)
+                a = out.reshape(1, 1, nq).astype(x.dtype)
+            else:
+                # prefill from the empty prefix: flash over the fresh K/V
+                from ..kernels.flash import flash_attention_cached
+
+                a = merge_heads(flash_attention_cached(
+                    q, k, v, positions[:, 0])).astype(x.dtype)
+            x = x + linear(blk["wo"], a)
+        else:
+            a, cache = cached_attention(q, k, v, cache, i, positions,
+                                        n_rep=n_rep,
+                                        prefix_bound=prefix_bound)
+            x = x + linear(blk["wo"], merge_heads(a))
 
         h = _rms(x, blk["ffn_norm"], cfg.rms_eps)
         if "mlp_fused" in blk and B * S <= _MAX_FUSED_B:
@@ -268,7 +296,16 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
 
 
 def new_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16, int8=False,
-              max_len: int | None = None):
+              max_len: int | None = None, flat: bool | None = None):
+    """flat=None: auto — flat [B, T, E_kv] element-order cache feeding the
+    fused flash-decode kernel (kernels.attn_decode) for single-slot float
+    decode (GGML_TPU_FLASH_DECODE, default on); head-major otherwise."""
+    if flat is None:
+        import os
+
+        flat = (batch == 1 and not int8
+                and (cfg.n_head_kv * cfg.head_dim) % 128 == 0
+                and os.environ.get("GGML_TPU_FLASH_DECODE", "1") == "1")
     return kvc.init_cache(cfg.n_layer, batch, cfg.n_head_kv,
                           max_len or cfg.n_ctx, cfg.head_dim,
-                          dtype=dtype, int8=int8)
+                          dtype=dtype, int8=int8, flat=flat)

@@ -1,0 +1,76 @@
+"""Fused flat-cache flash-decode kernel (kernels.attn_decode) — CPU
+interpret mode. Kernel parity vs explicit softmax attention (incl. GQA and
+multi-chunk online softmax), plus end-to-end llama decode flat vs head
+cache."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggmlsharp_tpu.kernels.attn_decode import flash_decode_flat
+from ggmlsharp_tpu.models import llama, sampling
+from ggmlsharp_tpu.dtypes import GType
+
+
+def _ref(q_heads, k_rows, v_rows, npast, Hkv, D):
+    """Explicit attention: q (Hq, D); k/v_rows (T, E_kv) with row npast
+    ALREADY holding the fresh token."""
+    Hq = q_heads.shape[0]
+    n_rep = Hq // Hkv
+    T = k_rows.shape[0]
+    kh = k_rows.reshape(T, Hkv, D)
+    vh = v_rows.reshape(T, Hkv, D)
+    out = np.zeros((Hq, D), np.float32)
+    for hq in range(Hq):
+        hkv = hq // n_rep
+        s = (kh[:, hkv] @ q_heads[hq]) / np.sqrt(D)
+        s = np.where(np.arange(T) <= npast, s, -np.inf)
+        p = np.exp(s - s.max())
+        p /= p.sum()
+        out[hq] = p @ vh[:, hkv]
+    return out
+
+
+@pytest.mark.parametrize("Hq,Hkv,D,T,npast", [
+    (4, 4, 64, 64, 5),       # MHA
+    (4, 2, 64, 64, 0),       # GQA, first token
+    (8, 2, 32, 128, 63),     # GQA n_rep=4
+    (4, 2, 64, 1024, 600),   # multi-chunk online softmax (Tc=512)
+])
+def test_flash_decode_parity(Hq, Hkv, D, T, npast):
+    rng = np.random.default_rng(Hq * 100 + T)
+    E = Hkv * D
+    q = jnp.asarray(rng.standard_normal((Hq, D)).astype(np.float32))
+    kr = jnp.asarray(rng.standard_normal((T, E)).astype(np.float32))
+    vr = jnp.asarray(rng.standard_normal((T, E)).astype(np.float32))
+    kn = jnp.asarray(rng.standard_normal((1, E)).astype(np.float32))
+    vn = jnp.asarray(rng.standard_normal((1, E)).astype(np.float32))
+    got = np.asarray(flash_decode_flat(
+        q, kn, vn, kr, vr, jnp.int32(npast), Hkv, D))
+    # reference sees the fresh row in place (kernel masks the stale row)
+    kref = np.asarray(kr).copy()
+    vref = np.asarray(vr).copy()
+    kref[npast] = np.asarray(kn)[0]
+    vref[npast] = np.asarray(vn)[0]
+    want = _ref(np.asarray(q), kref, vref, npast, Hkv, D)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_llama_flat_decode_matches_head_cache(monkeypatch):
+    """End-to-end greedy decode: flat cache + fused flash-decode kernel vs
+    the head-major einsum path — same tokens (GQA tiny config)."""
+    cfg = llama.LlamaConfig(n_vocab=256, n_ctx=128, n_embd=256, n_head=4,
+                            n_head_kv=2, n_layer=2, n_ff=512)
+    params = llama.init_params(jax.random.PRNGKey(3), cfg)
+    qp = llama.quantize_params(params, GType.Q4_0)
+    prompt = jnp.asarray([[7, 3, 99, 12]], jnp.int32)
+
+    def run(flat):
+        cache = llama.new_cache(cfg, 1, flat=flat)
+        assert (cache.k[0].ndim == 3) == flat
+        toks, _ = sampling.generate(llama.forward, cfg, qp, prompt, cache, 8)
+        return np.asarray(toks)
+
+    a = run(False)
+    b = run(True)
+    np.testing.assert_array_equal(a, b)
