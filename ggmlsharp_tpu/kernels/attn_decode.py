@@ -3,11 +3,12 @@ call per layer replacing the XLA einsum+mask+softmax+weighted-sum chain.
 
 The llama/GPT decode step spends ~25 us/layer on attention glue: a dozen
 small XLA ops over [B, H, T, D] cache slices. This kernel reads the cache in
-FLAT layout [T, E_kv] (token rows, head-major lanes — exactly what
+FLAT layout [B, T, E_kv] (token rows, head-major lanes — exactly what
 merge_heads produces, one dynamic row write per step) and computes causal
-softmax attention for one query token in a single pass, chunked over T with
-the standard online-softmax recurrence so arbitrarily long prefixes stream
-through VMEM.
+softmax attention for one query token per slot in a single pass, chunked
+over T with the standard online-softmax recurrence so arbitrarily long
+prefixes stream through VMEM. Batched slots ride a second grid axis with
+per-slot prefix lengths from SMEM (continuous-batching decode).
 
 Per-head math without a head transpose (the kernels/gpt2_layer.py trick):
 lane j of the cache belongs to head j // D, so per-head score reduction is
@@ -18,9 +19,9 @@ and broadcasting per-head weights back to lanes uses its transpose:
     P         = exp(S − m_run)            # online max/denominator per head
     acc(1, E) += Σ_T (P · OHᵀ) ∘ V_chunk
 
-GQA rides the same kernel: the caller pre-splits the query into n_rep
-rows (1 kv-aligned sub-query per repeat group, q.reshape(Hkv, n_rep, D)
-transposed), the kernel runs the recurrence per row, and the caller
+GQA rides the same kernel: the caller pre-splits each slot's query into
+n_rep rows (1 kv-aligned sub-query per repeat group, q.reshape(Hkv, n_rep,
+D) transposed), the kernel runs the recurrence per row, and the caller
 reassembles [Hq, D] — K/V are never repeated (BASELINE's no-repeat rule).
 
 The fresh token's K/V initialize the recurrence (score row npast of the
@@ -51,18 +52,18 @@ def _onehot(E, H, D, shape, head_axis):
 @functools.partial(
     jax.jit, static_argnames=("H", "D", "n_rep", "Tc"))
 def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc):
-    """q: (n_rep, E_kv) f32 PRE-SCALED sub-queries; kn/vn: (1, E_kv) fresh
-    rows; kc/vc: (T, E_kv) flat cache (row npast stale); npast: (1,) int32.
-    Returns (n_rep, E_kv): attention output per repeat group, kv-lane
-    layout."""
+    """q: (B·n_rep, E_kv) f32 PRE-SCALED sub-queries; kn/vn: (B, E_kv)
+    fresh rows; kc/vc: (B, T, E_kv) flat cache (row npast[b] stale per
+    slot); npast: (B,) int32. Returns (B·n_rep, E_kv)."""
     E = q.shape[-1]
-    T = kc.shape[0]
+    B, T = kc.shape[0], kc.shape[1]
     nch = T // Tc
 
     def kernel(np_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref, o_ref,
                m_s, l_s, a_s):
-        jc = pl.program_id(0)
-        npast = np_ref[0]
+        jb = pl.program_id(0)
+        jc = pl.program_id(1)
+        npast = np_ref[jb]
         OH = _onehot(E, H, D, (E, H), 1)
         OHT = _onehot(E, H, D, (H, E), 0)
 
@@ -81,8 +82,8 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc):
                 l_s[r : r + 1] = jnp.ones((1, H), jnp.float32)
                 a_s[r : r + 1] = vn_ref[:].astype(jnp.float32)
 
-        kf = kc_ref[:].astype(jnp.float32)
-        vf = vc_ref[:].astype(jnp.float32)
+        kf = kc_ref[0].astype(jnp.float32)
+        vf = vc_ref[0].astype(jnp.float32)
         idx = jc * Tc + jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0)
         live = (idx <= npast) & (idx != npast)  # stale fresh row excluded
         for r in range(n_rep):
@@ -104,20 +105,20 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc):
                 o_ref[r : r + 1] = a_s[r : r + 1] / dot(
                     l_s[r : r + 1], OHT)
 
-    full = lambda jc: (0, 0)
-    chunk = lambda jc: (jc, 0)
     vspec = lambda shp, im: pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(nch,),
+        grid=(B, nch),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            vspec((n_rep, E), full),
-            vspec((1, E), full), vspec((1, E), full),
-            vspec((Tc, E), chunk), vspec((Tc, E), chunk),
+            vspec((n_rep, E), lambda jb, jc: (jb, 0)),
+            vspec((1, E), lambda jb, jc: (jb, 0)),
+            vspec((1, E), lambda jb, jc: (jb, 0)),
+            vspec((1, Tc, E), lambda jb, jc: (jb, jc, 0)),
+            vspec((1, Tc, E), lambda jb, jc: (jb, jc, 0)),
         ],
-        out_specs=vspec((n_rep, E), full),
-        out_shape=jax.ShapeDtypeStruct((n_rep, E), jnp.float32),
+        out_specs=vspec((n_rep, E), lambda jb, jc: (jb, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * n_rep, E), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((n_rep, H), jnp.float32),
             pltpu.VMEM((n_rep, H), jnp.float32),
@@ -125,37 +126,38 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc):
         ],
         interpret=interpret_mode(),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * n_rep * T * E,
-            bytes_accessed=2 * T * E * kc.dtype.itemsize,
-            transcendentals=n_rep * T * H,
+            flops=4 * B * n_rep * T * E,
+            bytes_accessed=2 * B * T * E * kc.dtype.itemsize,
+            transcendentals=B * n_rep * T * H,
         ),
     )(npast, q, kn, vn, kc, vc)
 
 
 def flash_decode_flat(q_heads, k_new, v_new, k_cache, v_cache, npast,
                       n_head_kv: int, head_dim: int):
-    """Decode attention for ONE token over a flat cache.
+    """Decode attention for ONE token per slot over a flat cache.
 
-    q_heads: (Hq, D) f32 UNscaled; k_new/v_new: (1, E_kv) element-order
-    rows; k_cache/v_cache: (T, E_kv) flat prefix slice (bucketed; row
-    `npast` stale); npast: int32 scalar. Returns (Hq, D) f32."""
-    Hq, D = q_heads.shape
+    q_heads: (B, Hq, D) f32 UNscaled; k_new/v_new: (B, E_kv) element-order
+    rows; k_cache/v_cache: (B, T, E_kv) flat prefix slices (bucketed; row
+    `npast[b]` stale); npast: int32 (B,). Returns (B, Hq, D) f32."""
+    B, Hq, D = q_heads.shape
     n_rep = Hq // n_head_kv
     E = n_head_kv * head_dim
     scale = 1.0 / (D ** 0.5)
     # q head hq = hkv·n_rep + r → sub-query row r aligned to kv lanes
     qr = (q_heads.astype(jnp.float32) * scale).reshape(
-        n_head_kv, n_rep, D).transpose(1, 0, 2).reshape(n_rep, E)
-    T = k_cache.shape[0]
+        B, n_head_kv, n_rep, D).transpose(0, 2, 1, 3).reshape(
+        B * n_rep, E)
+    T = k_cache.shape[1]
     Tc = T if T <= 512 else 512
     while T % Tc:
         Tc //= 2
     out = _call_flash_decode(
         qr, k_new.astype(jnp.float32), v_new.astype(jnp.float32),
-        k_cache, v_cache, jnp.reshape(npast, (1,)).astype(jnp.int32),
+        k_cache, v_cache, jnp.asarray(npast, jnp.int32).reshape(B),
         n_head_kv, head_dim, n_rep, Tc)
-    return out.reshape(n_rep, n_head_kv, D).transpose(1, 0, 2).reshape(
-        Hq, D)
+    return out.reshape(B, n_rep, n_head_kv, D).transpose(0, 2, 1, 3).reshape(
+        B, Hq, D)

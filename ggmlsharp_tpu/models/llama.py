@@ -248,13 +248,13 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
             if S == 1:
                 from ..kernels.attn_decode import flash_decode_flat
 
-                kc = jax.lax.slice(cache.k[i][0], (0, 0), (t, nkv))
-                vc = jax.lax.slice(cache.v[i][0], (0, 0), (t, nkv))
+                kc = jax.lax.slice(cache.k[i], (0, 0, 0), (B, t, nkv))
+                vc = jax.lax.slice(cache.v[i], (0, 0, 0), (B, t, nkv))
                 out = flash_decode_flat(
-                    merge_heads(q)[0, 0].reshape(cfg.n_head, hd),
-                    kn[0], vn[0], kc, vc, positions[0, 0],
+                    merge_heads(q)[:, 0].reshape(B, cfg.n_head, hd),
+                    kn[:, 0], vn[:, 0], kc, vc, positions[:, 0],
                     cfg.n_head_kv, hd)
-                a = out.reshape(1, 1, nq).astype(x.dtype)
+                a = out.reshape(B, 1, nq).astype(x.dtype)
             else:
                 # prefill from the empty prefix: flash over the fresh K/V
                 from ..kernels.flash import flash_attention_cached
@@ -303,7 +303,7 @@ def new_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16, int8=False,
     if flat is None:
         import os
 
-        flat = (batch == 1 and not int8
+        flat = (not int8
                 and (cfg.n_head_kv * cfg.head_dim) % 128 == 0
                 and os.environ.get("GGML_TPU_FLASH_DECODE", "1") == "1")
     return kvc.init_cache(cfg.n_layer, batch, cfg.n_head_kv,

@@ -31,29 +31,31 @@ def _ref(q_heads, k_rows, v_rows, npast, Hkv, D):
     return out
 
 
-@pytest.mark.parametrize("Hq,Hkv,D,T,npast", [
-    (4, 4, 64, 64, 5),       # MHA
-    (4, 2, 64, 64, 0),       # GQA, first token
-    (8, 2, 32, 128, 63),     # GQA n_rep=4
-    (4, 2, 64, 1024, 600),   # multi-chunk online softmax (Tc=512)
+@pytest.mark.parametrize("B,Hq,Hkv,D,T,npasts", [
+    (1, 4, 4, 64, 64, [5]),          # MHA
+    (1, 4, 2, 64, 64, [0]),          # GQA, first token
+    (1, 8, 2, 32, 128, [63]),        # GQA n_rep=4
+    (1, 4, 2, 64, 1024, [600]),      # multi-chunk online softmax (Tc=512)
+    (4, 4, 2, 64, 128, [5, 0, 99, 127]),  # batched, per-slot lengths
 ])
-def test_flash_decode_parity(Hq, Hkv, D, T, npast):
-    rng = np.random.default_rng(Hq * 100 + T)
+def test_flash_decode_parity(B, Hq, Hkv, D, T, npasts):
+    rng = np.random.default_rng(Hq * 100 + T + B)
     E = Hkv * D
-    q = jnp.asarray(rng.standard_normal((Hq, D)).astype(np.float32))
-    kr = jnp.asarray(rng.standard_normal((T, E)).astype(np.float32))
-    vr = jnp.asarray(rng.standard_normal((T, E)).astype(np.float32))
-    kn = jnp.asarray(rng.standard_normal((1, E)).astype(np.float32))
-    vn = jnp.asarray(rng.standard_normal((1, E)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    kr = jnp.asarray(rng.standard_normal((B, T, E)).astype(np.float32))
+    vr = jnp.asarray(rng.standard_normal((B, T, E)).astype(np.float32))
+    kn = jnp.asarray(rng.standard_normal((B, E)).astype(np.float32))
+    vn = jnp.asarray(rng.standard_normal((B, E)).astype(np.float32))
     got = np.asarray(flash_decode_flat(
-        q, kn, vn, kr, vr, jnp.int32(npast), Hkv, D))
-    # reference sees the fresh row in place (kernel masks the stale row)
-    kref = np.asarray(kr).copy()
-    vref = np.asarray(vr).copy()
-    kref[npast] = np.asarray(kn)[0]
-    vref[npast] = np.asarray(vn)[0]
-    want = _ref(np.asarray(q), kref, vref, npast, Hkv, D)
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        q, kn, vn, kr, vr, jnp.asarray(npasts, jnp.int32), Hkv, D))
+    for b, npast in enumerate(npasts):
+        # reference sees the fresh row in place (kernel masks the stale row)
+        kref = np.asarray(kr[b]).copy()
+        vref = np.asarray(vr[b]).copy()
+        kref[npast] = np.asarray(kn)[b]
+        vref[npast] = np.asarray(vn)[b]
+        want = _ref(np.asarray(q[b]), kref, vref, npast, Hkv, D)
+        np.testing.assert_allclose(got[b], want, rtol=2e-5, atol=2e-5)
 
 
 def test_llama_flat_decode_matches_head_cache(monkeypatch):
@@ -74,3 +76,19 @@ def test_llama_flat_decode_matches_head_cache(monkeypatch):
     a = run(False)
     b = run(True)
     np.testing.assert_array_equal(a, b)
+
+
+def test_llama_flat_batched_decode(monkeypatch):
+    """B=2 batched decode over the flat cache matches the head-cache path."""
+    cfg = llama.LlamaConfig(n_vocab=256, n_ctx=64, n_embd=256, n_head=4,
+                            n_head_kv=2, n_layer=2, n_ff=512)
+    params = llama.init_params(jax.random.PRNGKey(5), cfg)
+    qp = llama.quantize_params(params, GType.Q4_0)
+    prompt = jnp.asarray([[7, 3, 99, 12], [1, 8, 2, 200]], jnp.int32)
+
+    def run(flat):
+        cache = llama.new_cache(cfg, 2, flat=flat)
+        toks, _ = sampling.generate(llama.forward, cfg, qp, prompt, cache, 6)
+        return np.asarray(toks)
+
+    np.testing.assert_array_equal(run(False), run(True))
