@@ -62,9 +62,17 @@ class Engine:
         self.B = batch_slots
         n_head_kv = getattr(cfg, "n_head_kv", cfg.n_head)
         self.max_len = max_len or cfg.n_ctx
+        import os
+
+        # flat wire cache → batched flash-decode kernel with per-slot
+        # prefix lengths (kernels.attn_decode); head-major for int8 KV
+        flat = (not int8_kv
+                and (n_head_kv * cfg.head_dim) % 128 == 0
+                and hasattr(cfg, "n_head_kv")  # llama-family forward only
+                and os.environ.get("GGML_TPU_FLASH_DECODE", "1") == "1")
         self.cache = kvc.init_cache(
             cfg.n_layer, batch_slots, n_head_kv, self.max_len, cfg.head_dim,
-            dtype=cache_dtype, int8=int8_kv,
+            dtype=cache_dtype, int8=int8_kv, flat=flat,
         )
         self.slots: list[Request | None] = [None] * batch_slots
         self.pending: list[Request] = []
