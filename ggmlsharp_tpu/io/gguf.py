@@ -375,10 +375,11 @@ class GGUFReader:
         self.path = path
         self.metadata: dict = {}
         self.tensors: dict[str, GGUFTensorInfo] = {}
-        with open(path, "rb") as f:
-            data = f.read()
-        self._parse(memoryview(data))
-        self._data = data
+        # mmap the file: header parsing touches only its pages and tensor
+        # loads slice straight out of the page cache (no full-file copy —
+        # a 7B GGUF is ~4 GB)
+        self._data = np.memmap(path, dtype=np.uint8, mode="r")
+        self._parse(memoryview(self._data))
 
     def _parse(self, mv):
         off = 0

@@ -147,3 +147,96 @@ def repack_from_wire(gtype: GType, raw: bytes, shape):
         return QTensor(gtype, tuple(shape), planes)
 
     return None  # format not natively accelerated
+
+
+# --- native SPM tokenizer encode (native/tokenize.cpp) ---------------------
+
+_TOK_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libtokenize.so"))
+_tok_lib = None
+_tok_tried = False
+
+
+def _load_tok():
+    global _tok_lib, _tok_tried
+    if _tok_tried:
+        return _tok_lib
+    _tok_tried = True
+    if not os.path.exists(_TOK_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR), "libtokenize.so"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_TOK_LIB_PATH)
+        assert lib.tokenize_abi_version() == 1
+        lib.spm_create.restype = ctypes.c_void_p
+        lib.spm_create.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        lib.spm_encode.restype = ctypes.c_int32
+        lib.spm_encode.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        lib.spm_destroy.argtypes = [ctypes.c_void_p]
+        _tok_lib = lib
+    except Exception:
+        _tok_lib = None
+    return _tok_lib
+
+
+class NativeSPM:
+    """Handle to a C++ SPM vocab (native/tokenize.cpp). Built once per
+    tokenizer; encode() runs the O(n log n) priority-queue merge loop
+    natively — identical ids to the Python greedy rescan."""
+
+    def __init__(self, tokens, scores, byte_ids, unk_id: int):
+        lib = _load_tok()
+        if lib is None:
+            raise RuntimeError("native tokenizer unavailable")
+        blobs = [t.encode("utf-8") for t in tokens]
+        offs = np.zeros(len(blobs) + 1, np.uint64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        blob = np.frombuffer(b"".join(blobs), np.uint8) if blobs else \
+            np.zeros(1, np.uint8)
+        sc = np.asarray(scores, np.float32)
+        bi = np.full(256, -1, np.int32)
+        for b, i in byte_ids.items():
+            bi[b] = i
+        self._lib = lib
+        self._h = lib.spm_create(
+            _u8(np.ascontiguousarray(blob)), _ptr(offs, ctypes.c_uint64),
+            _ptr(sc, ctypes.c_float), len(blobs),
+            _ptr(bi, ctypes.c_int32), unk_id)
+
+    def encode(self, working_text: str):
+        """working_text: the pre-transformed string (space prefix + U+2581
+        substitution already applied)."""
+        data = np.frombuffer(working_text.encode("utf-8"), np.uint8)
+        if data.size == 0:
+            return []
+        out = np.empty(max(16, data.size * 2), np.int32)
+        n = self._lib.spm_encode(
+            self._h, _u8(np.ascontiguousarray(data)), data.size,
+            _ptr(out, ctypes.c_int32), out.size)
+        if n < 0:
+            out = np.empty(-n, np.int32)
+            n = self._lib.spm_encode(
+                self._h, _u8(np.ascontiguousarray(data)), data.size,
+                _ptr(out, ctypes.c_int32), out.size)
+        return out[:n].tolist()
+
+    def __del__(self):
+        try:
+            self._lib.spm_destroy(self._h)
+        except Exception:
+            pass
+
+
+def tokenizer_available() -> bool:
+    return _load_tok() is not None

@@ -53,10 +53,27 @@ class SPMTokenizer:
             if len(t) == 6 and t.startswith("<0x") and t.endswith(">"):
                 self._bytes[int(t[3:5], 16)] = i
 
+    def _native(self):
+        """Lazily build the C++ encoder (native/tokenize.cpp); None when
+        the toolchain/library is unavailable (pure-Python fallback)."""
+        if not hasattr(self, "_native_h"):
+            try:
+                from .native import NativeSPM
+
+                self._native_h = NativeSPM(self.tokens, self.scores,
+                                           self._bytes, self.unk_id)
+            except Exception:
+                self._native_h = None
+        return self._native_h
+
     def encode(self, text: str, bos: bool = True) -> list:
         if self.add_space_prefix:
             text = " " + text
         text = text.replace(" ", "▁")
+        nat = self._native()
+        if nat is not None:
+            ids = nat.encode(text)
+            return [self.bos_id] + ids if bos else ids
         syms = list(text)
         # greedy merge: repeatedly join the adjacent pair whose merged
         # string is in the vocab with the best (highest) score

@@ -221,3 +221,41 @@ def test_tokenizer_from_gguf_metadata(tmp_path):
     assert isinstance(tok, SPMTokenizer)
     ids = tok.encode("hi")
     assert tok.decode(ids) == "hi"
+
+
+def test_spm_native_matches_python_fuzz():
+    """Native C++ SPM encode (native/tokenize.cpp) is id-identical to the
+    pure-Python greedy rescan on fuzzed vocabs and texts (multi-byte UTF-8,
+    byte fallback, tied scores)."""
+    import random
+
+    from ggmlsharp_tpu.io import native as na
+    from ggmlsharp_tpu.io.tokenizer import SPMTokenizer
+
+    if not na.tokenizer_available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = random.Random(0)
+    pieces = ["a", "b", "c", "▁", "ab", "bc", "abc", "▁a", "▁ab", "ç", "aç",
+              "日", "本", "日本", "e", "he", "hello", "▁the", "th", "the"]
+    texts = ["hello abc", "the quick ç brown 日本", "aaaa bbbb abab",
+             "▁already prefixed", "日本日本日本", "", "   spaces   ",
+             "mixed日本and ascii ç end"]
+    for trial in range(20):
+        vocab = ["<unk>", "<s>", "</s>"] + \
+            rng.sample(pieces, rng.randint(5, len(pieces))) + \
+            [f"<0x{b:02X}>" for b in range(256)]
+        scores = [0.0] * 3 + [
+            round(rng.choice([-1.0, -2.0, -2.0, -3.0, rng.uniform(-9, 0)]), 3)
+            for _ in range(len(vocab) - 259)
+        ] + [-20.0] * 256
+        tok = SPMTokenizer(list(vocab), list(scores))
+        nat = tok._native()
+        assert nat is not None
+        for text in texts:
+            got = tok.encode(text, bos=True)  # native path
+            tok2 = SPMTokenizer(list(vocab), list(scores))
+            tok2._native_h = None  # force pure-Python greedy
+            want = tok2.encode(text, bos=True)
+            assert got == want, (trial, text, got, want)
