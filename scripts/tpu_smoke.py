@@ -219,6 +219,99 @@ def main():
     )
     check_vs_oracle("flash cached GQA dyn-npast", got, exact, base)
 
+    # --- fused flash-decode over the flat cache (kernels.attn_decode) ---
+    from ggmlsharp_tpu.kernels.attn_decode import flash_decode_flat
+
+    for Hq, Hkv, label in ((4, 4, "flash-decode flat MHA"),
+                           (8, 2, "flash-decode flat GQA4")):
+        Dd, Tt = 128, 512
+        E = Hkv * Dd
+        qd_ = jnp.asarray(
+            rng.standard_normal((2, Hq, Dd)).astype(np.float32))
+        kr = jnp.asarray(rng.standard_normal((2, Tt, E)).astype(np.float32))
+        vr = jnp.asarray(rng.standard_normal((2, Tt, E)).astype(np.float32))
+        knr = jnp.asarray(rng.standard_normal((2, E)).astype(np.float32))
+        vnr = jnp.asarray(rng.standard_normal((2, E)).astype(np.float32))
+        npd = jnp.asarray([73, 422], jnp.int32)
+        got = jax.jit(lambda a, b, c, d, e, f: flash_decode_flat(
+            a, b, c, d, e, f, Hkv, Dd))(qd_, knr, vnr, kr, vr, npd)
+
+        def fd_ref(qh, kn, vn, kc, vc, npast, precision):
+            nrep = Hq // Hkv
+            kk = kc.at[jnp.arange(2), npast].set(kn)
+            vv = vc.at[jnp.arange(2), npast].set(vn)
+            k4 = jnp.repeat(kk.reshape(2, Tt, Hkv, Dd).transpose(0, 2, 1, 3),
+                            nrep, axis=1)
+            v4 = jnp.repeat(vv.reshape(2, Tt, Hkv, Dd).transpose(0, 2, 1, 3),
+                            nrep, axis=1)
+            # q head hq = hkv*nrep + r  →  kv head hq // nrep (kernel order)
+            o = ref_attn(qh[:, :, None, :], k4, v4, npast, precision)
+            return o[:, :, 0, :]
+
+        exact = jax.jit(functools.partial(
+            fd_ref, precision=jax.lax.Precision.HIGHEST))(
+            qd_, knr, vnr, kr, vr, npd)
+        base = jax.jit(functools.partial(
+            fd_ref, precision=jax.lax.Precision.DEFAULT))(
+            qd_, knr, vnr, kr, vr, npd)
+        check_vs_oracle(label, got, exact, base)
+
+    # --- GPT-2 whole-layer megakernel (kernels.gpt2_layer) --------------
+    from ggmlsharp_tpu.kernels.gpt2_layer import (
+        fuse_gpt2_layer, gpt2_layer_step,
+    )
+    from ggmlsharp_tpu.kernels.mlp_fused import q8_korder_perm
+    from ggmlsharp_tpu.quant.quantize import dequantize
+
+    E, H, F, T = 256, 4, 1024, 128
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * .1)
+    blk = {
+        "ln_1": {"g": 1.0 + 0.1 * r(E), "b": 0.05 * r(E)},
+        "attn": {"c_attn_w": r(3 * E, E), "c_attn_b": 0.1 * r(3 * E),
+                 "c_proj_w": r(E, E), "c_proj_b": 0.1 * r(E)},
+        "ln_2": {"g": 1.0 + 0.1 * r(E), "b": 0.05 * r(E)},
+        "mlp": {"c_fc_w": r(F, E), "c_fc_b": 0.1 * r(F),
+                "c_proj_w": r(E, F), "c_proj_b": 0.1 * r(E)},
+    }
+    fusedl = jax.jit(fuse_gpt2_layer)(blk)
+    sig = q8_korder_perm(E)
+    inv = np.argsort(sig)
+    xl = jnp.asarray(rng.standard_normal((1, E)).astype(np.float32) * 0.5)
+    ke = jnp.asarray(rng.standard_normal((T, E)).astype(np.float32) * 0.3)
+    ve = jnp.asarray(rng.standard_normal((T, E)).astype(np.float32) * 0.3)
+    npl = 17
+    yv, knv, vnv = jax.jit(
+        lambda a, b, c: gpt2_layer_step(fusedl, a, b, c, jnp.int32(npl),
+                                        H, 1e-5)
+    )(xl[:, sig], ke[:, sig], ve[:, sig])
+
+    def layer_ref(x):
+        dq = lambda t: dequantize(quantize(t, GType.Q8_0))
+        ln = lambda u, g, b: ((u - u.mean(-1, keepdims=True))
+                              / jnp.sqrt(u.var(-1, keepdims=True) + 1e-5)
+                              ) * g + b
+        xn = ln(x, blk["ln_1"]["g"], blk["ln_1"]["b"])
+        qkv = xn @ dq(blk["attn"]["c_attn_w"]).T + blk["attn"]["c_attn_b"]
+        qq, kn, vn = jnp.split(qkv, 3, axis=-1)
+        D = E // H
+        ks = ke.at[npl].set(kn[0])
+        vs = ve.at[npl].set(vn[0])
+        s = jnp.einsum("hd,htd->ht", qq.reshape(H, D),
+                       ks.reshape(T, H, D).transpose(1, 0, 2)) / (D ** 0.5)
+        s = jnp.where(jnp.arange(T)[None] <= npl, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        a = jnp.einsum("ht,htd->hd", p,
+                       vs.reshape(T, H, D).transpose(1, 0, 2)).reshape(1, E)
+        x2 = x + a @ dq(blk["attn"]["c_proj_w"]).T + blk["attn"]["c_proj_b"]
+        x2n = ln(x2, blk["ln_2"]["g"], blk["ln_2"]["b"])
+        from ggmlsharp_tpu.ops.basic import gelu
+
+        hh = gelu(x2n @ dq(blk["mlp"]["c_fc_w"]).T + blk["mlp"]["c_fc_b"])
+        return x2 + hh @ dq(blk["mlp"]["c_proj_w"]).T + blk["mlp"]["c_proj_b"]
+
+    want = jax.jit(layer_ref)(xl)
+    check("gpt2 layer megakernel", yv[:, inv], want, rtol=5e-2, atol=2e-1)
+
     dt = time.time() - t0
     print(f"{'SMOKE FAILED: ' + ', '.join(FAILURES) if FAILURES else 'SMOKE OK'}"
           f"  ({dt:.0f}s)", flush=True)
