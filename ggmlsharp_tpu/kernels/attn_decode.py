@@ -42,16 +42,24 @@ from .config import interpret_mode
 _NEG = -1e30
 
 
-def _onehot(E, H, D, shape, head_axis):
+def _onehot(E, H, D, shape, head_axis, layout="heads"):
+    """Lane -> head map: 'heads' = head-major element order (j//D);
+    'attn' = the rope-friendly half-split layout of kernels.llama_layer
+    ((j mod E/2) // (D/2))."""
     wire = 1 - head_axis
     j = jax.lax.broadcasted_iota(jnp.int32, shape, wire)
     h = jax.lax.broadcasted_iota(jnp.int32, shape, head_axis)
-    return ((j // D) == h).astype(jnp.float32)
+    if layout == "attn":
+        hj = (j % (E // 2)) // (D // 2)
+    else:
+        hj = j // D
+    return (hj == h).astype(jnp.float32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "D", "n_rep", "Tc"))
-def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc):
+    jax.jit, static_argnames=("H", "D", "n_rep", "Tc", "layout"))
+def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
+                       layout="heads"):
     """q: (B·n_rep, E_kv) f32 PRE-SCALED sub-queries; kn/vn: (B, E_kv)
     fresh rows; kc/vc: (B, T, E_kv) flat cache (row npast[b] stale per
     slot); npast: (B,) int32. Returns (B·n_rep, E_kv)."""
@@ -64,8 +72,8 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc):
         jb = pl.program_id(0)
         jc = pl.program_id(1)
         npast = np_ref[jb]
-        OH = _onehot(E, H, D, (E, H), 1)
-        OHT = _onehot(E, H, D, (H, E), 0)
+        OH = _onehot(E, H, D, (E, H), 1, layout)
+        OHT = _onehot(E, H, D, (H, E), 0, layout)
 
         def dot(a, w):
             return jax.lax.dot_general(
@@ -161,3 +169,21 @@ def flash_decode_flat(q_heads, k_new, v_new, k_cache, v_cache, npast,
         n_head_kv, head_dim, n_rep, Tc)
     return out.reshape(B, n_rep, n_head_kv, D).transpose(0, 2, 1, 3).reshape(
         B, Hq, D)
+
+
+def flash_decode_flat_attn(q_att, k_new, v_new, k_cache, v_cache, npast,
+                           n_head: int, head_dim: int):
+    """MHA decode attention over an ATTN-SPACE flat cache (the layout of
+    kernels.llama_layer: rope partners split across halves). q_att: (B, E)
+    f32 UNscaled attn-space query rows; returns (B, E) attn-space."""
+    B, E = q_att.shape
+    scale = 1.0 / (head_dim ** 0.5)
+    T = k_cache.shape[1]
+    Tc = T if T <= 512 else 512
+    while T % Tc:
+        Tc //= 2
+    return _call_flash_decode(
+        q_att.astype(jnp.float32) * scale, k_new.astype(jnp.float32),
+        v_new.astype(jnp.float32), k_cache, v_cache,
+        jnp.asarray(npast, jnp.int32).reshape(B),
+        n_head, head_dim, 1, Tc, layout="attn")

@@ -1,0 +1,422 @@
+"""Whole-layer llama decode megakernel: ONE pallas call per transformer
+block — rms1 → fused qkv → rope → cached causal attention → wo(+residual)
+→ rms2 → SwiGLU MLP(+residual) — for single-token (b=1, MHA) decode on
+Q4_0 SWAR planes.
+
+A 7B decode step spends ~1-2 ms outside the matmul kernels: per-call gaps
+(~11 us x 129 launches, measured in the in-jit matmul-only chain,
+PERFORMANCE.md) plus the XLA rope/norm/attention segments between them.
+This collapses a block's four weight streams and every intermediate op
+into one phased sequential grid (~180 steps/layer at 7B shapes), the
+direct extension of kernels/gpt2_layer.py to the llama architecture.
+
+Conventions (see gpt2_layer.py for the wire-order idea):
+
+* E-wide activations between matmuls live in the Q4 SWAR combined
+  [lo; hi] k-order ("wire", sigma = mlp_fused.q4_korder_perm): any
+  standard-packed Q4 weight consumes a wire vector as
+  dot(x[:, :k/2], w_lo) + dot(x[:, k/2:], w_hi) with zero in-kernel
+  shuffles; producers get output rows sigma-permuted at pack time.
+  RMSNorm is permutation-invariant, so it runs on wire vectors with
+  sigma-permuted gains.
+
+* Attention space is rope-friendly: position j < E/2 holds (head
+  h = j//(D/2) ... within-half), its rope PARTNER lives at j + E/2, so
+  rotation is two aligned half-vector multiplies against cos/sin lane
+  vectors (computed outside from npast; both GGML rope modes are just
+  different pack-time lane assignments, same kernel math). Per-head
+  score/broadcast uses the iota-built one-hot dots of attn_decode; the
+  fresh token's roped K/V seed the online-softmax recurrence and are
+  emitted for the caller's one cache-row write. The cache stays outside
+  in flat [T, E] ATTN-SPACE layout, streamed through VMEM in chunks.
+
+* wo consumes attention output (attn-space) via a pack-time COLUMN
+  regroup (the fused copy is re-quantized from f32, standard planes are
+  kept for parity/export); w_down rides the K-padded layout
+  (zero blocks past F) with its pad lanes masked at the SwiGLU combine.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..dtypes import GType
+from .config import interpret_mode
+from .mlp_fused import q4_korder_perm
+
+_TILE_BYTES = 9 * 1024 * 1024
+_NEG = -1e30
+
+
+def _pick_tile(n: int, kc: int) -> int:
+    for t in (512, 384, 256, 128):
+        if n % t == 0 and 6 * kc * t <= _TILE_BYTES:
+            return t
+    return 0
+
+
+def _down_chunks(kp: int, t: int) -> int:
+    """Fewest chunks whose kc fits the budget with 512-multiple kc."""
+    for nc in range(1, kp // 512 + 2):
+        if kp % nc:
+            continue
+        kc = kp // nc
+        if (nc == 1 or kc % 512 == 0) and kc % 64 == 0 \
+                and 6 * kc * t <= _TILE_BYTES:
+            return nc
+    raise ValueError(f"no w_down chunking for kp={kp}, t={t}")
+
+
+def a2e_map(E: int, D: int, mode: int) -> np.ndarray:
+    """attn-space position -> logical (head-major) element. Both halves
+    pair rope partners at +E/2: mode 0 (GGML interleaved) pairs (2t,2t+1),
+    mode 2 (neox) pairs (t, t+D/2)."""
+    half = E // 2
+    p = np.arange(half)
+    h = p // (D // 2)
+    t = p % (D // 2)
+    if mode == 2:
+        first, second = h * D + t, h * D + t + D // 2
+    else:
+        first, second = h * D + 2 * t, h * D + 2 * t + 1
+    return np.concatenate([first, second])
+
+
+def llama_layer_fuse_supported(cfg) -> bool:
+    E, F = cfg.n_embd, cfg.n_ff
+    if cfg.n_head != cfg.n_head_kv:  # MHA only (GQA -> flash_decode path)
+        return False
+    if E % 256 or (E // 2) % 128 or cfg.head_dim % 2:
+        return False
+    kp = -(-F // 512) * 512
+    try:
+        _down_chunks(kp, 256)
+    except ValueError:
+        return False
+    return all((_pick_tile(3 * E, E), _pick_tile(E, E),
+                _pick_tile(2 * kp, E)))
+
+
+def fuse_llama_layer(blk_raw: dict, cfg) -> dict:
+    """Pack one raw-f32 llama block into megakernel planes. blk_raw needs
+    wq/wk/wv (or wqkv pre-concat), wo, w_gate, w_up (or w_gate_up),
+    w_down, attn_norm, ffn_norm."""
+    from ..quant.formats import swar_pack_scales, swar_pack_values
+    from ..quant.quantize import quantize
+
+    E, D, F = cfg.n_embd, cfg.head_dim, cfg.n_ff
+    kp = -(-F // 512) * 512
+    sigE = q4_korder_perm(E)
+    sigKp = q4_korder_perm(kp)
+    a2e = a2e_map(E, D, cfg.rope_mode)
+
+    f32 = lambda w: jnp.asarray(w, jnp.float32)
+    if "wqkv" in blk_raw:
+        wqkv = f32(blk_raw["wqkv"])
+    else:
+        wqkv = jnp.concatenate(
+            [f32(blk_raw["wq"]), f32(blk_raw["wk"]), f32(blk_raw["wv"])], 0)
+    if "w_gate_up" in blk_raw:
+        wgu = f32(blk_raw["w_gate_up"])
+    else:
+        wgu = jnp.concatenate([f32(blk_raw["w_gate"]),
+                               f32(blk_raw["w_up"])], 0)
+    wo = f32(blk_raw["wo"])
+    wdn = f32(blk_raw["w_down"])
+
+    def pack(w_f32, rows=None):
+        q = quantize(w_f32, GType.Q4_0)
+        from ..quant.formats import from_storage_order, unpack_nibbles
+
+        vals = from_storage_order(
+            unpack_nibbles(q.planes["qs"], w_f32.shape[-1]), 32)
+        d = q.planes["d"]
+        if rows is not None:
+            vals, d = vals[rows], d[rows]
+        return swar_pack_values(vals, 1), swar_pack_scales(d, 1)
+
+    # qkv: output rows in attn space (q | k | v), k-axis standard (wire in)
+    perm3 = np.concatenate([a2e, E + a2e, 2 * E + a2e])
+    qs_a, d_a = pack(wqkv, perm3)
+    # wo consumes the attn-space output directly: kernel lane i reads vals
+    # column sigE(i), and we want it to be wo column a2e[i] — so regroup
+    # the input columns (re-quantizing the fused copy from f32; the
+    # standard planes keep parity/export bit-exactness)
+    colperm = a2e[np.argsort(sigE)]
+    qs_o, d_o = pack(wo[:, jnp.asarray(colperm)], sigE)
+    # gate_up: wire in (standard), rows so silu(g)*u lands in w_down's
+    # combined k-order over the PADDED kp. Pad positions (sigKp >= F) have
+    # no real row — row 0 is a harmless placeholder, the combine step
+    # masks those lanes to zero AND w_down's pad blocks are zero.
+    gu_rows = np.where(sigKp < F, sigKp, 0)
+    rows_gu = np.concatenate([gu_rows, F + gu_rows])
+    qs_g, d_g = pack(wgu, rows_gu)
+    # w_down: K padded with zero blocks; wire out rows
+    wdn_p = jnp.pad(wdn, ((0, 0), (0, kp - F)))
+    qs_d, d_d = pack(wdn_p, sigE)
+    wire = lambda g: jnp.asarray(g, jnp.float32)[sigE].reshape(1, E)
+    return {
+        "qs_a": qs_a, "d_a": d_a, "qs_o": qs_o, "d_o": d_o,
+        "qs_g": qs_g, "d_g": d_g, "qs_d": qs_d, "d_d": d_d,
+        "g1": wire(blk_raw["attn_norm"]), "g2": wire(blk_raw["ffn_norm"]),
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("E", "H", "F", "kp", "T", "Tc", "eps", "b"))
+def _call_llama_layer(x, cosv, sinv, kc, vc, npast, planes,
+                      E, H, F, kp, T, Tc, eps, b):
+    """x: (b, E) f32 wire (row 0 live); cosv/sinv: (1, E/2); kc/vc: (T, E)
+    attn-space cache; npast: (1,) int32. Returns (y (b,E) wire,
+    k_new (1,E), v_new (1,E) attn-space, roped)."""
+    D = E // H
+    half = E // 2
+    t1 = _pick_tile(3 * E, E)
+    t2 = _pick_tile(E, E)
+    t3 = _pick_tile(2 * kp, E)
+    t4 = 256 if E % 256 == 0 else 128
+    nc4 = _down_chunks(kp, t4)
+    kc4 = kp // nc4
+    nchT = T // Tc
+    g1, g2, g3 = 3 * E // t1, E // t2, 2 * kp // t3
+    g4n = E // t4
+    jB, jC, jD, jE = g1, g1 + nchT, g1 + nchT + g2, g1 + nchT + g2 + g3
+    grid = jE + g4n * nc4
+    scale = 1.0 / (D ** 0.5)
+
+    from .matmul_q import _decode_f16x2_rows
+
+    def kernel(np_ref, x_ref, cos_ref, sin_ref, kc_ref, vc_ref,
+               qs_a, d_a, qs_o, d_o, qs_g, d_g, qs_d, d_d, g1_ref, g2_ref,
+               y_ref, kn_ref, vn_ref,
+               xn_s, qkv_s, at_s, x2_s, x2n_s, h_s, h2_s, m_s, l_s, a_s):
+        j = pl.program_id(0)
+
+        def dot(a, w):
+            return jax.lax.dot_general(
+                a, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        def unpack_q4(qs_ref, d_ref):
+            p = qs_ref[:]
+            mask = jnp.uint32(0x0F0F0F0F)
+            vlo = pltpu.bitcast(p & mask, jnp.int8)
+            vhi = pltpu.bitcast((p >> jnp.uint32(4)) & mask, jnp.int8)
+            d16 = pltpu.repeat(_decode_f16x2_rows(d_ref), 16, axis=0)
+            return ((vlo.astype(jnp.float32) - 8.0) * d16,
+                    (vhi.astype(jnp.float32) - 8.0) * d16)
+
+        def mm(xw, qs_ref, d_ref, kk):
+            wlo, whi = unpack_q4(qs_ref, d_ref)
+            return dot(xw[:, : kk // 2], wlo) + dot(xw[:, kk // 2 :], whi)
+
+        def rms(xv, g_ref):
+            xf = xv.astype(jnp.float32)
+            ms = jnp.mean(xf * xf, axis=1, keepdims=True)
+            return xf * jax.lax.rsqrt(ms + eps) * g_ref[:]
+
+        def rope(v1):  # (1, E) attn space -> roped
+            a = v1[:, :half]
+            bb = v1[:, half:]
+            return jnp.concatenate(
+                [a * cos_ref[:] - bb * sin_ref[:],
+                 a * sin_ref[:] + bb * cos_ref[:]], axis=1)
+
+        @pl.when(j == 0)
+        def _rms1():
+            xn_s[:] = rms(x_ref[:], g1_ref)
+
+        @pl.when(j < g1)
+        def _qkv():
+            qkv_s[:, pl.dslice(j * t1, t1)] = mm(xn_s[:], qs_a, d_a, E)
+
+        # --- attention: nchT chunked online-softmax steps ---------------
+        OH_E = (E, H)
+        OHT_E = (H, E)
+
+        def onehot(shape, head_axis):
+            wire_ax = 1 - head_axis
+            jj = jax.lax.broadcasted_iota(jnp.int32, shape, wire_ax)
+            hh = jax.lax.broadcasted_iota(jnp.int32, shape, head_axis)
+            return (((jj % half) // (D // 2)) == hh).astype(jnp.float32)
+
+        @pl.when(j == jB)
+        def _attn_init():
+            q1 = rope(qkv_s[0:1, 0:E]) * scale
+            kn = rope(qkv_s[0:1, E : 2 * E])
+            vn = qkv_s[0:1, 2 * E : 3 * E]
+            kn_ref[:] = kn
+            vn_ref[:] = vn
+            at_s[:] = jnp.broadcast_to(q1, at_s.shape)  # stash roped q
+            OH = onehot(OH_E, 1)
+            m_s[:] = dot(kn * q1, OH)
+            l_s[:] = jnp.ones((1, H), jnp.float32)
+            a_s[:] = vn
+
+        @pl.when((j >= jB) & (j < jC))
+        def _attn_chunk():
+            jc = j - jB
+            npast = np_ref[0]
+            OH = onehot(OH_E, 1)
+            OHT = onehot(OHT_E, 0)
+            q1 = at_s[0:1]
+            kf = kc_ref[:].astype(jnp.float32)
+            vf = vc_ref[:].astype(jnp.float32)
+            idx = jc * Tc + jax.lax.broadcasted_iota(
+                jnp.int32, (Tc, 1), 0)
+            live = (idx <= npast) & (idx != npast)
+            S = dot(kf * q1, OH)
+            S = jnp.where(live, S, _NEG)
+            m_old = m_s[0:1]
+            m_new = jnp.maximum(m_old, jnp.max(S, axis=0, keepdims=True))
+            corr = jnp.exp(m_old - m_new)
+            P = jnp.exp(S - m_new)
+            l_s[0:1] = l_s[0:1] * corr + jnp.sum(P, axis=0, keepdims=True)
+            a_s[0:1] = a_s[0:1] * dot(corr, OHT) + jnp.sum(
+                dot(P, OHT) * vf, axis=0, keepdims=True)
+            m_s[0:1] = m_new
+
+        @pl.when(j == jC - 1)
+        def _attn_final():
+            OHT = onehot(OHT_E, 0)
+            out = a_s[0:1] / dot(l_s[0:1], OHT)
+            at_s[:] = jnp.broadcast_to(out, at_s.shape)
+
+        @pl.when((j >= jC) & (j < jD))
+        def _wo():
+            i = j - jC
+            x2_s[:, pl.dslice(i * t2, t2)] = (
+                x_ref[:, pl.dslice(i * t2, t2)]
+                + mm(at_s[:], qs_o, d_o, E))
+
+        @pl.when(j == jD)
+        def _rms2():
+            x2n_s[:] = rms(x2_s[:], g2_ref)
+
+        @pl.when((j >= jD) & (j < jE))
+        def _gate_up():
+            i = j - jD
+            h_s[:, pl.dslice(i * t3, t3)] = mm(x2n_s[:], qs_g, d_g, E)
+
+        @pl.when(j == jE)
+        def _combine():
+            g = h_s[:, :kp]
+            u = h_s[:, kp:]
+            prod = g * (1.0 / (1.0 + jnp.exp(-g))) * u
+            # mask pad positions (combined k-order elements >= F)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (b, kp), 1)
+            Ckp = kp // 32
+            lo = ii < kp // 2
+            i2 = jnp.where(lo, ii, ii - kp // 2)
+            elem = 32 * (i2 % Ckp) + 2 * (i2 // Ckp) + jnp.where(lo, 0, 1)
+            h2_s[:] = jnp.where(elem < F, prod, 0.0)
+
+        @pl.when(j >= jE)
+        def _down():
+            jj = j - jE
+            i = jj // nc4   # n-tile OUTER
+            c = jj % nc4    # k-chunk INNER
+
+            @pl.when(c == 0)
+            def _init():
+                y_ref[:] = x2_s[:, pl.dslice(i * t4, t4)]
+
+            wlo, whi = unpack_q4(qs_d, d_d)
+            y_ref[:] = y_ref[:] + (
+                dot(h2_s[:, pl.dslice(c * (kc4 // 2), kc4 // 2)], wlo)
+                + dot(h2_s[:, pl.dslice(kp // 2 + c * (kc4 // 2),
+                                        kc4 // 2)], whi))
+
+    # --- specs ----------------------------------------------------------
+    cA = lambda j: (0, jnp.minimum(j, g1 - 1))
+    cT = lambda j: (jnp.clip(j - jB, 0, nchT - 1), 0)
+    cC = lambda j: (0, jnp.clip(j - jC, 0, g2 - 1))
+    cD = lambda j: (0, jnp.clip(j - jD, 0, g3 - 1))
+    cEn = lambda j: (0, jnp.clip((j - jE) // nc4, 0, g4n - 1))
+    cEk = lambda j: (jnp.clip((j - jE) % nc4, 0, nc4 - 1),
+                     jnp.clip((j - jE) // nc4, 0, g4n - 1))
+    full = lambda j: (0, 0)
+    vspec = lambda shp, im: pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
+
+    y, kn, vn = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # npast
+            vspec((b, E), full),                        # x
+            vspec((1, half), full), vspec((1, half), full),  # cos/sin
+            vspec((Tc, E), cT), vspec((Tc, E), cT),     # cache chunks
+            vspec((E // 8, t1), cA), vspec((E // 64, t1), cA),   # qkv
+            vspec((E // 8, t2), cC), vspec((E // 64, t2), cC),   # wo
+            vspec((E // 8, t3), cD), vspec((E // 64, t3), cD),   # gate_up
+            vspec((kc4 // 8, t4), cEk), vspec((kc4 // 64, t4), cEk),  # down
+            vspec((1, E), full), vspec((1, E), full),   # norm gains
+        ],
+        out_specs=[
+            vspec((b, t4), cEn),
+            vspec((1, E), full), vspec((1, E), full),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, E), jnp.float32),
+            jax.ShapeDtypeStruct((1, E), jnp.float32),
+            jax.ShapeDtypeStruct((1, E), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, E), jnp.float32),        # xn
+            pltpu.VMEM((b, 3 * E), jnp.float32),    # qkv
+            pltpu.VMEM((b, E), jnp.float32),        # roped q / attn out
+            pltpu.VMEM((b, E), jnp.float32),        # x2
+            pltpu.VMEM((b, E), jnp.float32),        # rms2(x2)
+            pltpu.VMEM((b, 2 * kp), jnp.float32),   # gate/up raw (wire)
+            pltpu.VMEM((b, kp), jnp.float32),       # silu(g)*u
+            pltpu.VMEM((1, H), jnp.float32),        # m
+            pltpu.VMEM((1, H), jnp.float32),        # l
+            pltpu.VMEM((1, E), jnp.float32),        # acc
+        ],
+        interpret=interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * E * (3 * E + E + 2 * F) + 2 * b * E * kp
+            + 4 * T * E,
+            bytes_accessed=(3 * E * E + E * E + 2 * E * F + E * kp) // 2
+            + 2 * T * E * kc.dtype.itemsize,
+            transcendentals=b * F + T * H,
+        ),
+    )(npast, x, cosv, sinv, kc, vc,
+      planes["qs_a"], planes["d_a"], planes["qs_o"], planes["d_o"],
+      planes["qs_g"], planes["d_g"], planes["qs_d"], planes["d_d"],
+      planes["g1"], planes["g2"])
+    return y, kn, vn
+
+
+def llama_layer_step(fused: dict, x_wire, k_cache, v_cache, npast,
+                     cfg):
+    """One decode step through a fused llama block. x_wire: (1, E) f32;
+    k_cache/v_cache: (T, E) attn-space slices; npast: int32 scalar."""
+    E, D, F = cfg.n_embd, cfg.head_dim, cfg.n_ff
+    kp = -(-F // 512) * 512
+    T = k_cache.shape[0]
+    Tc = T if T <= 256 else 256
+    while T % Tc:
+        Tc //= 2
+    # rope cos/sin lane vectors for this position: pair index t = p % (D/2)
+    half = E // 2
+    t = (jnp.arange(half) % (D // 2)).astype(jnp.float32)
+    theta = npast.astype(jnp.float32) * (
+        cfg.rope_base ** (-2.0 * t / D))
+    cosv = jnp.cos(theta).reshape(1, half)
+    sinv = jnp.sin(theta).reshape(1, half)
+    x8 = jnp.pad(x_wire.astype(jnp.float32), ((0, 7), (0, 0)))
+    y, kn, vn = _call_llama_layer(
+        x8, cosv, sinv, k_cache, v_cache,
+        jnp.reshape(npast, (1,)).astype(jnp.int32), fused,
+        E, cfg.n_head, F, kp, T, Tc, float(cfg.rms_eps), 8)
+    return y[:1], kn, vn

@@ -128,7 +128,8 @@ def _swar_default() -> bool:
 
 def quantize_params(params, gtype: GType, embd_gtype: GType | None = None,
                     pad_rows_to: int | None = None, fuse: bool = True,
-                    search: bool = False, swar: bool | None = None):
+                    search: bool = False, swar: bool | None = None,
+                    cfg: "LlamaConfig | None" = None):
     """Weight-only quantize all matmul weights. llama.cpp policy analog:
     token embedding / output may use a different (often higher-bit) format.
     Row counts are padded to the kernel tile so the fused path applies
@@ -197,6 +198,20 @@ def quantize_params(params, gtype: GType, embd_gtype: GType | None = None,
                         blk["mlp_fused"] = fuse_mlp_silu_q4(
                             blk["w_gate_up"], blk["w_down"])
             out = swar_params(out)
+    import os
+
+    if (cfg is not None and gtype == GType.Q4_0
+            and os.environ.get("GGML_TPU_LLAMA_FUSED", "0") == "1"):
+        # whole-layer decode megakernel planes (kernels.llama_layer):
+        # packed from the RAW f32 block — opt-in until hardware-measured
+        from ..kernels.llama_layer import (
+            fuse_llama_layer, llama_layer_fuse_supported,
+        )
+
+        if llama_layer_fuse_supported(cfg):
+            for ob, rb in zip(out["blocks"], params["blocks"]):
+                if not isinstance(rb["wq"], QTensor):
+                    ob["layer_fused"] = fuse_llama_layer(rb, cfg)
     return out
 
 
@@ -204,11 +219,55 @@ def _rms(x, g, eps):
     return ops.rms_norm(x.astype(jnp.float32), eps=eps).astype(x.dtype) * g
 
 
+def _forward_llama_fused(params, cfg: LlamaConfig, tokens, cache, positions,
+                         prefix_bound):
+    """Single-token decode through whole-layer megakernels
+    (kernels.llama_layer): one pallas call per block, wire-order
+    activations end to end, attn-space flat KV cache. The ggml activation
+    round-trip is skipped inside blocks (intermediates never leave VMEM)."""
+    import numpy as np
+
+    from ..kernels.llama_layer import llama_layer_step
+    from ..kernels.mlp_fused import q4_korder_perm
+
+    E = cfg.n_embd
+    sig = q4_korder_perm(E)
+    inv = np.argsort(sig)
+    x = ops.get_rows(params["tok_embd"], tokens)
+    xw = x.reshape(1, E).astype(jnp.float32)[:, sig]
+    npast = positions[0, 0]
+    T = cache.max_len
+    if prefix_bound is not None:
+        T = min(int(prefix_bound), T)
+    for i, blk in enumerate(params["blocks"]):
+        kc = jax.lax.slice(cache.k[i][0], (0, 0), (T, E))
+        vc = jax.lax.slice(cache.v[i][0], (0, 0), (T, E))
+        xw, kn, vn = llama_layer_step(blk["layer_fused"], xw, kc, vc,
+                                      npast, cfg)
+        cache = kvc.update_layer_flat(cache, i, kn[None], vn[None],
+                                      positions)
+    x = xw[:, inv]
+    x = _rms(x, params["norm"], cfg.rms_eps)
+    w_out = params["output"] if params["output"] is not None else \
+        params["tok_embd"]
+    if isinstance(w_out, QTensor):
+        logits = ops.mul_mat(w_out, x, quantize_acts=False)
+    else:
+        logits = ops.mul_mat_f(w_out, x.astype(w_out.dtype))
+    logits = logits[..., : cfg.n_vocab]
+    return (logits.reshape(1, 1, -1).astype(jnp.float32),
+            kvc.advance(cache, 1))
+
+
 def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
             prefix_bound: int | None = None):
     """tokens/positions: int32 [B, S]. Returns (logits f32 [B,S,V], cache).
     prefix_bound: optional STATIC upper bound on the live cache prefix
     (host-side length bucketing — see common.cached_attention)."""
+    if (kvc.is_flat(cache) and tokens.shape == (1, 1)
+            and all("layer_fused" in b for b in params["blocks"])):
+        return _forward_llama_fused(params, cfg, tokens, cache, positions,
+                                    prefix_bound)
     x = ops.get_rows(params["tok_embd"], tokens)
     compute_dtype = params["norm"].dtype
     x = x.astype(compute_dtype)
@@ -237,24 +296,45 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
         q = rope(q)
         k = rope(k)
         if kvc.is_flat(cache):
-            # flat [B, T, E_kv] cache (element-order merge_heads rows):
-            # decode rides the fused flash-decode kernel — one pallas call
-            # replaces the einsum/mask/softmax chain (kernels.attn_decode)
-            kn, vn = merge_heads(k), merge_heads(v)
+            # flat [B, T, E_kv] cache: decode rides the fused flash-decode
+            # kernel — one pallas call replaces the einsum/mask/softmax
+            # chain (kernels.attn_decode). Rows are element order
+            # (merge_heads) normally; ATTN-SPACE when the params carry
+            # whole-layer megakernel planes (kernels.llama_layer — its b=1
+            # fast path bypasses this loop entirely, but prefill and
+            # batched decode share its cache layout).
+            lf = "layer_fused" in blk
+            if lf:
+                from ..kernels.llama_layer import a2e_map
+
+                a2e = a2e_map(nkv, hd, cfg.rope_mode)
+                kn = merge_heads(k)[..., a2e]
+                vn = merge_heads(v)[..., a2e]
+            else:
+                kn, vn = merge_heads(k), merge_heads(v)
             cache = kvc.update_layer_flat(cache, i, kn, vn, positions)
             t = cache.max_len
             if prefix_bound is not None:
                 t = min(int(prefix_bound), t)
             if S == 1:
-                from ..kernels.attn_decode import flash_decode_flat
-
                 kc = jax.lax.slice(cache.k[i], (0, 0, 0), (B, t, nkv))
                 vc = jax.lax.slice(cache.v[i], (0, 0, 0), (B, t, nkv))
-                out = flash_decode_flat(
-                    merge_heads(q)[:, 0].reshape(B, cfg.n_head, hd),
-                    kn[:, 0], vn[:, 0], kc, vc, positions[:, 0],
-                    cfg.n_head_kv, hd)
-                a = out.reshape(B, 1, nq).astype(x.dtype)
+                if lf:
+                    from ..kernels.attn_decode import flash_decode_flat_attn
+
+                    out = flash_decode_flat_attn(
+                        merge_heads(q)[:, 0][..., a2e], kn[:, 0], vn[:, 0],
+                        kc, vc, positions[:, 0], cfg.n_head, hd)
+                    inv = __import__("numpy").argsort(a2e)
+                    a = out[..., inv].reshape(B, 1, nq).astype(x.dtype)
+                else:
+                    from ..kernels.attn_decode import flash_decode_flat
+
+                    out = flash_decode_flat(
+                        merge_heads(q)[:, 0].reshape(B, cfg.n_head, hd),
+                        kn[:, 0], vn[:, 0], kc, vc, positions[:, 0],
+                        cfg.n_head_kv, hd)
+                    a = out.reshape(B, 1, nq).astype(x.dtype)
             else:
                 # prefill from the empty prefix: flash over the fresh K/V
                 from ..kernels.flash import flash_attention_cached

@@ -312,6 +312,72 @@ def main():
     want = jax.jit(layer_ref)(xl)
     check("gpt2 layer megakernel", yv[:, inv], want, rtol=5e-2, atol=2e-1)
 
+    # --- llama whole-layer megakernel (kernels.llama_layer) -------------
+    from ggmlsharp_tpu.kernels.llama_layer import (
+        a2e_map, fuse_llama_layer, llama_layer_step,
+    )
+    from ggmlsharp_tpu.kernels.mlp_fused import q4_korder_perm as q4perm
+    from ggmlsharp_tpu.ops.attention import rope as rope_op
+
+    El, Hl, Dl, Fl, Tl = 256, 4, 64, 704, 128
+
+    class _LCfg:
+        n_embd, n_head, n_head_kv, head_dim, n_ff = El, Hl, Hl, Dl, Fl
+        rms_eps, rope_base, rope_mode = 1e-6, 10000.0, 0
+
+    lcfg = _LCfg()
+    lblk = {
+        "attn_norm": 1.0 + 0.1 * r(El), "ffn_norm": 1.0 + 0.1 * r(El),
+        "wq": r(El, El), "wk": r(El, El), "wv": r(El, El), "wo": r(El, El),
+        "w_gate": r(Fl, El), "w_up": r(Fl, El), "w_down": r(El, Fl),
+    }
+    lfused = jax.jit(lambda b: fuse_llama_layer(b, lcfg))(lblk)
+    sigl = q4perm(El)
+    invl = np.argsort(sigl)
+    a2e = a2e_map(El, Dl, 0)
+    xw = jnp.asarray(rng.standard_normal((1, El)).astype(np.float32) * 0.5)
+    katt = jnp.asarray(rng.standard_normal((Tl, El)).astype(np.float32) * .3)
+    vatt = jnp.asarray(rng.standard_normal((Tl, El)).astype(np.float32) * .3)
+    npll = 29
+    yl, _, _ = jax.jit(lambda a, b, c: llama_layer_step(
+        lfused, a, b, c, jnp.int32(npll), lcfg))(
+        xw[:, sigl], katt, vatt)
+
+    def llayer_ref(x):
+        dq = lambda t: dequantize(quantize(t, GType.Q4_0))
+        rms = lambda v, g: v / jnp.sqrt(
+            jnp.mean(v * v, -1, keepdims=True) + 1e-6) * g
+        xn = rms(x, lblk["attn_norm"])
+        wqkv = jnp.concatenate(
+            [dq(lblk["wq"]), dq(lblk["wk"]), dq(lblk["wv"])], 0)
+        qkv = wqkv @ xn[0]
+        rp = lambda v: jax.vmap(lambda t: rope_op(
+            t, jnp.asarray([npll], jnp.int32), mode=0))(
+            v.reshape(Hl, 1, Dl)).reshape(El)
+        qq, knl, vnl = rp(qkv[:El]), rp(qkv[El:2*El]), qkv[2*El:]
+        inva = np.argsort(a2e)
+        ks = katt[:, inva].at[npll].set(knl)
+        vs = vatt[:, inva].at[npll].set(vnl)
+        s = jnp.einsum("hd,thd->ht", qq.reshape(Hl, Dl),
+                       ks.reshape(Tl, Hl, Dl)) / (Dl ** 0.5)
+        s = jnp.where(jnp.arange(Tl)[None] <= npll, s, -1e30)
+        p_ = jax.nn.softmax(s, axis=-1)
+        att = jnp.einsum("ht,thd->hd", p_,
+                         vs.reshape(Tl, Hl, Dl)).reshape(El)
+        colperm = a2e[np.argsort(sigl)]
+        wo_eff = dq(jnp.asarray(np.asarray(lblk["wo"])[:, colperm])
+                    )[:, np.argsort(colperm)]
+        x2 = x[0] + wo_eff @ att
+        x2n = rms(x2, lblk["ffn_norm"])
+        g_ = dq(lblk["w_gate"]) @ x2n
+        u_ = dq(lblk["w_up"]) @ x2n
+        kpl = -(-Fl // 512) * 512
+        wdnp = dq(jnp.pad(lblk["w_down"], ((0, 0), (0, kpl - Fl))))
+        return (x2 + wdnp[:, :Fl] @ (g_ * jax.nn.sigmoid(g_) * u_))[None]
+
+    check("llama layer megakernel", yl[:, invl], jax.jit(llayer_ref)(xw),
+          rtol=5e-2, atol=2e-1)
+
     dt = time.time() - t0
     print(f"{'SMOKE FAILED: ' + ', '.join(FAILURES) if FAILURES else 'SMOKE OK'}"
           f"  ({dt:.0f}s)", flush=True)

@@ -1,0 +1,154 @@
+"""Whole-layer llama decode megakernel (kernels.llama_layer) — CPU
+interpret mode. Kernel parity against an element-space jnp reference over
+the same (re)quantized weights, both rope modes, K-padded w_down, plus
+end-to-end flat decode vs the unfused path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggmlsharp_tpu import GType, dequantize, quantize
+from ggmlsharp_tpu.kernels.llama_layer import (
+    a2e_map, fuse_llama_layer, llama_layer_step,
+)
+from ggmlsharp_tpu.kernels.mlp_fused import q4_korder_perm
+from ggmlsharp_tpu.models import llama, sampling
+
+E, H, D, F = 256, 4, 64, 704  # F pads to kp=1024 (exercises the pad mask)
+EPS = 1e-6
+
+
+class _Cfg:
+    n_embd, n_head, n_head_kv, head_dim, n_ff = E, H, H, D, F
+    rms_eps = EPS
+    rope_base = 10000.0
+
+    def __init__(self, mode):
+        self.rope_mode = mode
+
+
+def _rand_block(rng):
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * .1)
+    return {
+        "attn_norm": 1.0 + 0.1 * r(E), "ffn_norm": 1.0 + 0.1 * r(E),
+        "wq": r(E, E), "wk": r(E, E), "wv": r(E, E), "wo": r(E, E),
+        "w_gate": r(F, E), "w_up": r(F, E), "w_down": r(E, F),
+    }
+
+
+def _rope_ref(v, pos, mode):
+    """v: (E,) element order, per-head rope at absolute position pos."""
+    from ggmlsharp_tpu.ops.attention import rope
+
+    vh = v.reshape(H, 1, D)  # [head, seq=1, D]
+    out = jax.vmap(lambda t: rope(t, jnp.asarray([pos], jnp.int32),
+                                  mode=mode))(vh)
+    return out.reshape(E)
+
+
+def _ref_layer(blk, cfg, x, k_rows_att, v_rows_att, npast):
+    """Element-space reference over the SAME quantization the fuse uses.
+    Cache rows arrive in ATTN SPACE (the kernel layout)."""
+    dq = lambda w: dequantize(quantize(jnp.asarray(w, jnp.float32),
+                                       GType.Q4_0))
+    rms = lambda v, g: v / jnp.sqrt(jnp.mean(v * v, -1, keepdims=True)
+                                    + EPS) * g
+    a2e = a2e_map(E, D, cfg.rope_mode)
+    kp = -(-F // 512) * 512
+
+    xn = rms(x, blk["attn_norm"])
+    wqkv = jnp.concatenate([dq(blk["wq"]), dq(blk["wk"]), dq(blk["wv"])], 0)
+    qkv = (wqkv @ xn[0])
+    q = _rope_ref(qkv[:E], npast, cfg.rope_mode)
+    kn = _rope_ref(qkv[E : 2 * E], npast, cfg.rope_mode)
+    vn = qkv[2 * E :]
+    # attention over attn-space cache rows converted back to elements
+    inv = np.argsort(a2e)
+    T = k_rows_att.shape[0]
+    ks = k_rows_att[:, inv].at[npast].set(kn)
+    vs = v_rows_att[:, inv].at[npast].set(vn)
+    qh = q.reshape(H, D)
+    s = jnp.einsum("hd,thd->ht", qh, ks.reshape(T, H, D)) / np.sqrt(D)
+    s = jnp.where(jnp.arange(T)[None] <= npast, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    att = jnp.einsum("ht,thd->hd", p, vs.reshape(T, H, D)).reshape(E)
+    # wo: the fused copy re-quantizes the COLUMN-REGROUPED matrix
+    sigE = q4_korder_perm(E)
+    colperm = a2e[np.argsort(sigE)]
+    wo_eff = dq(np.asarray(blk["wo"])[:, colperm])[:, np.argsort(colperm)]
+    x2 = x[0] + wo_eff @ att
+    x2n = rms(x2, blk["ffn_norm"])
+    g = dq(blk["w_gate"]) @ x2n
+    u = dq(blk["w_up"]) @ x2n
+    h2 = g * jax.nn.sigmoid(g) * u
+    wdn_p = dq(jnp.pad(jnp.asarray(blk["w_down"], jnp.float32),
+                       ((0, 0), (0, kp - F))))
+    y = x2 + wdn_p[:, :F] @ h2
+    return y[None], kn[a2e][None], vn[a2e][None]
+
+
+@pytest.mark.parametrize("mode", [0, 2])
+@pytest.mark.parametrize("T,npast", [(64, 5), (64, 0)])
+def test_llama_layer_kernel_parity(mode, T, npast):
+    rng = np.random.default_rng(mode * 10 + T + npast)
+    cfg = _Cfg(mode)
+    blk = _rand_block(rng)
+    fused = fuse_llama_layer(blk, cfg)
+    sig = q4_korder_perm(E)
+    inv = np.argsort(sig)
+    a2e = a2e_map(E, D, mode)
+    x = jnp.asarray(rng.standard_normal((1, E)).astype(np.float32) * 0.5)
+    katt = jnp.asarray(rng.standard_normal((T, E)).astype(np.float32) * .3)
+    vatt = jnp.asarray(rng.standard_normal((T, E)).astype(np.float32) * .3)
+
+    y, kn, vn = llama_layer_step(fused, x[:, sig], katt, vatt,
+                                 jnp.int32(npast), cfg)
+    y_ref, kn_ref, vn_ref = _ref_layer(blk, cfg, x, katt, vatt, npast)
+    np.testing.assert_allclose(np.asarray(kn), np.asarray(kn_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(vn), np.asarray(vn_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y[:, inv]), np.asarray(y_ref),
+                               rtol=3e-3, atol=3e-3)
+
+
+def test_llama_fused_decode_matches_unfused(monkeypatch):
+    """End-to-end: megakernel decode logits track the per-matmul path at
+    quantization-noise level. Exact token equality is NOT expected: the
+    fused wo copy is re-quantized with regrouped columns (pack-time column
+    permutation), so its quantization error differs from the standard
+    planes' — same magnitude, different rounding."""
+    monkeypatch.setenv("GGML_TPU_QUANT_ACTS", "0")
+    import ggmlsharp_tpu.config as cfgmod
+
+    monkeypatch.setattr(cfgmod, "_config", None)
+    cfg = llama.LlamaConfig(n_vocab=256, n_ctx=64, n_embd=E, n_head=H,
+                            n_head_kv=H, n_layer=2, n_ff=F)
+    params = llama.init_params(jax.random.PRNGKey(4), cfg)
+    prompt = jnp.asarray([[7, 3, 99, 12]], jnp.int32)
+
+    def step_logits(fused):
+        monkeypatch.setenv("GGML_TPU_LLAMA_FUSED", "1" if fused else "0")
+        qp = llama.quantize_params(params, GType.Q4_0, cfg=cfg)
+        assert ("layer_fused" in qp["blocks"][0]) == fused
+        cache = llama.new_cache(cfg, 1)
+        assert cache.k[0].ndim == 3
+        prefill, step = sampling.make_decode_fns(llama.forward, cfg)
+        logits, cache = prefill(qp, prompt, cache, t_eff=64)
+        tok = jnp.argmax(logits, -1, keepdims=True).astype(jnp.int32)
+        out = []
+        for _ in range(4):  # feed the SAME token stream to both paths
+            logits, cache = step(qp, tok, cache, t_eff=64)
+            out.append(np.asarray(logits)[0])  # (V,)
+            tok = jnp.full((1, 1), int(np.argmax(out[0])), jnp.int32)
+        return np.stack(out)
+
+    la = step_logits(False)
+    lb = step_logits(True)
+    # same computation modulo re-quantization rounding of the fused wo
+    # copy (exact correctness vs a same-quantization reference is covered
+    # by test_llama_layer_kernel_parity); on random near-tied logits that
+    # drift shows as a high-correlation, same-argmax perturbation
+    for a, b in zip(la, lb):
+        assert np.corrcoef(a, b)[0, 1] > 0.98
+    assert np.argmax(la[0]) == np.argmax(lb[0])
