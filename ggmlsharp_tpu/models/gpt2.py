@@ -266,15 +266,26 @@ def forward(params, cfg: GPT2Config, tokens, cache: kvc.KVCache, positions,
             cache = kvc.update_layer_flat(
                 cache, i, k.reshape(B, S, -1)[..., sig],
                 v.reshape(B, S, -1)[..., sig], positions)
-            t = cache.max_len
-            if prefix_bound is not None:
-                t = min(int(prefix_bound), t)
-            k_all, v_all = _flat_read_heads(cache, i, cfg.n_head, t)
-            from .common import _einsum_attention
+            if S > 8:
+                # prefill: flash over the fresh K/V (prefix starts empty —
+                # generate/engine prefill contract), scores never in HBM
+                from ..kernels.flash import flash_attention_cached
 
-            a = merge_heads(_einsum_attention(
-                split_heads(q, cfg.n_head), k_all.astype(q.dtype),
-                v_all.astype(q.dtype), positions, 1, 0.0)).astype(q.dtype)
+                a = merge_heads(flash_attention_cached(
+                    split_heads(q, cfg.n_head), split_heads(k, cfg.n_head),
+                    split_heads(v, cfg.n_head),
+                    positions[:, 0])).astype(q.dtype)
+            else:
+                t = cache.max_len
+                if prefix_bound is not None:
+                    t = min(int(prefix_bound), t)
+                k_all, v_all = _flat_read_heads(cache, i, cfg.n_head, t)
+                from .common import _einsum_attention
+
+                a = merge_heads(_einsum_attention(
+                    split_heads(q, cfg.n_head), k_all.astype(q.dtype),
+                    v_all.astype(q.dtype), positions, 1,
+                    0.0)).astype(q.dtype)
         else:
             q = split_heads(q, cfg.n_head)
             k = split_heads(k, cfg.n_head)

@@ -154,3 +154,25 @@ def test_gpt2_flat_prefill_logits_match(monkeypatch):
     kh = np.asarray(ca.k[0][0])[:, :4]  # (H, S, D)
     kh = kh.transpose(1, 0, 2).reshape(4, E)[:, sig]
     np.testing.assert_allclose(kf, kh, rtol=2e-2, atol=2e-2)  # bf16 store
+
+
+def test_gpt2_flat_long_prefill_decode(monkeypatch):
+    """16-token prompt exercises the flat-cache FLASH prefill branch, then
+    megakernel decode — tokens match the unfused path."""
+    monkeypatch.setenv("GGML_TPU_QUANT_ACTS", "0")
+    import ggmlsharp_tpu.config as cfgmod
+
+    monkeypatch.setattr(cfgmod, "_config", None)
+    cfg = gpt2.GPT2Config(n_vocab=512, n_ctx=128, n_embd=E, n_head=H,
+                          n_layer=2)
+    params = gpt2.init_params(jax.random.PRNGKey(9), cfg)
+    prompt = jnp.asarray([list(range(3, 19))], jnp.int32)
+
+    def run(flat):
+        monkeypatch.setenv("GGML_TPU_LAYER_FUSED", "1" if flat else "0")
+        qp = gpt2.quantize_params(params, GType.Q8_0)
+        cache = gpt2.new_cache(cfg, 1, flat=flat)
+        toks, _ = sampling.generate(gpt2.forward, cfg, qp, prompt, cache, 6)
+        return np.asarray(toks)
+
+    np.testing.assert_array_equal(run(False), run(True))
