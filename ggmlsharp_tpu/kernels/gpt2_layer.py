@@ -73,25 +73,29 @@ def _pick_tile(n: int, k: int) -> int:
 
 
 def fuse_gpt2_layer(blk) -> dict:
-    """Pack one f32 GPT-2 block into wire-order Q8_0 megakernel planes.
-    blk: the raw param dict (ln_1/attn/ln_2/mlp with f32 weights)."""
+    """Pack one GPT-2 block into wire-order Q8_0 megakernel planes.
+    blk: the raw param dict (ln_1/attn/ln_2/mlp). Weights may be f32/bf16
+    arrays (quantized here) or pre-quantized Q8_0 QTensors (e.g. a
+    GGUF-imported model) — their payload bits are reused unchanged (all
+    four packs are pure row permutations)."""
     from ..quant.quantize import quantize
 
-    wqkv = jnp.asarray(blk["attn"]["c_attn_w"], jnp.float32)
-    wp = jnp.asarray(blk["attn"]["c_proj_w"], jnp.float32)
-    wfc = jnp.asarray(blk["mlp"]["c_fc_w"], jnp.float32)
-    wcp = jnp.asarray(blk["mlp"]["c_proj_w"], jnp.float32)
+    wqkv = blk["attn"]["c_attn_w"]
+    wp = blk["attn"]["c_proj_w"]
+    wfc = blk["mlp"]["c_fc_w"]
+    wcp = blk["mlp"]["c_proj_w"]
     E = wp.shape[0]
     F = wfc.shape[0]
     sE = q8_korder_perm(E)
     sF = q8_korder_perm(F)
     perm3 = np.concatenate([sE, E + sE, 2 * E + sE])
 
-    def pack(w_f32, rows):
-        q = quantize(w_f32, GType.Q8_0)
-        vals = from_storage_order(q.planes["qs"], 32).astype(jnp.int32)
+    def pack(w, rows):
+        if not isinstance(w, QTensor):
+            w = quantize(jnp.asarray(w, jnp.float32), GType.Q8_0)
+        vals = from_storage_order(w.planes["qs"], 32).astype(jnp.int32)
         return (swar_pack_values_q8(vals[rows], 1),
-                swar_pack_scales(q.planes["d"][rows], 1))
+                swar_pack_scales(w.planes["d"][rows], 1))
 
     qs_a, d_a = pack(wqkv, perm3)
     qs_p, d_p = pack(wp, sE)

@@ -103,11 +103,18 @@ def llama_layer_fuse_supported(cfg) -> bool:
 
 
 def fuse_llama_layer(blk_raw: dict, cfg) -> dict:
-    """Pack one raw-f32 llama block into megakernel planes. blk_raw needs
-    wq/wk/wv (or wqkv pre-concat), wo, w_gate, w_up (or w_gate_up),
-    w_down, attn_norm, ffn_norm."""
-    from ..quant.formats import swar_pack_scales, swar_pack_values
-    from ..quant.quantize import quantize
+    """Pack one llama block into megakernel planes. blk_raw needs wq/wk/wv
+    (or wqkv pre-concat), wo, w_gate/w_up (or w_gate_up), w_down,
+    attn_norm, ffn_norm. Weights may be f32/bf16 arrays or pre-quantized
+    Q4_0 QTensors (GGUF-imported): qkv/gate_up/w_down packs are pure row
+    permutations (+ zero pad blocks) reusing the payload bits; only wo is
+    re-quantized (its input columns regroup — from dequantize when the
+    source is a QTensor)."""
+    from ..quant.formats import (
+        QTensor, from_storage_order, swar_pack_scales, swar_pack_values,
+        unpack_nibbles,
+    )
+    from ..quant.quantize import dequantize, quantize
 
     E, D, F = cfg.n_embd, cfg.head_dim, cfg.n_ff
     kp = -(-F // 512) * 512
@@ -115,34 +122,59 @@ def fuse_llama_layer(blk_raw: dict, cfg) -> dict:
     sigKp = q4_korder_perm(kp)
     a2e = a2e_map(E, D, cfg.rope_mode)
 
-    f32 = lambda w: jnp.asarray(w, jnp.float32)
-    if "wqkv" in blk_raw:
-        wqkv = f32(blk_raw["wqkv"])
-    else:
-        wqkv = jnp.concatenate(
-            [f32(blk_raw["wq"]), f32(blk_raw["wk"]), f32(blk_raw["wv"])], 0)
-    if "w_gate_up" in blk_raw:
-        wgu = f32(blk_raw["w_gate_up"])
-    else:
-        wgu = jnp.concatenate([f32(blk_raw["w_gate"]),
-                               f32(blk_raw["w_up"])], 0)
-    wo = f32(blk_raw["wo"])
-    wdn = f32(blk_raw["w_down"])
-
-    def pack(w_f32, rows=None):
-        q = quantize(w_f32, GType.Q4_0)
-        from ..quant.formats import from_storage_order, unpack_nibbles
-
-        vals = from_storage_order(
-            unpack_nibbles(q.planes["qs"], w_f32.shape[-1]), 32)
+    def vals_d(w, pad_to=None):
+        """→ (nibble values (N, K[p]) int, d (N, C[p]) f16) from a raw
+        float weight or a pre-SWAR Q4_0 QTensor; optional zero K-pad."""
+        if isinstance(w, QTensor):
+            q = w
+        else:
+            q = quantize(jnp.asarray(w, jnp.float32), GType.Q4_0)
+        k = q.shape[-1]
+        vals = from_storage_order(unpack_nibbles(q.planes["qs"], k), 32)
         d = q.planes["d"]
+        if pad_to is not None and pad_to != k:
+            # pad value 8 ≡ dequant 0 with any d; pad d = 0 regardless
+            vals = jnp.pad(vals, ((0, 0), (0, pad_to - k)),
+                           constant_values=8)
+            d = jnp.pad(d, ((0, 0), (0, (pad_to - k) // 32)))
+        return vals, d
+
+    def cat2(a, b):
+        va, da = vals_d(a)
+        vb, db = vals_d(b)
+        return jnp.concatenate([va, vb], 0), jnp.concatenate([da, db], 0)
+
+    if "wqkv" in blk_raw:
+        v_qkv, d_qkv = vals_d(blk_raw["wqkv"])
+    else:
+        vq, dq_ = vals_d(blk_raw["wq"])
+        vk, dk = vals_d(blk_raw["wk"])
+        vv, dv = vals_d(blk_raw["wv"])
+        v_qkv = jnp.concatenate([vq, vk, vv], 0)
+        d_qkv = jnp.concatenate([dq_, dk, dv], 0)
+    if "w_gate_up" in blk_raw:
+        v_gu, d_gu = vals_d(blk_raw["w_gate_up"])
+    else:
+        v_gu, d_gu = cat2(blk_raw["w_gate"], blk_raw["w_up"])
+    wo = blk_raw["wo"]
+    wo = dequantize(wo) if isinstance(wo, QTensor) else \
+        jnp.asarray(wo, jnp.float32)
+    v_dn, d_dn = vals_d(blk_raw["w_down"], pad_to=kp)
+
+    def pack_vd(vals, d, rows=None):
         if rows is not None:
             vals, d = vals[rows], d[rows]
         return swar_pack_values(vals, 1), swar_pack_scales(d, 1)
 
+    def pack(w_f32, rows=None):
+        q = quantize(w_f32, GType.Q4_0)
+        vals = from_storage_order(
+            unpack_nibbles(q.planes["qs"], w_f32.shape[-1]), 32)
+        return pack_vd(vals, q.planes["d"], rows)
+
     # qkv: output rows in attn space (q | k | v), k-axis standard (wire in)
     perm3 = np.concatenate([a2e, E + a2e, 2 * E + a2e])
-    qs_a, d_a = pack(wqkv, perm3)
+    qs_a, d_a = pack_vd(v_qkv, d_qkv, perm3)
     # wo consumes the attn-space output directly: kernel lane i reads vals
     # column sigE(i), and we want it to be wo column a2e[i] — so regroup
     # the input columns (re-quantizing the fused copy from f32; the
@@ -155,10 +187,9 @@ def fuse_llama_layer(blk_raw: dict, cfg) -> dict:
     # masks those lanes to zero AND w_down's pad blocks are zero.
     gu_rows = np.where(sigKp < F, sigKp, 0)
     rows_gu = np.concatenate([gu_rows, F + gu_rows])
-    qs_g, d_g = pack(wgu, rows_gu)
+    qs_g, d_g = pack_vd(v_gu, d_gu, rows_gu)
     # w_down: K padded with zero blocks; wire out rows
-    wdn_p = jnp.pad(wdn, ((0, 0), (0, kp - F)))
-    qs_d, d_d = pack(wdn_p, sigE)
+    qs_d, d_d = pack_vd(v_dn, d_dn, sigE)
     wire = lambda g: jnp.asarray(g, jnp.float32)[sigE].reshape(1, E)
     return {
         "qs_a": qs_a, "d_a": d_a, "qs_o": qs_o, "d_o": d_o,

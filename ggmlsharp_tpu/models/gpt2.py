@@ -134,12 +134,20 @@ def quantize_params(params, gtype: GType, min_cols: int = 256,
             "ln_2": b["ln_2"],
             "mlp": _q_mlp(b["mlp"], q, gtype, use_swar),
         }
-        if layer_fuse and not isinstance(b["attn"]["c_attn_w"], QTensor):
+        if layer_fuse:
             from ..kernels.gpt2_layer import fuse_gpt2_layer, _pick_tile
 
+            def _fusable(w):  # raw floats, or pre-SWAR Q8_0 planes
+                if not isinstance(w, QTensor):
+                    return True
+                return w.gtype == GType.Q8_0 and "qs" in w.planes
+
+            ws = (b["attn"]["c_attn_w"], b["attn"]["c_proj_w"],
+                  b["mlp"]["c_fc_w"], b["mlp"]["c_proj_w"])
             E = b["attn"]["c_proj_w"].shape[0]
             F = b["mlp"]["c_fc_w"].shape[0]
-            if (E % 128 == 0 and F % 128 == 0
+            if (all(_fusable(w) for w in ws)
+                    and E % 128 == 0 and F % 128 == 0
                     and all((_pick_tile(3 * E, E), _pick_tile(E, E),
                              _pick_tile(F, E), _pick_tile(E, F)))):
                 qb["layer_fused"] = fuse_gpt2_layer(b)

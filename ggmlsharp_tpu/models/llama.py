@@ -208,9 +208,19 @@ def quantize_params(params, gtype: GType, embd_gtype: GType | None = None,
             fuse_llama_layer, llama_layer_fuse_supported,
         )
 
+        def _fusable(w, via_dequant=False):
+            if w is None:
+                return False
+            if not isinstance(w, QTensor):
+                return True  # raw floats quantize at pack time
+            return w.gtype == GType.Q4_0 and (via_dequant or
+                                              "qs" in w.planes)
+
         if llama_layer_fuse_supported(cfg):
             for ob, rb in zip(out["blocks"], params["blocks"]):
-                if not isinstance(rb["wq"], QTensor):
+                ok = all(_fusable(rb.get(n)) for n in
+                         ("wq", "wk", "wv", "w_gate", "w_up", "w_down"))
+                if ok and _fusable(rb.get("wo"), via_dequant=True):
                     ob["layer_fused"] = fuse_llama_layer(rb, cfg)
     return out
 

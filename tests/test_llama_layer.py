@@ -152,3 +152,20 @@ def test_llama_fused_decode_matches_unfused(monkeypatch):
     for a, b in zip(la, lb):
         assert np.corrcoef(a, b)[0, 1] > 0.98
     assert np.argmax(la[0]) == np.argmax(lb[0])
+
+
+def test_fuse_from_prequantized_bits_identical():
+    """Fusing from pre-quantized Q4_0 QTensors reuses the payload bits:
+    identical planes to fusing from the f32 source for qkv/gate_up/down
+    (row permutations only)."""
+    rng = np.random.default_rng(6)
+    cfg = _Cfg(0)
+    blk = _rand_block(rng)
+    qblk = {k: (quantize(v, GType.Q4_0)
+                if hasattr(v, "ndim") and v.ndim == 2 else v)
+            for k, v in blk.items()}
+    fa = fuse_llama_layer(blk, cfg)
+    fb = fuse_llama_layer(qblk, cfg)
+    for key in ("qs_a", "d_a", "qs_g", "d_g", "qs_d", "d_d", "g1", "g2"):
+        np.testing.assert_array_equal(np.asarray(fa[key]),
+                                      np.asarray(fb[key]), err_msg=key)
