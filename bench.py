@@ -74,7 +74,7 @@ def _wire_bytes(tree):
     return total
 
 
-def _synthetic_qparams(mod, cfg, gtype):
+def _synthetic_qparams(mod, cfg, gtype, qkw=None):
     """Build a quantized param tree with random integer payloads and small
     constant scales, WITHOUT materializing f32 weights (a 7B f32 staging copy
     would not fit HBM alongside the quantized model). Decode throughput is
@@ -93,7 +93,7 @@ def _synthetic_qparams(mod, cfg, gtype):
     spec = jax.eval_shape(
         lambda: mod.quantize_params(
             mod.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
-            gtype,
+            gtype, **(qkw or {}),
         )
     )
     leaves, treedef = jax.tree.flatten(spec, is_leaf=is_leaf)
@@ -135,6 +135,92 @@ def _synthetic_qparams(mod, cfg, gtype):
     return build(jax.random.PRNGKey(1))
 
 
+def _run_train_mode(mod, cfg, model, batch):
+    """BENCH_MODE=train: Adam training throughput (tokens/sec/chip) on the
+    bf16 model — fwd + bwd + update in ONE jitted, donated step (the
+    reference is a training library; its largest workload is a 4096x256
+    L-BFGS fit, SURVEY §1). vs_baseline = fraction of bf16 MXU peak at
+    6 FLOPs/param/token."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from ggmlsharp_tpu.models import kv_cache as kvc
+
+    S = int(os.environ.get("BENCH_TRAIN_SEQ", "128"))
+    B = batch
+    rng = jax.random.PRNGKey(0)
+    params = mod.init_params(rng, cfg, dtype=jnp.bfloat16)
+    n_head_kv = getattr(cfg, "n_head_kv", cfg.n_head)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (B, S + 1), 0,
+                              cfg.n_vocab).astype(jnp.int32)
+
+    def loss_fn(p, toks):
+        inp, tgt = toks[:, :-1], toks[:, 1:]
+        cache = kvc.init_cache(cfg.n_layer, B, n_head_kv, S, cfg.head_dim,
+                               dtype=jnp.bfloat16)
+        positions = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[None], inp.shape)
+        logits, _ = mod.forward(p, cfg, inp, cache, positions,
+                                prefix_bound=S)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, tgt[..., None], -1))
+
+    def adam_update(p, g, m, v, t):
+        b1, b2, lr, eps = 0.9, 0.999, 1e-4, 1e-8
+        m = jax.tree.map(lambda a, b: b1 * a + (1 - b1) * b, m, g)
+        v = jax.tree.map(lambda a, b: b2 * a + (1 - b2) * b * b, v, g)
+        corr1, corr2 = 1 - b1 ** t, 1 - b2 ** t
+        p = jax.tree.map(
+            lambda w, mm, vv: (w.astype(jnp.float32)
+                               - lr * (mm / corr1)
+                               / (jnp.sqrt(vv / corr2) + eps)).astype(w.dtype),
+            p, m, v)
+        return p, m, v
+
+    zeros = jax.tree.map(lambda w: jnp.zeros(w.shape, jnp.float32), params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
+    def train_step(p, toks, m, v, t):
+        loss, g = jax.value_and_grad(loss_fn)(p, toks)
+        p, m, v = adam_update(p, g, m, v, t)
+        return loss, p, m, v
+
+    state = [params, zeros, jax.tree.map(jnp.copy, zeros)]
+    t_idx = jnp.float32(1.0)
+    loss, state[0], state[1], state[2] = train_step(
+        state[0], toks, state[1], state[2], t_idx)
+    _np.asarray(loss)
+    _log("train step compiled")
+
+    def chain(n):
+        nonlocal t_idx
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n):
+            t_idx = t_idx + 1
+            loss, state[0], state[1], state[2] = train_step(
+                state[0], toks, state[1], state[2], t_idx)
+        _np.asarray(loss)
+        return time.perf_counter() - t0
+
+    t1 = chain(3)
+    t2 = chain(9)
+    steps_s = 6.0 / (t2 - t1)
+    tok_s = steps_s * B * S
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    peak = 197e12  # v5e bf16
+    roofline_tok_s = peak / (6.0 * n_params)
+    print(json.dumps({
+        "metric": f"train tokens/sec/chip ({model} bf16 adam B={B} S={S})",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / roofline_tok_s, 4),
+    }), flush=True)
+
+
 def run_workload():
     import jax
     import jax.numpy as jnp
@@ -166,14 +252,20 @@ def run_workload():
     _log(f"workload {model} {fmt} b={batch} steps={steps} — building params")
     t_start = time.perf_counter()
     rng = jax.random.PRNGKey(0)
+
+    if os.environ.get("BENCH_MODE") == "train":
+        _run_train_mode(mod, cfg, model, batch)
+        return
+
+    qkw = {"cfg": cfg} if mod is llama else {}  # llama layer-fused packing
     big = cfg.n_embd * cfg.n_layer > 16 * 4096  # 7B-class: avoid f32 staging
     if big and fmt in gtypes:
-        params = _synthetic_qparams(mod, cfg, gtypes[fmt])
+        params = _synthetic_qparams(mod, cfg, gtypes[fmt], qkw)
     else:
         params = mod.init_params(rng, cfg, dtype=jnp.bfloat16)
         if fmt in gtypes:
             params = jax.jit(
-                lambda p: mod.quantize_params(p, gtypes[fmt]),
+                lambda p: mod.quantize_params(p, gtypes[fmt], **qkw),
             )(params)
     params = jax.block_until_ready(params)
     _log(f"params ready at t={time.perf_counter()-t_start:.1f}s")
