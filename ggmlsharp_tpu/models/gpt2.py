@@ -167,13 +167,16 @@ def _q_mlp(mlp, q, gtype, use_swar):
 
     out = {"c_fc_b": mlp["c_fc_b"], "c_proj_b": mlp["c_proj_b"]}
     if (use_swar and gtype == GType.Q8_0
-            and os.environ.get("GGML_TPU_MLP_FUSED", "1") == "1"
-            and not isinstance(mlp["c_fc_w"], QTensor)):
+            and os.environ.get("GGML_TPU_MLP_FUSED", "1") == "1"):
         from ..quant.quantize import quantize
 
-        fc = quantize(mlp["c_fc_w"].astype(jnp.float32), gtype)
-        pj = quantize(mlp["c_proj_w"].astype(jnp.float32), gtype)
-        if mlp_fuse_supported(fc, pj):
+        def pre(w):  # pre-SWAR Q8_0 planes reused as-is (GGUF import)
+            if isinstance(w, QTensor):
+                return w if w.gtype == gtype and "qs" in w.planes else None
+            return quantize(w.astype(jnp.float32), gtype)
+
+        fc, pj = pre(mlp["c_fc_w"]), pre(mlp["c_proj_w"])
+        if fc is not None and pj is not None and mlp_fuse_supported(fc, pj):
             out["fused"] = fuse_mlp_q8(fc, mlp["c_fc_b"], pj,
                                        mlp["c_proj_b"])
     out["c_fc_w"] = q("mlp", mlp["c_fc_w"])
