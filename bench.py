@@ -404,9 +404,11 @@ def run_workload():
 
     # roofline: per decoded token every weight byte is read once (+ KV read)
     wbytes = _wire_bytes(params)
-    kv_bytes = 2 * cfg.n_layer * (prefill_len + steps // 2) * (
-        cache.k[0].shape[1] * cache.k[0].shape[3]
-    ) * cache.k[0].dtype.itemsize
+    kbuf = cache.k[0]
+    e_kv = (kbuf.shape[-1] if kbuf.ndim == 3  # flat [B, T, E] wire cache
+            else kbuf.shape[1] * kbuf.shape[3])
+    kv_bytes = 2 * cfg.n_layer * (prefill_len + steps // 2) * e_kv \
+        * kbuf.dtype.itemsize
     roofline = _hbm_bw() / (wbytes + kv_bytes)
     vs = toks_per_s / roofline
 
