@@ -59,16 +59,23 @@ def _onehot(E, H, D, shape, head_axis, layout="heads"):
 @functools.partial(
     jax.jit, static_argnames=("H", "D", "n_rep", "Tc", "layout"))
 def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
-                       layout="heads"):
+                       layout="heads", ks=None, vs=None):
     """q: (B·n_rep, E_kv) f32 PRE-SCALED sub-queries; kn/vn: (B, E_kv)
     fresh rows; kc/vc: (B, T, E_kv) flat cache (row npast[b] stale per
-    slot); npast: (B,) int32. Returns (B·n_rep, E_kv)."""
+    slot); npast: (B,) int32. ks/vs: optional (B, T, H) f32 per-(token,
+    head) scales for INT8 caches — expanded to lanes in-kernel with one
+    one-hot MXU dot per chunk. Returns (B·n_rep, E_kv)."""
     E = q.shape[-1]
     B, T = kc.shape[0], kc.shape[1]
     nch = T // Tc
+    int8 = ks is not None
 
-    def kernel(np_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref, o_ref,
-               m_s, l_s, a_s):
+    def kernel(np_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref, *rest):
+        if int8:
+            ks_ref, vs_ref, o_ref, m_s, l_s, a_s = rest
+        else:
+            o_ref, m_s, l_s, a_s = rest
+            ks_ref = vs_ref = None
         jb = pl.program_id(0)
         jc = pl.program_id(1)
         npast = np_ref[jb]
@@ -92,6 +99,9 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
 
         kf = kc_ref[0].astype(jnp.float32)
         vf = vc_ref[0].astype(jnp.float32)
+        if int8:  # dequantize rows: scale lanes via the one-hot broadcast
+            kf = kf * dot(ks_ref[0], OHT)
+            vf = vf * dot(vs_ref[0], OHT)
         idx = jc * Tc + jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0)
         live = (idx <= npast) & (idx != npast)  # stale fresh row excluded
         for r in range(n_rep):
@@ -114,17 +124,23 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
                     l_s[r : r + 1], OHT)
 
     vspec = lambda shp, im: pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        vspec((n_rep, E), lambda jb, jc: (jb, 0)),
+        vspec((1, E), lambda jb, jc: (jb, 0)),
+        vspec((1, E), lambda jb, jc: (jb, 0)),
+        vspec((1, Tc, E), lambda jb, jc: (jb, jc, 0)),
+        vspec((1, Tc, E), lambda jb, jc: (jb, jc, 0)),
+    ]
+    args = [npast, q, kn, vn, kc, vc]
+    if int8:
+        in_specs += [vspec((1, Tc, H), lambda jb, jc: (jb, jc, 0)),
+                     vspec((1, Tc, H), lambda jb, jc: (jb, jc, 0))]
+        args += [ks, vs]
     return pl.pallas_call(
         kernel,
         grid=(B, nch),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            vspec((n_rep, E), lambda jb, jc: (jb, 0)),
-            vspec((1, E), lambda jb, jc: (jb, 0)),
-            vspec((1, E), lambda jb, jc: (jb, 0)),
-            vspec((1, Tc, E), lambda jb, jc: (jb, jc, 0)),
-            vspec((1, Tc, E), lambda jb, jc: (jb, jc, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=vspec((n_rep, E), lambda jb, jc: (jb, 0)),
         out_shape=jax.ShapeDtypeStruct((B * n_rep, E), jnp.float32),
         scratch_shapes=[
@@ -141,16 +157,19 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
             bytes_accessed=2 * B * T * E * kc.dtype.itemsize,
             transcendentals=B * n_rep * T * H,
         ),
-    )(npast, q, kn, vn, kc, vc)
+    )(*args)
 
 
 def flash_decode_flat(q_heads, k_new, v_new, k_cache, v_cache, npast,
-                      n_head_kv: int, head_dim: int):
+                      n_head_kv: int, head_dim: int,
+                      k_scale=None, v_scale=None):
     """Decode attention for ONE token per slot over a flat cache.
 
     q_heads: (B, Hq, D) f32 UNscaled; k_new/v_new: (B, E_kv) element-order
-    rows; k_cache/v_cache: (B, T, E_kv) flat prefix slices (bucketed; row
-    `npast[b]` stale); npast: int32 (B,). Returns (B, Hq, D) f32."""
+    rows (UNquantized floats even for INT8 caches); k_cache/v_cache:
+    (B, T, E_kv) flat prefix slices (bucketed; row `npast[b]` stale);
+    npast: int32 (B,); k_scale/v_scale: (B, T, H) f32 for INT8 caches.
+    Returns (B, Hq, D) f32."""
     B, Hq, D = q_heads.shape
     n_rep = Hq // n_head_kv
     E = n_head_kv * head_dim
@@ -166,7 +185,7 @@ def flash_decode_flat(q_heads, k_new, v_new, k_cache, v_cache, npast,
     out = _call_flash_decode(
         qr, k_new.astype(jnp.float32), v_new.astype(jnp.float32),
         k_cache, v_cache, jnp.asarray(npast, jnp.int32).reshape(B),
-        n_head_kv, head_dim, n_rep, Tc)
+        n_head_kv, head_dim, n_rep, Tc, ks=k_scale, vs=v_scale)
     return out.reshape(B, n_rep, n_head_kv, D).transpose(0, 2, 1, 3).reshape(
         B, Hq, D)
 

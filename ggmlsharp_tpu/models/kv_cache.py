@@ -66,6 +66,15 @@ def init_cache(n_layer, batch, n_head_kv, n_ctx, head_dim,
     row write per step, no head axis. Mutually exclusive with int8."""
     if flat:
         fshape = (batch, n_ctx, n_head_kv * head_dim)
+        if int8:
+            sshape = (batch, n_ctx, n_head_kv)  # per (token, head) scales
+            return KVCache(
+                tuple(jnp.zeros(fshape, jnp.int8) for _ in range(n_layer)),
+                tuple(jnp.zeros(fshape, jnp.int8) for _ in range(n_layer)),
+                tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n_layer)),
+                tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n_layer)),
+                jnp.zeros((batch,), jnp.int32),
+            )
         return KVCache(
             tuple(jnp.zeros(fshape, dtype) for _ in range(n_layer)),
             tuple(jnp.zeros(fshape, dtype) for _ in range(n_layer)),
@@ -153,12 +162,34 @@ def is_flat(cache: KVCache) -> bool:
 
 def update_layer_flat(cache: KVCache, layer: int, k_rows, v_rows,
                       positions) -> KVCache:
-    """Write wire-order rows into a flat cache. k_rows/v_rows: [B, S, E];
-    positions int32 [B, S] contiguous per batch row."""
+    """Write flat-layout rows into a flat cache. k_rows/v_rows: [B, S, E]
+    float; positions int32 [B, S] contiguous per batch row. INT8 caches
+    quantize per (token, head) — same granularity as the head-major INT8
+    path — storing scales [B, S, H]."""
 
     def upd(buf_b, rows_b, start_b):
         return jax.lax.dynamic_update_slice(
             buf_b, rows_b.astype(buf_b.dtype), (start_b, 0))
+
+    if cache.int8:
+        H = cache.k_scale[layer].shape[-1]
+        B, S, E = k_rows.shape
+
+        def qrows(rows):
+            rh = rows.astype(jnp.float32).reshape(B, S, H, E // H)
+            q, s = _quant_rows(rh)
+            return q.reshape(B, S, E), s.reshape(B, S, H)
+
+        kq, ks = qrows(k_rows)
+        vq, vs = qrows(v_rows)
+        k = jax.vmap(upd)(cache.k[layer], kq, positions[:, 0])
+        v = jax.vmap(upd)(cache.v[layer], vq, positions[:, 0])
+        kss = jax.vmap(upd)(cache.k_scale[layer], ks, positions[:, 0])
+        vss = jax.vmap(upd)(cache.v_scale[layer], vs, positions[:, 0])
+        return KVCache(
+            _replace(cache.k, layer, k), _replace(cache.v, layer, v),
+            _replace(cache.k_scale, layer, kss),
+            _replace(cache.v_scale, layer, vss), cache.length)
 
     k = jax.vmap(upd)(cache.k[layer], k_rows, positions[:, 0])
     v = jax.vmap(upd)(cache.v[layer], v_rows, positions[:, 0])

@@ -274,7 +274,7 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
     """tokens/positions: int32 [B, S]. Returns (logits f32 [B,S,V], cache).
     prefix_bound: optional STATIC upper bound on the live cache prefix
     (host-side length bucketing — see common.cached_attention)."""
-    if (kvc.is_flat(cache) and tokens.shape == (1, 1)
+    if (kvc.is_flat(cache) and tokens.shape == (1, 1) and not cache.int8
             and all("layer_fused" in b for b in params["blocks"])):
         return _forward_llama_fused(params, cfg, tokens, cache, positions,
                                     prefix_bound)
@@ -313,7 +313,7 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
             # whole-layer megakernel planes (kernels.llama_layer — its b=1
             # fast path bypasses this loop entirely, but prefill and
             # batched decode share its cache layout).
-            lf = "layer_fused" in blk
+            lf = "layer_fused" in blk and not cache.int8
             if lf:
                 from ..kernels.llama_layer import a2e_map
 
@@ -340,10 +340,20 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
                 else:
                     from ..kernels.attn_decode import flash_decode_flat
 
+                    scales = {}
+                    if cache.int8:
+                        scales = {
+                            "k_scale": jax.lax.slice(
+                                cache.k_scale[i], (0, 0, 0),
+                                (B, t, cfg.n_head_kv)),
+                            "v_scale": jax.lax.slice(
+                                cache.v_scale[i], (0, 0, 0),
+                                (B, t, cfg.n_head_kv)),
+                        }
                     out = flash_decode_flat(
                         merge_heads(q)[:, 0].reshape(B, cfg.n_head, hd),
                         kn[:, 0], vn[:, 0], kc, vc, positions[:, 0],
-                        cfg.n_head_kv, hd)
+                        cfg.n_head_kv, hd, **scales)
                     a = out.reshape(B, 1, nq).astype(x.dtype)
             else:
                 # prefill from the empty prefix: flash over the fresh K/V
@@ -393,8 +403,7 @@ def new_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16, int8=False,
     if flat is None:
         import os
 
-        flat = (not int8
-                and (cfg.n_head_kv * cfg.head_dim) % 128 == 0
+        flat = ((cfg.n_head_kv * cfg.head_dim) % 128 == 0
                 and os.environ.get("GGML_TPU_FLASH_DECODE", "1") == "1")
     return kvc.init_cache(cfg.n_layer, batch, cfg.n_head_kv,
                           max_len or cfg.n_ctx, cfg.head_dim,

@@ -72,7 +72,7 @@ def run(n_devices: int) -> None:
         # swar=False: TP shards the (N, ·)-oriented planes (llama_param_specs)
         qparams = llama.quantize_params(params, GType.Q4_0, swar=False)
         qparams = shd.shard_params(qparams, shd.llama_param_specs(), mesh)
-        cache = llama.new_cache(cfg, B, int8=True)
+        cache = llama.new_cache(cfg, B, int8=True, flat=False)  # TP shards the head-major layout
         cache = shd.shard_cache(cache, shd.kv_cache_spec(), mesh)
         prefill, step = sampling.make_decode_fns(llama.forward, cfg)
         logits, cache = prefill(qparams, tokens[:, :S], cache)

@@ -64,10 +64,9 @@ class Engine:
         self.max_len = max_len or cfg.n_ctx
         import os
 
-        # flat wire cache → batched flash-decode kernel with per-slot
-        # prefix lengths (kernels.attn_decode); head-major for int8 KV
-        flat = (not int8_kv
-                and (n_head_kv * cfg.head_dim) % 128 == 0
+        # flat cache → batched flash-decode kernel with per-slot prefix
+        # lengths (kernels.attn_decode); INT8 KV dequantizes in-kernel
+        flat = ((n_head_kv * cfg.head_dim) % 128 == 0
                 and hasattr(cfg, "n_head_kv")  # llama-family forward only
                 and os.environ.get("GGML_TPU_FLASH_DECODE", "1") == "1")
         self.cache = kvc.init_cache(

@@ -92,3 +92,57 @@ def test_llama_flat_batched_decode(monkeypatch):
         return np.asarray(toks)
 
     np.testing.assert_array_equal(run(False), run(True))
+
+
+def test_flash_decode_int8_kernel_parity():
+    """INT8 flat cache: in-kernel per-(token, head) scale expansion matches
+    explicit dequantized attention."""
+    rng = np.random.default_rng(21)
+    B, Hq, Hkv, D, T = 2, 4, 2, 64, 128
+    E = Hkv * D
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    kf = rng.standard_normal((B, T, E)).astype(np.float32)
+    vf = rng.standard_normal((B, T, E)).astype(np.float32)
+
+    def quant(rows):
+        rh = rows.reshape(B, T, Hkv, D)
+        s = np.abs(rh).max(-1) / 127.0
+        qv = np.clip(np.round(rh / s[..., None]), -127, 127).astype(np.int8)
+        return (jnp.asarray(qv.reshape(B, T, E)),
+                jnp.asarray(s.astype(np.float32)))
+
+    kq, ks = quant(kf)
+    vq, vs = quant(vf)
+    kn = jnp.asarray(rng.standard_normal((B, E)).astype(np.float32))
+    vn = jnp.asarray(rng.standard_normal((B, E)).astype(np.float32))
+    npasts = [17, 99]
+    got = np.asarray(flash_decode_flat(
+        q, kn, vn, kq, vq, jnp.asarray(npasts, jnp.int32), Hkv, D,
+        k_scale=ks, v_scale=vs))
+    kdq = np.asarray(kq).reshape(B, T, Hkv, D) * np.asarray(ks)[..., None]
+    vdq = np.asarray(vq).reshape(B, T, Hkv, D) * np.asarray(vs)[..., None]
+    for b, npast in enumerate(npasts):
+        kr = kdq[b].reshape(T, E).copy()
+        vr = vdq[b].reshape(T, E).copy()
+        kr[npast] = np.asarray(kn)[b]
+        vr[npast] = np.asarray(vn)[b]
+        want = _ref(np.asarray(q[b]), kr, vr, npast, Hkv, D)
+        np.testing.assert_allclose(got[b], want, rtol=2e-5, atol=2e-5)
+
+
+def test_llama_flat_int8_decode_matches_head_cache():
+    """INT8 KV: flat cache + fused flash-decode (in-kernel dequant) equals
+    the head-major einsum path — same per-(token, head) quantization."""
+    cfg = llama.LlamaConfig(n_vocab=256, n_ctx=64, n_embd=256, n_head=4,
+                            n_head_kv=2, n_layer=2, n_ff=512)
+    params = llama.init_params(jax.random.PRNGKey(8), cfg)
+    qp = llama.quantize_params(params, GType.Q4_0)
+    prompt = jnp.asarray([[7, 3, 99, 12]], jnp.int32)
+
+    def run(flat):
+        cache = llama.new_cache(cfg, 1, int8=True, flat=flat)
+        assert cache.int8
+        toks, _ = sampling.generate(llama.forward, cfg, qp, prompt, cache, 8)
+        return np.asarray(toks)
+
+    np.testing.assert_array_equal(run(False), run(True))
