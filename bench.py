@@ -477,6 +477,11 @@ def main():
         for cand in (
             {"BENCH_MODEL": "gpt2-124m", "BENCH_FORMAT": "q8_0"},
             {"BENCH_MODEL": "llama-tiny", "BENCH_FORMAT": "q4_0"},
+            # last resort: hardware-proven round-2 kernels only (the fused
+            # decode/layer kernels off), in case a new kernel fails Mosaic
+            {"BENCH_MODEL": "llama-tiny", "BENCH_FORMAT": "q4_0",
+             "GGML_TPU_FLASH_DECODE": "0", "GGML_TPU_LAYER_FUSED": "0",
+             "GGML_TPU_MLP_FUSED": "0"},
         ):
             if cand != primary:
                 ladder.append(cand)
