@@ -240,3 +240,79 @@ class NativeSPM:
 
 def tokenizer_available() -> bool:
     return _load_tok() is not None
+
+
+class NativeBPE:
+    """C++ byte-level BPE merge loop (native/tokenize.cpp). The GPT-2 regex
+    split + bytes_to_unicode mapping stay in Python; each piece's merge
+    runs natively. Id-identical to the Python rescan."""
+
+    def __init__(self, tokens, merges, unk_id: int = 0):
+        lib = _load_tok()
+        if lib is None:
+            raise RuntimeError("native tokenizer unavailable")
+        lib.bpe_create.restype = ctypes.c_void_p
+        lib.bpe_create.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.bpe_encode_piece.restype = ctypes.c_int32
+        lib.bpe_encode_piece.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        lib.bpe_encode_pieces.restype = ctypes.c_int32
+        lib.bpe_encode_pieces.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        lib.bpe_destroy.argtypes = [ctypes.c_void_p]
+        tb = [t.encode("utf-8") for t in tokens]
+        toffs = np.zeros(len(tb) + 1, np.uint64)
+        np.cumsum([len(b) for b in tb], out=toffs[1:])
+        tblob = np.frombuffer(b"".join(tb), np.uint8) if tb else \
+            np.zeros(1, np.uint8)
+        parts = []
+        for m in merges:
+            l, r = m.split(" ", 1)
+            parts += [l.encode("utf-8"), r.encode("utf-8")]
+        moffs = np.zeros(len(parts) + 1, np.uint64)
+        np.cumsum([len(b) for b in parts], out=moffs[1:])
+        mblob = np.frombuffer(b"".join(parts), np.uint8) if parts else \
+            np.zeros(1, np.uint8)
+        self._lib = lib
+        self._h = lib.bpe_create(
+            _u8(np.ascontiguousarray(tblob)), _ptr(toffs, ctypes.c_uint64),
+            len(tb), _u8(np.ascontiguousarray(mblob)),
+            _ptr(moffs, ctypes.c_uint64), len(merges), unk_id)
+
+    def encode_pieces(self, pieces):
+        """pieces: list of pre-mapped strings → flat id list; ONE native
+        call for the whole request."""
+        blobs = [p.encode("utf-8") for p in pieces]
+        offs = np.zeros(len(blobs) + 1, np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        data = np.frombuffer(b"".join(blobs), np.uint8) if blobs else \
+            np.zeros(1, np.uint8)
+        if offs[-1] == 0:
+            return []
+        out = np.empty(max(16, int(offs[-1])), np.int32)
+        n = self._lib.bpe_encode_pieces(
+            self._h, _u8(np.ascontiguousarray(data)),
+            _ptr(offs, ctypes.c_int64), len(blobs),
+            _ptr(out, ctypes.c_int32), out.size)
+        if n < 0:
+            out = np.empty(-n, np.int32)
+            n = self._lib.bpe_encode_pieces(
+                self._h, _u8(np.ascontiguousarray(data)),
+                _ptr(offs, ctypes.c_int64), len(blobs),
+                _ptr(out, ctypes.c_int32), out.size)
+        return out[:n].tolist()
+
+    def __del__(self):
+        try:
+            self._lib.bpe_destroy(self._h)
+        except Exception:
+            pass

@@ -128,6 +128,25 @@ class BPETokenizer:
             tuple(m.split(" ", 1)): r for r, m in enumerate(self.merges)
         }
 
+    def _native(self):
+        # OPT-IN (GGML_TPU_NATIVE_BPE=1): GPT-2's regex yields short pieces,
+        # where the Python merge loop beats the ctypes crossing (measured
+        # 2.0 vs 4.7 ms on a 4k-char prompt); the native path wins only on
+        # pathologically long words. SPM (llama) defaults native — its merge
+        # runs over the WHOLE text and is ~2500x faster there.
+        if not hasattr(self, "_native_h"):
+            import os
+
+            self._native_h = None
+            if os.environ.get("GGML_TPU_NATIVE_BPE") == "1":
+                try:
+                    from .native import NativeBPE
+
+                    self._native_h = NativeBPE(self.tokens, self.merges)
+                except Exception:
+                    self._native_h = None
+        return self._native_h
+
     def _bpe(self, word: str) -> list:
         parts = list(word)
         while len(parts) > 1:
@@ -150,10 +169,14 @@ class BPETokenizer:
             r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+",
             re.UNICODE,
         )
+        mapped = ["".join(_B2U[b] for b in piece.encode("utf-8"))
+                  for piece in pat.findall(text)]
+        nat = self._native()
+        if nat is not None:
+            return nat.encode_pieces(mapped)
         out = []
-        for piece in pat.findall(text):
-            mapped = "".join(_B2U[b] for b in piece.encode("utf-8"))
-            for p in self._bpe(mapped):
+        for m in mapped:
+            for p in self._bpe(m):
                 out.append(self._index.get(p, 0))
         return out
 

@@ -259,3 +259,41 @@ def test_spm_native_matches_python_fuzz():
             tok2._native_h = None  # force pure-Python greedy
             want = tok2.encode(text, bos=True)
             assert got == want, (trial, text, got, want)
+
+
+def test_bpe_native_matches_python_fuzz():
+    """Native C++ BPE piece encode is id-identical to the Python merge
+    loop on fuzzed merge tables and pieces."""
+    import random
+
+    from ggmlsharp_tpu.io import native as na
+    from ggmlsharp_tpu.io.tokenizer import BPETokenizer, _B2U
+
+    if not na.tokenizer_available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    import os
+
+    os.environ["GGML_TPU_NATIVE_BPE"] = "1"
+    rng = random.Random(3)
+    singles = sorted(set(_B2U.values()))
+    for trial in range(10):
+        extras = ["he", "hel", "ll", "llo", "lo", "the", "th", "ab", "abc"]
+        picked = rng.sample(extras, rng.randint(3, len(extras)))
+        tokens = singles + picked
+        merge_cands = ["h e", "he l", "l l", "ll o", "l o", "t h", "th e",
+                       "a b", "ab c"]
+        merges = [m for m in merge_cands
+                  if "".join(m.split(" ", 1)) in picked]
+        rng.shuffle(merges)
+        tok = BPETokenizer(list(tokens), list(merges))
+        assert tok._native() is not None
+        tok2 = BPETokenizer(list(tokens), list(merges))
+        tok2._native_h = None  # force pure Python
+        for text in ["hello the abc", "abcabc ll o", "the the he",
+                     "xyzzy hello"]:
+            got = tok.encode(text)
+            want = tok2.encode(text)
+            assert got == want, (trial, text, got, want)
+            assert tok.decode(got) == tok2.decode(want)
