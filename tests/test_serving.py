@@ -82,3 +82,36 @@ def test_engine_eos_stops_early():
     eng.submit(Request(id=0, prompt=[5, 17, 99], max_new_tokens=8, eos_id=first))
     results = eng.run()
     assert results[0].out_tokens == [first]
+
+
+def test_engine_llama_flat_flash_decode_matches_sequential():
+    """Llama engine rides the flat cache + batched flash-decode with
+    per-slot prefix lengths; uneven prompts must still match sequential
+    greedy decode exactly."""
+    from ggmlsharp_tpu.models import llama
+
+    lcfg = llama.LlamaConfig(n_vocab=128, n_ctx=96, n_embd=256, n_head=4,
+                             n_head_kv=2, n_layer=2, n_ff=512)
+    params = llama.init_params(jax.random.PRNGKey(2), lcfg,
+                               dtype=jnp.float32)
+    prompts = [[5, 17, 99], [7, 1, 2, 3, 4, 5, 6, 8], [11], [3, 3, 3, 3]]
+    n_new = 5
+
+    eng = Engine(llama.forward, lcfg, params, batch_slots=2)
+    assert eng.cache.k[0].ndim == 3  # flat cache engaged
+    for i, p in enumerate(prompts):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=n_new))
+    results = eng.run()
+    assert len(results) == 4
+
+    def seq(prompt):
+        cache = llama.new_cache(lcfg, 1, dtype=jnp.float32, flat=False)
+        toks, _ = sampling.generate(
+            llama.forward, lcfg, params, jnp.asarray([prompt], jnp.int32),
+            cache, n_new)
+        import numpy as np
+
+        return np.asarray(toks)[0].tolist()
+
+    for i, req in enumerate(results):
+        assert req.out_tokens == seq(prompts[i]), (i, req.out_tokens)
