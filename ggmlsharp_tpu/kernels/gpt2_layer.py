@@ -112,7 +112,7 @@ def fuse_gpt2_layer(blk) -> dict:
     }
 
 
-def _onehot_heads(E, H, C, D, shape, head_axis):
+def _onehot_heads(H, C, D, shape, head_axis):
     """OH[j, h] (or transposed) = 1.0 where wire lane j belongs to head h:
     h(j) = σ(j)//D with σ(j) = 32·(j mod C) + j//C. Built from iota — no
     constant traffic."""
@@ -182,7 +182,7 @@ def _call_gpt2_layer(x, kc, vc, npast, planes, E, H, F, T, eps, b):
             kn_ref[:] = kn
             vn_ref[:] = vn
             tpos = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
-            OH = _onehot_heads(E, H, C, D, (E, H), 1)
+            OH = _onehot_heads(H, C, D, (E, H), 1)
             kf = kc_ref[:].astype(jnp.float32)
             S = dot(kf * q, OH)  # (T, H); q broadcasts over rows
             s_new = dot(kn * q, OH)  # (1, H)
@@ -191,7 +191,7 @@ def _call_gpt2_layer(x, kc, vc, npast, planes, E, H, F, T, eps, b):
             m = jnp.max(S, axis=0, keepdims=True)
             e = jnp.exp(S - m)
             p = e / jnp.sum(e, axis=0, keepdims=True)  # (T, H)
-            OHT = _onehot_heads(E, H, C, D, (H, E), 0)
+            OHT = _onehot_heads(H, C, D, (H, E), 0)
             Pexp = dot(p, OHT)  # (T, E) per-lane head weight
             vf = vc_ref[:].astype(jnp.float32)
             vm = jnp.where(tpos == npast, 0.0, vf)  # stale new row
