@@ -1,6 +1,13 @@
 """Fused single-token decode attention over a flat KV cache — one pallas
 call per layer replacing the XLA einsum+mask+softmax+weighted-sum chain.
 
+This is the decode-side realization of GGML_OP_FLASH_ATTN, which the
+reference declares, budgets work for, and never implements
+(Ggml.cs:3454-3476 builds the node; Ggml.cs:8724-8731 asserts false in
+compute) — redesigned for TPU instead of ported: flat token-major cache
+rows, one-hot-matrix head reductions on the MXU, online softmax over
+chunks streamed through VMEM.
+
 The llama/GPT decode step spends ~25 us/layer on attention glue: a dozen
 small XLA ops over [B, H, T, D] cache slices. This kernel reads the cache in
 FLAT layout [B, T, E_kv] (token rows, head-major lanes — exactly what

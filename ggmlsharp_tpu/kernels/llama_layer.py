@@ -8,7 +8,9 @@ A 7B decode step spends ~1-2 ms outside the matmul kernels: per-call gaps
 PERFORMANCE.md) plus the XLA rope/norm/attention segments between them.
 This collapses a block's four weight streams and every intermediate op
 into one phased sequential grid (~180 steps/layer at 7B shapes), the
-direct extension of kernels/gpt2_layer.py to the llama architecture.
+direct extension of kernels/gpt2_layer.py to the llama architecture
+(the whole-block composition of the reference's declared-but-stubbed
+FLASH_ATTN + FLASH_FF fused ops, Ggml.cs:3454-3500, 8724-8731).
 
 Conventions (see gpt2_layer.py for the wire-order idea):
 
