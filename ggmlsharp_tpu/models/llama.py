@@ -356,11 +356,31 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
                         cfg.n_head_kv, hd, **scales)
                     a = out.reshape(B, 1, nq).astype(x.dtype)
             else:
-                # prefill from the empty prefix: flash over the fresh K/V
-                from ..kernels.flash import flash_attention_cached
+                # prefill from the empty prefix over the fresh K/V:
+                # sequence-parallel ring when a sequence mesh is installed
+                # (GGML_TPU_ATTN=ring), flash otherwise
+                from .common import _attn_impl
 
-                a = merge_heads(flash_attention_cached(
-                    q, k, v, positions[:, 0])).astype(x.dtype)
+                a = None
+                if _attn_impl() == "ring":
+                    from ..parallel.ring_attention import (
+                        ring_attention, sequence_mesh,
+                    )
+
+                    mesh, seq_axis = sequence_mesh()
+                    if mesh is not None and S % mesh.shape[seq_axis] == 0:
+                        kr, vr = k, v
+                        if n_rep > 1:
+                            kr = jnp.repeat(kr, n_rep, axis=1)
+                            vr = jnp.repeat(vr, n_rep, axis=1)
+                        a = merge_heads(ring_attention(
+                            q, kr, vr, mesh, seq_axis=seq_axis,
+                            causal=True)).astype(x.dtype)
+                if a is None:
+                    from ..kernels.flash import flash_attention_cached
+
+                    a = merge_heads(flash_attention_cached(
+                        q, k, v, positions[:, 0])).astype(x.dtype)
             x = x + linear(blk["wo"], a)
         else:
             a, cache = cached_attention(q, k, v, cache, i, positions,
