@@ -176,3 +176,20 @@ def test_gpt2_flat_long_prefill_decode(monkeypatch):
         return np.asarray(toks)
 
     np.testing.assert_array_equal(run(False), run(True))
+
+
+def test_gpt2_flat_scan_decode_agrees(monkeypatch):
+    """Fully-jitted while_loop decode (generate_scan) over the flat cache +
+    megakernel path matches host-stepped generate."""
+    monkeypatch.setenv("GGML_TPU_LAYER_FUSED", "1")
+    cfg = gpt2.GPT2Config(n_vocab=512, n_ctx=64, n_embd=E, n_head=H,
+                          n_layer=2)
+    params = gpt2.init_params(jax.random.PRNGKey(2), cfg)
+    qp = gpt2.quantize_params(params, GType.Q8_0)
+    assert "layer_fused" in qp["blocks"][0]
+    prompt = jnp.asarray([[5, 17, 99]], jnp.int32)
+    t1, _ = sampling.generate(gpt2.forward, cfg, qp, prompt,
+                              gpt2.new_cache(cfg, 1), 6)
+    t2, _ = sampling.generate_scan(gpt2.forward, cfg, qp, prompt,
+                                   gpt2.new_cache(cfg, 1), 6)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
