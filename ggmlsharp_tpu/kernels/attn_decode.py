@@ -198,18 +198,22 @@ def flash_decode_flat(q_heads, k_new, v_new, k_cache, v_cache, npast,
 
 
 def flash_decode_flat_attn(q_att, k_new, v_new, k_cache, v_cache, npast,
-                           n_head: int, head_dim: int):
-    """MHA decode attention over an ATTN-SPACE flat cache (the layout of
-    kernels.llama_layer: rope partners split across halves). q_att: (B, E)
-    f32 UNscaled attn-space query rows; returns (B, E) attn-space."""
+                           n_head: int, n_head_kv: int, head_dim: int):
+    """Decode attention over an ATTN-SPACE flat cache (the layout of
+    kernels.llama_layer: rope partners split across halves; GQA queries
+    arrive as n_rep consecutive Ekv blocks). q_att: (B, E) f32 UNscaled
+    attn-space query rows; cache (B, T, Ekv); returns (B, E) attn-space."""
     B, E = q_att.shape
+    Ekv = n_head_kv * head_dim
+    n_rep = n_head // n_head_kv
     scale = 1.0 / (head_dim ** 0.5)
     T = k_cache.shape[1]
     Tc = T if T <= 512 else 512
     while T % Tc:
         Tc //= 2
-    return _call_flash_decode(
-        q_att.astype(jnp.float32) * scale, k_new.astype(jnp.float32),
-        v_new.astype(jnp.float32), k_cache, v_cache,
-        jnp.asarray(npast, jnp.int32).reshape(B),
-        n_head, head_dim, 1, Tc, layout="attn")
+    out = _call_flash_decode(
+        (q_att.astype(jnp.float32) * scale).reshape(B * n_rep, Ekv),
+        k_new.astype(jnp.float32), v_new.astype(jnp.float32),
+        k_cache, v_cache, jnp.asarray(npast, jnp.int32).reshape(B),
+        n_head_kv, head_dim, n_rep, Tc, layout="attn")
+    return out.reshape(B, E)

@@ -91,16 +91,18 @@ def a2e_map(E: int, D: int, mode: int) -> np.ndarray:
 
 def llama_layer_fuse_supported(cfg) -> bool:
     E, F = cfg.n_embd, cfg.n_ff
-    if cfg.n_head != cfg.n_head_kv:  # MHA only (GQA -> flash_decode path)
+    Ekv = cfg.n_head_kv * cfg.head_dim
+    if cfg.n_head % cfg.n_head_kv or cfg.head_dim % 2:
         return False
-    if E % 256 or (E // 2) % 128 or cfg.head_dim % 2:
+    # rope halves and q sub-blocks must be 128-lane aligned
+    if E % 256 or Ekv % 256:
         return False
     kp = -(-F // 512) * 512
     try:
         _down_chunks(kp, 256)
     except ValueError:
         return False
-    return all((_pick_tile(3 * E, E), _pick_tile(E, E),
+    return all((_pick_tile(E + 2 * Ekv, E), _pick_tile(E, E),
                 _pick_tile(2 * kp, E)))
 
 
@@ -119,10 +121,17 @@ def fuse_llama_layer(blk_raw: dict, cfg) -> dict:
     from ..quant.quantize import dequantize, quantize
 
     E, D, F = cfg.n_embd, cfg.head_dim, cfg.n_ff
+    Ekv = cfg.n_head_kv * D
+    n_rep = cfg.n_head // cfg.n_head_kv
     kp = -(-F // 512) * 512
     sigE = q4_korder_perm(E)
     sigKp = q4_korder_perm(kp)
-    a2e = a2e_map(E, D, cfg.rope_mode)
+    # attn space per kv-group block: position (r·Ekv + j) of the fused q
+    # output holds q head (e_kv[j]//D)·n_rep + r, dim e_kv[j] % D
+    a2e_kv = a2e_map(Ekv, D, cfg.rope_mode)
+    a2e = np.concatenate([
+        (a2e_kv // D * n_rep + r) * D + a2e_kv % D for r in range(n_rep)
+    ])  # len E: q attn-pos -> q element
 
     def vals_d(w, pad_to=None):
         """→ (nibble values (N, K[p]) int, d (N, C[p]) f16) from a raw
@@ -175,7 +184,7 @@ def fuse_llama_layer(blk_raw: dict, cfg) -> dict:
         return pack_vd(vals, q.planes["d"], rows)
 
     # qkv: output rows in attn space (q | k | v), k-axis standard (wire in)
-    perm3 = np.concatenate([a2e, E + a2e, 2 * E + a2e])
+    perm3 = np.concatenate([a2e, E + a2e_kv, E + Ekv + a2e_kv])
     qs_a, d_a = pack_vd(v_qkv, d_qkv, perm3)
     # wo consumes the attn-space output directly: kernel lane i reads vals
     # column sigE(i), and we want it to be wo column a2e[i] — so regroup
@@ -201,22 +210,25 @@ def fuse_llama_layer(blk_raw: dict, cfg) -> dict:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("E", "H", "F", "kp", "T", "Tc", "eps", "b"))
+    jax.jit,
+    static_argnames=("E", "H", "Hkv", "F", "kp", "T", "Tc", "eps", "b"))
 def _call_llama_layer(x, cosv, sinv, kc, vc, npast, planes,
-                      E, H, F, kp, T, Tc, eps, b):
-    """x: (b, E) f32 wire (row 0 live); cosv/sinv: (1, E/2); kc/vc: (T, E)
-    attn-space cache; npast: (1,) int32. Returns (y (b,E) wire,
-    k_new (1,E), v_new (1,E) attn-space, roped)."""
+                      E, H, Hkv, F, kp, T, Tc, eps, b):
+    """x: (b, E) f32 wire (row 0 live); cosv/sinv: (1, Ekv/2); kc/vc:
+    (T, Ekv) attn-space cache; npast: (1,) int32. Returns (y (b,E) wire,
+    k_new (1,Ekv), v_new (1,Ekv) attn-space, roped)."""
     D = E // H
-    half = E // 2
-    t1 = _pick_tile(3 * E, E)
+    n_rep = H // Hkv
+    Ekv = Hkv * D
+    halfkv = Ekv // 2
+    t1 = _pick_tile(E + 2 * Ekv, E)
     t2 = _pick_tile(E, E)
     t3 = _pick_tile(2 * kp, E)
     t4 = 256 if E % 256 == 0 else 128
     nc4 = _down_chunks(kp, t4)
     kc4 = kp // nc4
     nchT = T // Tc
-    g1, g2, g3 = 3 * E // t1, E // t2, 2 * kp // t3
+    g1, g2, g3 = (E + 2 * Ekv) // t1, E // t2, 2 * kp // t3
     g4n = E // t4
     jB, jC, jD, jE = g1, g1 + nchT, g1 + nchT + g2, g1 + nchT + g2 + g3
     grid = jE + g4n * nc4
@@ -254,9 +266,9 @@ def _call_llama_layer(x, cosv, sinv, kc, vc, npast, planes,
             ms = jnp.mean(xf * xf, axis=1, keepdims=True)
             return xf * jax.lax.rsqrt(ms + eps) * g_ref[:]
 
-        def rope(v1):  # (1, E) attn space -> roped
-            a = v1[:, :half]
-            bb = v1[:, half:]
+        def rope(v1):  # (1, Ekv) attn-space block -> roped
+            a = v1[:, :halfkv]
+            bb = v1[:, halfkv:]
             return jnp.concatenate(
                 [a * cos_ref[:] - bb * sin_ref[:],
                  a * sin_ref[:] + bb * cos_ref[:]], axis=1)
@@ -269,57 +281,63 @@ def _call_llama_layer(x, cosv, sinv, kc, vc, npast, planes,
         def _qkv():
             qkv_s[:, pl.dslice(j * t1, t1)] = mm(xn_s[:], qs_a, d_a, E)
 
-        # --- attention: nchT chunked online-softmax steps ---------------
-        OH_E = (E, H)
-        OHT_E = (H, E)
-
+        # --- attention: nchT chunked online-softmax steps, n_rep
+        # kv-aligned sub-queries (GQA: q block r lives at lanes
+        # [r·Ekv, (r+1)·Ekv) of the fused q output) --------------------
         def onehot(shape, head_axis):
             wire_ax = 1 - head_axis
             jj = jax.lax.broadcasted_iota(jnp.int32, shape, wire_ax)
             hh = jax.lax.broadcasted_iota(jnp.int32, shape, head_axis)
-            return (((jj % half) // (D // 2)) == hh).astype(jnp.float32)
+            return (((jj % halfkv) // (D // 2)) == hh).astype(jnp.float32)
 
         @pl.when(j == jB)
         def _attn_init():
-            q1 = rope(qkv_s[0:1, 0:E]) * scale
-            kn = rope(qkv_s[0:1, E : 2 * E])
-            vn = qkv_s[0:1, 2 * E : 3 * E]
+            kn = rope(qkv_s[0:1, E : E + Ekv])
+            vn = qkv_s[0:1, E + Ekv : E + 2 * Ekv]
             kn_ref[:] = kn
             vn_ref[:] = vn
-            at_s[:] = jnp.broadcast_to(q1, at_s.shape)  # stash roped q
-            OH = onehot(OH_E, 1)
-            m_s[:] = dot(kn * q1, OH)
-            l_s[:] = jnp.ones((1, H), jnp.float32)
-            a_s[:] = vn
+            OH = onehot((Ekv, Hkv), 1)
+            for r in range(n_rep):
+                qr = rope(qkv_s[0:1, r * Ekv : (r + 1) * Ekv]) * scale
+                at_s[:, r * Ekv : (r + 1) * Ekv] = jnp.broadcast_to(
+                    qr, (at_s.shape[0], Ekv))  # stash roped q blocks
+                m_s[r : r + 1] = dot(kn * qr, OH)
+                l_s[r : r + 1] = jnp.ones((1, Hkv), jnp.float32)
+                a_s[r : r + 1] = vn
 
         @pl.when((j >= jB) & (j < jC))
         def _attn_chunk():
             jc = j - jB
             npast = np_ref[0]
-            OH = onehot(OH_E, 1)
-            OHT = onehot(OHT_E, 0)
-            q1 = at_s[0:1]
+            OH = onehot((Ekv, Hkv), 1)
+            OHT = onehot((Hkv, Ekv), 0)
             kf = kc_ref[:].astype(jnp.float32)
             vf = vc_ref[:].astype(jnp.float32)
             idx = jc * Tc + jax.lax.broadcasted_iota(
                 jnp.int32, (Tc, 1), 0)
             live = (idx <= npast) & (idx != npast)
-            S = dot(kf * q1, OH)
-            S = jnp.where(live, S, _NEG)
-            m_old = m_s[0:1]
-            m_new = jnp.maximum(m_old, jnp.max(S, axis=0, keepdims=True))
-            corr = jnp.exp(m_old - m_new)
-            P = jnp.exp(S - m_new)
-            l_s[0:1] = l_s[0:1] * corr + jnp.sum(P, axis=0, keepdims=True)
-            a_s[0:1] = a_s[0:1] * dot(corr, OHT) + jnp.sum(
-                dot(P, OHT) * vf, axis=0, keepdims=True)
-            m_s[0:1] = m_new
+            for r in range(n_rep):
+                qr = at_s[0:1, r * Ekv : (r + 1) * Ekv]
+                S = dot(kf * qr, OH)
+                S = jnp.where(live, S, _NEG)
+                m_old = m_s[r : r + 1]
+                m_new = jnp.maximum(m_old,
+                                    jnp.max(S, axis=0, keepdims=True))
+                corr = jnp.exp(m_old - m_new)
+                P = jnp.exp(S - m_new)
+                l_s[r : r + 1] = l_s[r : r + 1] * corr + jnp.sum(
+                    P, axis=0, keepdims=True)
+                a_s[r : r + 1] = a_s[r : r + 1] * dot(corr, OHT) + jnp.sum(
+                    dot(P, OHT) * vf, axis=0, keepdims=True)
+                m_s[r : r + 1] = m_new
 
         @pl.when(j == jC - 1)
         def _attn_final():
-            OHT = onehot(OHT_E, 0)
-            out = a_s[0:1] / dot(l_s[0:1], OHT)
-            at_s[:] = jnp.broadcast_to(out, at_s.shape)
+            OHT = onehot((Hkv, Ekv), 0)
+            for r in range(n_rep):
+                out = a_s[r : r + 1] / dot(l_s[r : r + 1], OHT)
+                at_s[:, r * Ekv : (r + 1) * Ekv] = jnp.broadcast_to(
+                    out, (at_s.shape[0], Ekv))
 
         @pl.when((j >= jC) & (j < jD))
         def _wo():
@@ -383,8 +401,8 @@ def _call_llama_layer(x, cosv, sinv, kc, vc, npast, planes,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # npast
             vspec((b, E), full),                        # x
-            vspec((1, half), full), vspec((1, half), full),  # cos/sin
-            vspec((Tc, E), cT), vspec((Tc, E), cT),     # cache chunks
+            vspec((1, halfkv), full), vspec((1, halfkv), full),  # cos/sin
+            vspec((Tc, Ekv), cT), vspec((Tc, Ekv), cT),  # cache chunks
             vspec((E // 8, t1), cA), vspec((E // 64, t1), cA),   # qkv
             vspec((E // 8, t2), cC), vspec((E // 64, t2), cC),   # wo
             vspec((E // 8, t3), cD), vspec((E // 64, t3), cD),   # gate_up
@@ -393,34 +411,35 @@ def _call_llama_layer(x, cosv, sinv, kc, vc, npast, planes,
         ],
         out_specs=[
             vspec((b, t4), cEn),
-            vspec((1, E), full), vspec((1, E), full),
+            vspec((1, Ekv), full), vspec((1, Ekv), full),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, E), jnp.float32),
-            jax.ShapeDtypeStruct((1, E), jnp.float32),
-            jax.ShapeDtypeStruct((1, E), jnp.float32),
+            jax.ShapeDtypeStruct((1, Ekv), jnp.float32),
+            jax.ShapeDtypeStruct((1, Ekv), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, E), jnp.float32),        # xn
-            pltpu.VMEM((b, 3 * E), jnp.float32),    # qkv
+            pltpu.VMEM((b, E + 2 * Ekv), jnp.float32),  # qkv
             pltpu.VMEM((b, E), jnp.float32),        # roped q / attn out
             pltpu.VMEM((b, E), jnp.float32),        # x2
             pltpu.VMEM((b, E), jnp.float32),        # rms2(x2)
             pltpu.VMEM((b, 2 * kp), jnp.float32),   # gate/up raw (wire)
             pltpu.VMEM((b, kp), jnp.float32),       # silu(g)*u
-            pltpu.VMEM((1, H), jnp.float32),        # m
-            pltpu.VMEM((1, H), jnp.float32),        # l
-            pltpu.VMEM((1, E), jnp.float32),        # acc
+            pltpu.VMEM((n_rep, Hkv), jnp.float32),  # m
+            pltpu.VMEM((n_rep, Hkv), jnp.float32),  # l
+            pltpu.VMEM((n_rep, Ekv), jnp.float32),  # acc
         ],
         interpret=interpret_mode(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * E * (3 * E + E + 2 * F) + 2 * b * E * kp
-            + 4 * T * E,
-            bytes_accessed=(3 * E * E + E * E + 2 * E * F + E * kp) // 2
-            + 2 * T * E * kc.dtype.itemsize,
+            flops=2 * b * E * (E + 2 * Ekv + E + 2 * F) + 2 * b * E * kp
+            + 4 * n_rep * T * Ekv,
+            bytes_accessed=(E * (E + 2 * Ekv) + E * E + 2 * E * F
+                            + E * kp) // 2
+            + 2 * T * Ekv * kc.dtype.itemsize,
             transcendentals=b * F + T * H,
         ),
     )(npast, x, cosv, sinv, kc, vc,
@@ -433,23 +452,26 @@ def _call_llama_layer(x, cosv, sinv, kc, vc, npast, planes,
 def llama_layer_step(fused: dict, x_wire, k_cache, v_cache, npast,
                      cfg):
     """One decode step through a fused llama block. x_wire: (1, E) f32;
-    k_cache/v_cache: (T, E) attn-space slices; npast: int32 scalar."""
+    k_cache/v_cache: (T, Ekv) attn-space slices; npast: int32 scalar."""
     E, D, F = cfg.n_embd, cfg.head_dim, cfg.n_ff
+    Ekv = cfg.n_head_kv * D
     kp = -(-F // 512) * 512
     T = k_cache.shape[0]
     Tc = T if T <= 256 else 256
     while T % Tc:
         Tc //= 2
-    # rope cos/sin lane vectors for this position: pair index t = p % (D/2)
-    half = E // 2
-    t = (jnp.arange(half) % (D // 2)).astype(jnp.float32)
+    # rope cos/sin lane vectors for this position (one kv-group block;
+    # every q sub-block shares the pattern): pair index t = p % (D/2)
+    halfkv = Ekv // 2
+    t = (jnp.arange(halfkv) % (D // 2)).astype(jnp.float32)
     theta = npast.astype(jnp.float32) * (
         cfg.rope_base ** (-2.0 * t / D))
-    cosv = jnp.cos(theta).reshape(1, half)
-    sinv = jnp.sin(theta).reshape(1, half)
+    cosv = jnp.cos(theta).reshape(1, halfkv)
+    sinv = jnp.sin(theta).reshape(1, halfkv)
     x8 = jnp.pad(x_wire.astype(jnp.float32), ((0, 7), (0, 0)))
     y, kn, vn = _call_llama_layer(
         x8, cosv, sinv, k_cache, v_cache,
         jnp.reshape(npast, (1,)).astype(jnp.int32), fused,
-        E, cfg.n_head, F, kp, T, Tc, float(cfg.rms_eps), 8)
+        E, cfg.n_head, cfg.n_head_kv, F, kp, T, Tc,
+        float(cfg.rms_eps), 8)
     return y[:1], kn, vn

@@ -241,6 +241,7 @@ def _forward_llama_fused(params, cfg: LlamaConfig, tokens, cache, positions,
     from ..kernels.mlp_fused import q4_korder_perm
 
     E = cfg.n_embd
+    Ekv = cfg.n_head_kv * cfg.head_dim
     sig = q4_korder_perm(E)
     inv = np.argsort(sig)
     x = ops.get_rows(params["tok_embd"], tokens)
@@ -250,8 +251,8 @@ def _forward_llama_fused(params, cfg: LlamaConfig, tokens, cache, positions,
     if prefix_bound is not None:
         T = min(int(prefix_bound), T)
     for i, blk in enumerate(params["blocks"]):
-        kc = jax.lax.slice(cache.k[i][0], (0, 0), (T, E))
-        vc = jax.lax.slice(cache.v[i][0], (0, 0), (T, E))
+        kc = jax.lax.slice(cache.k[i][0], (0, 0), (T, Ekv))
+        vc = jax.lax.slice(cache.v[i][0], (0, 0), (T, Ekv))
         xw, kn, vn = llama_layer_step(blk["layer_fused"], xw, kc, vc,
                                       npast, cfg)
         cache = kvc.update_layer_flat(cache, i, kn[None], vn[None],
@@ -315,9 +316,15 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
             # batched decode share its cache layout).
             lf = "layer_fused" in blk and not cache.int8
             if lf:
+                import numpy as _np
+
                 from ..kernels.llama_layer import a2e_map
 
                 a2e = a2e_map(nkv, hd, cfg.rope_mode)
+                # composite q map: n_rep consecutive Ekv blocks (GQA)
+                a2e_q = _np.concatenate([
+                    (a2e // hd * n_rep + r) * hd + a2e % hd
+                    for r in range(n_rep)])
                 kn = merge_heads(k)[..., a2e]
                 vn = merge_heads(v)[..., a2e]
             else:
@@ -333,9 +340,10 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
                     from ..kernels.attn_decode import flash_decode_flat_attn
 
                     out = flash_decode_flat_attn(
-                        merge_heads(q)[:, 0][..., a2e], kn[:, 0], vn[:, 0],
-                        kc, vc, positions[:, 0], cfg.n_head, hd)
-                    inv = __import__("numpy").argsort(a2e)
+                        merge_heads(q)[:, 0][..., a2e_q], kn[:, 0],
+                        vn[:, 0], kc, vc, positions[:, 0], cfg.n_head,
+                        cfg.n_head_kv, hd)
+                    inv = __import__("numpy").argsort(a2e_q)
                     a = out[..., inv].reshape(B, 1, nq).astype(x.dtype)
                 else:
                     from ..kernels.attn_decode import flash_decode_flat

@@ -169,3 +169,120 @@ def test_fuse_from_prequantized_bits_identical():
     for key in ("qs_a", "d_a", "qs_g", "d_g", "qs_d", "d_d", "g1", "g2"):
         np.testing.assert_array_equal(np.asarray(fa[key]),
                                       np.asarray(fb[key]), err_msg=key)
+
+
+def test_llama_layer_kernel_parity_gqa():
+    """GQA (n_rep = 4): kv-aligned sub-queries, per-group rope blocks,
+    shared K/V recurrence — vs an element-space reference."""
+    Eg, Hq, Hkv, Dg, Fg = 1024, 8, 2, 128, 704
+    Ekv = Hkv * Dg
+    n_rep = Hq // Hkv
+    kp = -(-Fg // 512) * 512
+
+    class _CfgG:
+        n_embd, n_head, n_head_kv, head_dim, n_ff = Eg, Hq, Hkv, Dg, Fg
+        rms_eps, rope_base, rope_mode = EPS, 10000.0, 0
+
+    cfg = _CfgG()
+    from ggmlsharp_tpu.kernels.llama_layer import llama_layer_fuse_supported
+
+    assert llama_layer_fuse_supported(cfg)
+    rng = np.random.default_rng(33)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * .1)
+    blk = {
+        "attn_norm": 1.0 + 0.1 * r(Eg), "ffn_norm": 1.0 + 0.1 * r(Eg),
+        "wq": r(Eg, Eg), "wk": r(Ekv, Eg), "wv": r(Ekv, Eg),
+        "wo": r(Eg, Eg), "w_gate": r(Fg, Eg), "w_up": r(Fg, Eg),
+        "w_down": r(Eg, Fg),
+    }
+    fused = fuse_llama_layer(blk, cfg)
+    sig = q4_korder_perm(Eg)
+    inv = np.argsort(sig)
+    a2e_kv = a2e_map(Ekv, Dg, 0)
+    T, npast = 64, 9
+    x = jnp.asarray(rng.standard_normal((1, Eg)).astype(np.float32) * 0.5)
+    katt = jnp.asarray(rng.standard_normal((T, Ekv)).astype(np.float32) * .3)
+    vatt = jnp.asarray(rng.standard_normal((T, Ekv)).astype(np.float32) * .3)
+
+    y, kn, vn = llama_layer_step(fused, x[:, sig], katt, vatt,
+                                 jnp.int32(npast), cfg)
+
+    # --- element-space reference over the same quantization -------------
+    from ggmlsharp_tpu.ops.attention import rope as rope_op
+
+    dq = lambda w: dequantize(quantize(jnp.asarray(w, jnp.float32),
+                                       GType.Q4_0))
+    rms = lambda v, g: v / jnp.sqrt(jnp.mean(v * v, -1, keepdims=True)
+                                    + EPS) * g
+    xn = rms(x, blk["attn_norm"])[0]
+    qv = dq(blk["wq"]) @ xn
+    kv_ = dq(blk["wk"]) @ xn
+    vv_ = dq(blk["wv"]) @ xn
+    rp = lambda v, nh: jax.vmap(lambda t: rope_op(
+        t, jnp.asarray([npast], jnp.int32), mode=0))(
+        v.reshape(nh, 1, Dg)).reshape(-1)
+    qr = rp(qv, Hq)
+    knr = rp(kv_, Hkv)
+    inva = np.argsort(a2e_kv)
+    ks = katt[:, inva].at[npast].set(knr)
+    vs = vatt[:, inva].at[npast].set(vv_)
+    out = []
+    for hq in range(Hq):
+        hkv = hq // n_rep
+        qh = qr[hq * Dg : (hq + 1) * Dg]
+        kh = ks.reshape(T, Hkv, Dg)[:, hkv]
+        vh = vs.reshape(T, Hkv, Dg)[:, hkv]
+        s = kh @ qh / np.sqrt(Dg)
+        s = jnp.where(jnp.arange(T) <= npast, s, -1e30)
+        p = jax.nn.softmax(s)
+        out.append(p @ vh)
+    att_elem = jnp.concatenate(out)
+    # wo fused copy: columns regrouped by the composite q attn-pos map
+    a2e_q = np.concatenate([
+        (a2e_kv // Dg * n_rep + rr) * Dg + a2e_kv % Dg
+        for rr in range(n_rep)])
+    colperm = a2e_q[np.argsort(sig)]
+    wo_eff = dq(jnp.asarray(np.asarray(blk["wo"])[:, colperm])
+                )[:, np.argsort(colperm)]
+    x2 = x[0] + wo_eff @ att_elem
+    x2n = rms(x2[None], blk["ffn_norm"])[0]
+    g_ = dq(blk["w_gate"]) @ x2n
+    u_ = dq(blk["w_up"]) @ x2n
+    wdnp = dq(jnp.pad(jnp.asarray(blk["w_down"], jnp.float32),
+                      ((0, 0), (0, kp - Fg))))
+    y_ref = x2 + wdnp[:, :Fg] @ (g_ * jax.nn.sigmoid(g_) * u_)
+
+    np.testing.assert_allclose(np.asarray(kn[0]), np.asarray(knr[a2e_kv]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(vn[0]), np.asarray(vv_[a2e_kv]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y[0, inv]), np.asarray(y_ref),
+                               rtol=3e-3, atol=3e-3)
+
+
+def test_llama_fused_decode_gqa_end_to_end(monkeypatch):
+    """GQA end-to-end: megakernel decode logits track the unfused path
+    (correlation + argmax, as in the MHA test)."""
+    monkeypatch.setenv("GGML_TPU_QUANT_ACTS", "0")
+    import ggmlsharp_tpu.config as cfgmod
+
+    monkeypatch.setattr(cfgmod, "_config", None)
+    cfg = llama.LlamaConfig(n_vocab=256, n_ctx=64, n_embd=1024, n_head=8,
+                            n_head_kv=2, n_layer=1, n_ff=704)
+    params = llama.init_params(jax.random.PRNGKey(13), cfg)
+    prompt = jnp.asarray([[7, 3, 99]], jnp.int32)
+
+    def one_step(fused):
+        monkeypatch.setenv("GGML_TPU_LLAMA_FUSED", "1" if fused else "0")
+        qp = llama.quantize_params(params, GType.Q4_0, cfg=cfg)
+        assert ("layer_fused" in qp["blocks"][0]) == fused
+        cache = llama.new_cache(cfg, 1)
+        prefill, step = sampling.make_decode_fns(llama.forward, cfg)
+        logits, cache = prefill(qp, prompt, cache, t_eff=64)
+        l2, _ = step(qp, jnp.asarray([[5]], jnp.int32), cache, t_eff=64)
+        return np.asarray(l2)[0]
+
+    la = one_step(False)
+    lb = one_step(True)
+    assert np.corrcoef(la, lb)[0, 1] > 0.98
+    assert np.argmax(la) == np.argmax(lb)
