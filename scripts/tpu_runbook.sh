@@ -7,7 +7,9 @@ cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache_tpu
 LOG=/tmp/runbook
 mkdir -p $LOG
-stages=${@:-smoke diag diag_gpt2 autotune bench_ab}
+# bench A/B before the compile-heavy autotune: on a cold cache each probe
+# candidate is its own minutes-long remote compile
+stages=${@:-smoke diag bench_ab diag_gpt2 autotune}
 
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 tmo=$2; shift 2
