@@ -49,6 +49,15 @@ from .config import interpret_mode
 _NEG = -1e30
 
 
+def pick_chunk(T: int, cap: int = 512) -> int:
+    """Largest cache-chunk length ≤ cap that divides T (halving search —
+    T is a power-of-two bucket multiple in practice)."""
+    Tc = T if T <= cap else cap
+    while T % Tc:
+        Tc //= 2
+    return Tc
+
+
 def _onehot(E, H, D, shape, head_axis, layout="heads"):
     """Lane -> head map: 'heads' = head-major element order (j//D);
     'attn' = the rope-friendly half-split layout of kernels.llama_layer
@@ -186,9 +195,7 @@ def flash_decode_flat(q_heads, k_new, v_new, k_cache, v_cache, npast,
         B, n_head_kv, n_rep, D).transpose(0, 2, 1, 3).reshape(
         B * n_rep, E)
     T = k_cache.shape[1]
-    Tc = T if T <= 512 else 512
-    while T % Tc:
-        Tc //= 2
+    Tc = pick_chunk(T)
     out = _call_flash_decode(
         qr, k_new.astype(jnp.float32), v_new.astype(jnp.float32),
         k_cache, v_cache, jnp.asarray(npast, jnp.int32).reshape(B),
@@ -208,9 +215,7 @@ def flash_decode_flat_attn(q_att, k_new, v_new, k_cache, v_cache, npast,
     n_rep = n_head // n_head_kv
     scale = 1.0 / (head_dim ** 0.5)
     T = k_cache.shape[1]
-    Tc = T if T <= 512 else 512
-    while T % Tc:
-        Tc //= 2
+    Tc = pick_chunk(T)
     out = _call_flash_decode(
         (q_att.astype(jnp.float32) * scale).reshape(B * n_rep, Ekv),
         k_new.astype(jnp.float32), v_new.astype(jnp.float32),

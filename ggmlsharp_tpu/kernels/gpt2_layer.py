@@ -57,19 +57,22 @@ from ..quant.formats import (
     QTensor, from_storage_order, swar_pack_scales, swar_pack_values_q8,
 )
 from .config import interpret_mode
-from .mlp_fused import _kernel_gelu, q8_korder_perm
+from .mlp_fused import _kernel_gelu, _pick_tile as _pick, q8_korder_perm
 
-_TILE_BYTES = 9 * 1024 * 1024
 _NEG = -1e30
 
 
 def _pick_tile(n: int, k: int) -> int:
-    """Largest lane tile whose q8 f32 transients (w + d16 = 8·k·t bytes)
-    fit the per-phase budget."""
-    for t in (512, 384, 256, 128):
-        if n % t == 0 and 8 * k * t <= _TILE_BYTES:
-            return t
-    return 0
+    """q8 transients: w + d16 = 8·k·t bytes (mlp_fused._pick_tile)."""
+    return _pick(n, k, f=8, tiers=(512, 384, 256, 128))
+
+
+def gpt2_layer_fuse_supported(E: int, F: int) -> bool:
+    """True when a (E, F) GPT-2 block fits the megakernel's tile/alignment
+    constraints — keep the caller's gate next to the kernel."""
+    return (E % 128 == 0 and F % 128 == 0
+            and all((_pick_tile(3 * E, E), _pick_tile(E, E),
+                     _pick_tile(F, E), _pick_tile(E, F))))
 
 
 def fuse_gpt2_layer(blk) -> dict:

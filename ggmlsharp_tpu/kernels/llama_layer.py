@@ -48,18 +48,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..dtypes import GType
+from .attn_decode import _onehot
 from .config import interpret_mode
-from .mlp_fused import q4_korder_perm
+from .mlp_fused import _TILE_BYTES, _pick_tile as _pick, q4_korder_perm
 
-_TILE_BYTES = 9 * 1024 * 1024
 _NEG = -1e30
 
 
 def _pick_tile(n: int, kc: int) -> int:
-    for t in (512, 384, 256, 128):
-        if n % t == 0 and 6 * kc * t <= _TILE_BYTES:
-            return t
-    return 0
+    """q4 transients: wlo + whi + d16 = 6·kc·t bytes."""
+    return _pick(n, kc, f=6, tiers=(512, 384, 256, 128))
 
 
 def _down_chunks(kp: int, t: int) -> int:
@@ -285,10 +283,9 @@ def _call_llama_layer(x, cosv, sinv, kc, vc, npast, planes,
         # kv-aligned sub-queries (GQA: q block r lives at lanes
         # [r·Ekv, (r+1)·Ekv) of the fused q output) --------------------
         def onehot(shape, head_axis):
-            wire_ax = 1 - head_axis
-            jj = jax.lax.broadcasted_iota(jnp.int32, shape, wire_ax)
-            hh = jax.lax.broadcasted_iota(jnp.int32, shape, head_axis)
-            return (((jj % halfkv) // (D // 2)) == hh).astype(jnp.float32)
+            # the SAME attn-space lane→head map flash_decode_flat_attn uses
+            # to read this cache layout (kernels.attn_decode._onehot)
+            return _onehot(Ekv, Hkv, D, shape, head_axis, layout="attn")
 
         @pl.when(j == jB)
         def _attn_init():
@@ -456,10 +453,10 @@ def llama_layer_step(fused: dict, x_wire, k_cache, v_cache, npast,
     E, D, F = cfg.n_embd, cfg.head_dim, cfg.n_ff
     Ekv = cfg.n_head_kv * D
     kp = -(-F // 512) * 512
+    from .attn_decode import pick_chunk
+
     T = k_cache.shape[0]
-    Tc = T if T <= 256 else 256
-    while T % Tc:
-        Tc //= 2
+    Tc = pick_chunk(T, cap=256)
     # rope cos/sin lane vectors for this position (one kv-group block;
     # every q sub-block shares the pattern): pair index t = p % (D/2)
     halfkv = Ekv // 2

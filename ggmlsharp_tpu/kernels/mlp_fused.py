@@ -74,11 +74,13 @@ def q8_korder_perm(k: int):
     return 32 * (i % cc) + i // cc
 
 
-def _pick_tile(n: int, k: int, f: int = 8) -> int:
+def _pick_tile(n: int, k: int, f: int = 8,
+               tiers: tuple = (512, 256, 128)) -> int:
     """Largest output tile whose f32 unpack transients (f·k·t bytes — f = 8
     for Q8's w+d16 at full-k rows, 6 for 4-bit's wlo+whi+d16 at k/2 rows)
-    fit the per-phase budget."""
-    for t in (512, 256, 128):
+    fit the per-phase budget. Shared by the MLP and whole-layer megakernels
+    (which pass their own tier ladders)."""
+    for t in tiers:
         if n % t == 0 and f * k * t <= _TILE_BYTES:
             return t
     return 0

@@ -135,7 +135,9 @@ def quantize_params(params, gtype: GType, min_cols: int = 256,
             "mlp": _q_mlp(b["mlp"], q, gtype, use_swar),
         }
         if layer_fuse:
-            from ..kernels.gpt2_layer import fuse_gpt2_layer, _pick_tile
+            from ..kernels.gpt2_layer import (
+                fuse_gpt2_layer, gpt2_layer_fuse_supported,
+            )
 
             def _fusable(w):  # raw floats, or pre-SWAR Q8_0 planes
                 if not isinstance(w, QTensor):
@@ -147,9 +149,7 @@ def quantize_params(params, gtype: GType, min_cols: int = 256,
             E = b["attn"]["c_proj_w"].shape[0]
             F = b["mlp"]["c_fc_w"].shape[0]
             if (all(_fusable(w) for w in ws)
-                    and E % 128 == 0 and F % 128 == 0
-                    and all((_pick_tile(3 * E, E), _pick_tile(E, E),
-                             _pick_tile(F, E), _pick_tile(E, F)))):
+                    and gpt2_layer_fuse_supported(E, F)):
                 qb["layer_fused"] = fuse_gpt2_layer(b)
         out["blocks"].append(qb)
     return out
