@@ -263,3 +263,22 @@ def test_swar_layout_tune_table(tmp_path, monkeypatch):
     assert swar_layout(512, 256)[0] != 999
     monkeypatch.delenv("GGML_TPU_TUNE")
     tune._load.cache_clear()
+
+
+def test_swar_non_pow2_chunks_parity():
+    """k=5632 admits only nc=11 (kc=512) at tile 512 — the non-power-of-two
+    chunk count the 7B w_down padded layout (11264 → nc=11·2) rides."""
+    from ggmlsharp_tpu.quant.formats import swar_layout
+
+    n, k = 512, 5632
+    tile, nc, kp = swar_layout(n, k)
+    assert (tile, nc, kp) == (512, 11, 5632), (tile, nc, kp)
+    rng = np.random.default_rng(17)
+    w = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32))
+    for gtype in (GType.Q4_0, GType.Q8_0):
+        qt = quantize(w, gtype)
+        sw = to_swar(qt)
+        got = np.asarray(mul_mat_q_fused(sw, x, quantize_acts=False))
+        want = np.asarray(mul_mat_q(qt, x, quantize_acts=False))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
