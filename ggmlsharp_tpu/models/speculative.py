@@ -1,0 +1,161 @@
+"""Speculative decoding: a small draft model proposes k tokens per round,
+the target model verifies all of them in ONE batched forward, and the
+longest matching prefix (plus the target's own correction token) is
+emitted. Greedy-exact: output is bit-identical to plain greedy decode on
+the target model alone, but each target dispatch amortizes the full weight
+read over up to k+1 tokens — the decisive lever on a bandwidth-bound chip
+where b=1 decode reads every weight byte per token (PERFORMANCE.md
+roofline). The reference has no decode loop at all (SURVEY §2.6 — no
+attention ops); this extends the BASELINE serving surface the TPU-native
+way: every round is ONE jitted dispatch (draft chain + verify + accept +
+cache rollback fused into a single executable), static shapes throughout.
+
+Cache rollback is O(1): caches mask by per-slot `length` (rows beyond it
+are causally masked, models/common.py), so rejecting draft tokens is just
+resetting `length` — stale rows are overwritten by the next round's writes
+at the same positions.
+
+Invariants at each round start (h = index of the newest emitted token a):
+  * target cache holds KV for history[0:h]           (length == h)
+  * draft  cache holds KV for history[0:h-1]         (length == h-1)
+  * seed == [history[h-1], history[h]]
+The 2-token draft seed keeps every round shape-identical (ONE executable)
+even when all k drafts are accepted and the draft cache is a full token
+behind the bonus-token emission.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import kv_cache as kvc
+from .sampling import length_bucket, make_decode_fns
+
+
+def set_length(cache: kvc.KVCache, length) -> kvc.KVCache:
+    """Functional per-slot length reset (speculative rollback). Rows beyond
+    `length` stay in the buffers but are masked out of attention and will
+    be overwritten by subsequent writes at those positions."""
+    return kvc.KVCache(cache.k, cache.v, cache.k_scale, cache.v_scale,
+                       jnp.asarray(length, jnp.int32))
+
+
+def make_spec_round(t_forward, t_cfg, d_forward, d_cfg, k: int):
+    """Build the jitted speculative round.
+
+    spec_round(t_params, d_params, t_cache, d_cache, seed[B,2],
+               t_eff=, d_eff=) ->
+        (emitted [B, k+1] int32 (-1 padded), n_emit [B] int32,
+         t_cache, d_cache, seed' [B, 2])
+
+    Emits between 1 (no drafts accepted: the target's own next token) and
+    k+1 (all accepted + the bonus token) tokens per slot per round.
+    """
+    if t_cfg.n_vocab != d_cfg.n_vocab:
+        raise ValueError(
+            f"draft/target vocab mismatch: {d_cfg.n_vocab} vs {t_cfg.n_vocab}")
+
+    @partial(jax.jit, donate_argnums=(2, 3),
+             static_argnames=("t_eff", "d_eff"))
+    def spec_round(t_params, d_params, t_cache, d_cache, seed,
+                   t_eff=None, d_eff=None):
+        B = seed.shape[0]
+        # --- draft chain: 2-token seed prefill, then k-1 greedy steps ----
+        pos = d_cache.length[:, None] + jnp.arange(2, dtype=jnp.int32)[None]
+        lg, d_cache = d_forward(d_params, d_cfg, seed, d_cache, pos,
+                                prefix_bound=d_eff)
+        tok = jnp.argmax(lg[:, -1:, :], axis=-1).astype(jnp.int32)
+        drafts = [tok]
+        for _ in range(k - 1):
+            pos = d_cache.length[:, None]
+            lg, d_cache = d_forward(d_params, d_cfg, tok, d_cache, pos,
+                                    prefix_bound=d_eff)
+            tok = jnp.argmax(lg[:, -1:, :], axis=-1).astype(jnp.int32)
+            drafts.append(tok)
+        d = jnp.concatenate(drafts, axis=1)  # [B, k]
+
+        # --- verify: ONE target forward over [a, d_1..d_k] ---------------
+        a = seed[:, 1:2]
+        x = jnp.concatenate([a, d], axis=1)  # [B, k+1]
+        pos = t_cache.length[:, None] + \
+            jnp.arange(k + 1, dtype=jnp.int32)[None]
+        logits, t_cache = t_forward(t_params, t_cfg, x, t_cache, pos,
+                                    prefix_bound=t_eff)
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
+
+        # --- accept longest matching prefix + correction/bonus token -----
+        match = (g[:, :-1] == d).astype(jnp.int32)
+        m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [B] in 0..k
+        idx = jnp.arange(k + 1, dtype=jnp.int32)[None]
+        gm = jnp.take_along_axis(g, m[:, None], axis=1)  # [B, 1]
+        d_pad = jnp.concatenate(
+            [d, jnp.zeros((B, 1), jnp.int32)], axis=1)
+        emitted = jnp.where(
+            idx < m[:, None], d_pad,
+            jnp.where(idx == m[:, None], gm, jnp.int32(-1)))
+        n_emit = m + 1
+
+        # --- O(1) rollback: reset per-slot lengths ------------------------
+        h_new = t_cache.length - (k + 1) + n_emit  # = h + m + 1
+        t_cache = set_length(t_cache, h_new)
+        d_cache = set_length(d_cache, h_new - 1)
+        seed_next = jnp.concatenate(
+            [jnp.take_along_axis(x, m[:, None], axis=1), gm], axis=1)
+        return emitted, n_emit, t_cache, d_cache, seed_next
+
+    return spec_round
+
+
+def speculative_generate(t_forward, t_cfg, t_params,
+                         d_forward, d_cfg, d_params,
+                         prompt, t_cache, d_cache,
+                         n_tokens: int, k: int = 4):
+    """Greedy speculative decode. prompt: int32 [B, S] (S >= 1); both caches
+    fresh (length 0) with max_len >= S + n_tokens + k + 1 headroom.
+    Returns (tokens [B, n_tokens] — identical to plain greedy decode on the
+    target — and the mean tokens emitted per round per slot, in [1, k+1]:
+    the target-dispatch amortization factor actually achieved)."""
+    B, S = prompt.shape
+    need = S + n_tokens + k + 2
+    for c, who in ((t_cache, "target"), (d_cache, "draft")):
+        if c.max_len < need:
+            raise ValueError(
+                f"{who} cache max_len {c.max_len} < {need} needed for "
+                f"S={S} + n_tokens={n_tokens} + k={k} headroom")
+
+    t_prefill, _ = make_decode_fns(t_forward, t_cfg)
+    d_prefill, _ = make_decode_fns(d_forward, d_cfg)
+    spec_round = make_spec_round(t_forward, t_cfg, d_forward, d_cfg, k)
+
+    logits, t_cache = t_prefill(
+        t_params, prompt, t_cache, t_eff=length_bucket(S, t_cache.max_len))
+    a0 = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+    if S > 1:  # draft holds history[0:S-1]; prompt[-1] rides the seed
+        _, d_cache = d_prefill(
+            d_params, prompt[:, :-1], d_cache,
+            t_eff=length_bucket(S - 1, d_cache.max_len))
+    seed = jnp.concatenate([prompt[:, -1:], a0], axis=1)
+
+    a0_host = np.asarray(a0)
+    out = [[int(a0_host[b, 0])] for b in range(B)]
+    h_max = S  # upper bound on any slot's history length
+    rounds = 0
+    emitted_total = 0
+    while min(len(o) for o in out) < n_tokens:
+        t_eff = length_bucket(h_max + k + 2, t_cache.max_len)
+        d_eff = length_bucket(h_max + k + 2, d_cache.max_len)
+        emitted, n_emit, t_cache, d_cache, seed = spec_round(
+            t_params, d_params, t_cache, d_cache, seed,
+            t_eff=t_eff, d_eff=d_eff)
+        em = np.asarray(emitted)
+        ne = np.asarray(n_emit)
+        for b in range(B):
+            out[b].extend(int(t) for t in em[b, : ne[b]])
+        h_max += int(ne.max())
+        rounds += 1
+        emitted_total += int(ne.sum())
+    toks = np.stack([o[:n_tokens] for o in out]).astype(np.int32)
+    return jnp.asarray(toks), emitted_total / max(1, rounds * B)

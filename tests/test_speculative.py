@@ -1,0 +1,106 @@
+"""Speculative decoding: greedy-exactness vs plain target-only decode
+(the invariant that makes it free speedup: a user switching it on must see
+bit-identical tokens), all-accept fast path when draft == target, batched
+slots, and llama (flat cache / flash-decode default path) coverage."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ggmlsharp_tpu.models import gpt2, llama, sampling
+from ggmlsharp_tpu.models.speculative import speculative_generate
+
+CFG = gpt2.GPT2Config(n_vocab=128, n_ctx=128, n_embd=64, n_head=4, n_layer=2)
+
+
+@pytest.fixture(scope="module")
+def target_params():
+    return gpt2.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def draft_params():
+    # independently-initialized "draft": wrong often enough to exercise
+    # every rollback branch, right often enough to exercise acceptance
+    return gpt2.init_params(jax.random.PRNGKey(7), CFG, dtype=jnp.float32)
+
+
+def _greedy_reference(mod, cfg, params, prompt, n_tokens):
+    cache = mod.new_cache(cfg, prompt.shape[0], dtype=jnp.float32)
+    toks, _ = sampling.generate(mod.forward, cfg, params, prompt, cache,
+                                n_tokens)
+    return np.asarray(toks)
+
+
+@pytest.mark.parametrize("k", [1, 3, 4])
+def test_spec_matches_greedy_gpt2(target_params, draft_params, k):
+    prompt = jnp.asarray([[5, 17, 99, 3, 42]], jnp.int32)
+    n = 24
+    ref = _greedy_reference(gpt2, CFG, target_params, prompt, n)
+    toks, rate = speculative_generate(
+        gpt2.forward, CFG, target_params, gpt2.forward, CFG, draft_params,
+        prompt, gpt2.new_cache(CFG, 1, dtype=jnp.float32),
+        gpt2.new_cache(CFG, 1, dtype=jnp.float32), n, k=k)
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+    assert 1.0 <= rate <= k + 1
+
+
+def test_spec_all_accept_when_draft_is_target(target_params):
+    # draft == target: every draft token accepted, k+1 emitted per round
+    prompt = jnp.asarray([[1, 2, 3]], jnp.int32)
+    n, k = 20, 4
+    ref = _greedy_reference(gpt2, CFG, target_params, prompt, n)
+    toks, rate = speculative_generate(
+        gpt2.forward, CFG, target_params, gpt2.forward, CFG, target_params,
+        prompt, gpt2.new_cache(CFG, 1, dtype=jnp.float32),
+        gpt2.new_cache(CFG, 1, dtype=jnp.float32), n, k=k)
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+    assert rate == pytest.approx(k + 1)
+
+
+def test_spec_batched_slots(target_params, draft_params):
+    # two slots diverge immediately → per-slot accept counts differ
+    prompt = jnp.asarray([[5, 17, 99, 3], [100, 2, 64, 31]], jnp.int32)
+    n = 16
+    ref = _greedy_reference(gpt2, CFG, target_params, prompt, n)
+    toks, _ = speculative_generate(
+        gpt2.forward, CFG, target_params, gpt2.forward, CFG, draft_params,
+        prompt, gpt2.new_cache(CFG, 2, dtype=jnp.float32),
+        gpt2.new_cache(CFG, 2, dtype=jnp.float32), n, k=3)
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+
+
+def test_spec_single_token_prompt(target_params, draft_params):
+    prompt = jnp.asarray([[9]], jnp.int32)
+    n = 12
+    ref = _greedy_reference(gpt2, CFG, target_params, prompt, n)
+    toks, _ = speculative_generate(
+        gpt2.forward, CFG, target_params, gpt2.forward, CFG, draft_params,
+        prompt, gpt2.new_cache(CFG, 1, dtype=jnp.float32),
+        gpt2.new_cache(CFG, 1, dtype=jnp.float32), n, k=2)
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+
+
+def test_spec_llama_flat_cache(monkeypatch):
+    # llama default path: flat cache + fused flash-decode for the draft's
+    # single-token steps, multi-token verify through the prefill path
+    cfg = llama.TINY_LLAMA
+    tp = llama.init_params(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+    dp = llama.init_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    prompt = jnp.asarray([[4, 8, 15, 16, 23, 42]], jnp.int32)
+    n = 16
+    ref = _greedy_reference(llama, cfg, tp, prompt, n)
+    toks, _ = speculative_generate(
+        llama.forward, cfg, tp, llama.forward, cfg, dp,
+        prompt, llama.new_cache(cfg, 1, dtype=jnp.float32),
+        llama.new_cache(cfg, 1, dtype=jnp.float32), n, k=3)
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+
+
+def test_spec_cache_headroom_validated(target_params, draft_params):
+    small = gpt2.new_cache(CFG, 1, dtype=jnp.float32, max_len=16)
+    with pytest.raises(ValueError, match="max_len"):
+        speculative_generate(
+            gpt2.forward, CFG, target_params, gpt2.forward, CFG,
+            draft_params, jnp.asarray([[1, 2]], jnp.int32), small,
+            gpt2.new_cache(CFG, 1, dtype=jnp.float32), 32, k=4)
