@@ -378,6 +378,30 @@ def main():
     check("llama layer megakernel", yl[:, invl], jax.jit(llayer_ref)(xw),
           rtol=5e-2, atol=2e-1)
 
+    # --- speculative decode: greedy-exact on-chip ----------------------
+    # (models/speculative.py) spec rounds ride the same forward paths the
+    # kernels above verified; this checks the accept/rollback machinery
+    # end-to-end on hardware: output must be bit-identical to plain greedy.
+    from ggmlsharp_tpu.models import llama, sampling
+    from ggmlsharp_tpu.models.speculative import speculative_generate
+
+    scfg = llama.TINY_LLAMA
+    stp = llama.init_params(jax.random.PRNGKey(2), scfg, dtype=jnp.float32)
+    sdp = llama.init_params(jax.random.PRNGKey(3), scfg, dtype=jnp.float32)
+    sprompt = jnp.asarray([[4, 8, 15, 16, 23, 42]], jnp.int32)
+    sref, _ = sampling.generate(
+        llama.forward, scfg, stp, sprompt,
+        llama.new_cache(scfg, 1, dtype=jnp.float32), 12)
+    stoks, _ = speculative_generate(
+        llama.forward, scfg, stp, llama.forward, scfg, sdp, sprompt,
+        llama.new_cache(scfg, 1, dtype=jnp.float32),
+        llama.new_cache(scfg, 1, dtype=jnp.float32), 12, k=3)
+    sok = np.array_equal(np.asarray(stoks), np.asarray(sref))
+    print(f"  {'ok ' if sok else 'FAIL'} {'speculative greedy-exact':28s}",
+          flush=True)
+    if not sok:
+        FAILURES.append("speculative greedy-exact")
+
     dt = time.time() - t0
     print(f"{'SMOKE FAILED: ' + ', '.join(FAILURES) if FAILURES else 'SMOKE OK'}"
           f"  ({dt:.0f}s)", flush=True)
