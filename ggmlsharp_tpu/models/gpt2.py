@@ -251,9 +251,13 @@ def _flat_read_heads(cache, layer, n_head, t):
 
 
 def forward(params, cfg: GPT2Config, tokens, cache: kvc.KVCache, positions,
-            prefix_bound: int | None = None):
+            prefix_bound: int | None = None,
+            cached_prefix: bool | None = None):
     """tokens: int32 [B, S]; positions: int32 [B, S] absolute positions.
-    Returns (logits [B, S, n_vocab] f32, updated cache)."""
+    Returns (logits [B, S, n_vocab] f32, updated cache). cached_prefix:
+    flat-cache multi-token calls attend the cache's live prefix (True —
+    required when positions don't start at 0) vs flash over this call's
+    fresh K/V only (False); None = auto: True for S <= 8."""
     B, S = tokens.shape
     flat = kvc.is_flat(cache)
     if (flat and S == 1 and B == 1
@@ -277,7 +281,7 @@ def forward(params, cfg: GPT2Config, tokens, cache: kvc.KVCache, positions,
             cache = kvc.update_layer_flat(
                 cache, i, k.reshape(B, S, -1)[..., sig],
                 v.reshape(B, S, -1)[..., sig], positions)
-            if S > 8:
+            if S > 8 and not cached_prefix:
                 # prefill: flash over the fresh K/V (prefix starts empty —
                 # generate/engine prefill contract), scores never in HBM
                 from ..kernels.flash import flash_attention_cached

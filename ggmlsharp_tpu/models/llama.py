@@ -271,10 +271,15 @@ def _forward_llama_fused(params, cfg: LlamaConfig, tokens, cache, positions,
 
 
 def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
-            prefix_bound: int | None = None):
+            prefix_bound: int | None = None,
+            cached_prefix: bool | None = None):
     """tokens/positions: int32 [B, S]. Returns (logits f32 [B,S,V], cache).
     prefix_bound: optional STATIC upper bound on the live cache prefix
-    (host-side length bucketing — see common.cached_attention)."""
+    (host-side length bucketing — see common.cached_attention).
+    cached_prefix: multi-token calls over a flat cache attend the cache's
+    live prefix (True — required when positions don't start at 0, e.g.
+    speculative verify or prefix-cached suffix prefill) vs flash over this
+    call's own fresh K/V only (False). None = auto: True for S <= 8."""
     if (kvc.is_flat(cache) and tokens.shape == (1, 1) and not cache.int8
             and all("layer_fused" in b for b in params["blocks"])):
         return _forward_llama_fused(params, cfg, tokens, cache, positions,
@@ -344,7 +349,7 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
                         vn[:, 0], kc, vc, positions[:, 0], cfg.n_head,
                         cfg.n_head_kv, hd)
                     inv = __import__("numpy").argsort(a2e_q)
-                    a = out[..., inv].reshape(B, 1, nq).astype(x.dtype)
+                    a = out[..., inv].reshape(B, 1, nq).astype(q.dtype)
                 else:
                     from ..kernels.attn_decode import flash_decode_flat
 
@@ -362,7 +367,38 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
                         merge_heads(q)[:, 0].reshape(B, cfg.n_head, hd),
                         kn[:, 0], vn[:, 0], kc, vc, positions[:, 0],
                         cfg.n_head_kv, hd, **scales)
-                    a = out.reshape(B, 1, nq).astype(x.dtype)
+                    a = out.reshape(B, 1, nq).astype(q.dtype)
+            elif (cached_prefix if cached_prefix is not None else S <= 8):
+                # multi-token step over a possibly NON-EMPTY prefix
+                # (speculative verify, prefix-cached suffix prefill):
+                # exact GQA einsum over the live cache rows — the fresh-KV
+                # flash below only sees this call's own K/V and is correct
+                # solely when positions start at 0
+                from .common import _einsum_attention
+
+                kc = jax.lax.slice(cache.k[i], (0, 0, 0), (B, t, nkv))
+                vc = jax.lax.slice(cache.v[i], (0, 0, 0), (B, t, nkv))
+                if cache.int8:
+                    ksl = jax.lax.slice(cache.k_scale[i], (0, 0, 0),
+                                        (B, t, cfg.n_head_kv))
+                    vsl = jax.lax.slice(cache.v_scale[i], (0, 0, 0),
+                                        (B, t, cfg.n_head_kv))
+                    kc = (kc.astype(jnp.float32).reshape(B, t, cfg.n_head_kv, hd)
+                          * ksl[..., None]).reshape(B, t, nkv)
+                    vc = (vc.astype(jnp.float32).reshape(B, t, cfg.n_head_kv, hd)
+                          * vsl[..., None]).reshape(B, t, nkv)
+                if lf:
+                    inv = __import__("numpy").argsort(a2e)
+                    kc, vc = kc[..., inv], vc[..., inv]
+                # cache rows up-cast to q.dtype — the same convention as
+                # the head-major path (kv_cache.read_layer), so flat and
+                # head-major decode stay numerically aligned
+                k_all = (kc.reshape(B, t, cfg.n_head_kv, hd)
+                         .transpose(0, 2, 1, 3).astype(q.dtype))
+                v_all = (vc.reshape(B, t, cfg.n_head_kv, hd)
+                         .transpose(0, 2, 1, 3).astype(q.dtype))
+                a = merge_heads(_einsum_attention(
+                    q, k_all, v_all, positions, n_rep, 0.0)).astype(q.dtype)
             else:
                 # prefill from the empty prefix over the fresh K/V:
                 # sequence-parallel ring when a sequence mesh is installed
@@ -383,12 +419,12 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
                             vr = jnp.repeat(vr, n_rep, axis=1)
                         a = merge_heads(ring_attention(
                             q, kr, vr, mesh, seq_axis=seq_axis,
-                            causal=True)).astype(x.dtype)
+                            causal=True)).astype(q.dtype)
                 if a is None:
                     from ..kernels.flash import flash_attention_cached
 
                     a = merge_heads(flash_attention_cached(
-                        q, k, v, positions[:, 0])).astype(x.dtype)
+                        q, k, v, positions[:, 0])).astype(q.dtype)
             x = x + linear(blk["wo"], a)
         else:
             a, cache = cached_attention(q, k, v, cache, i, positions,

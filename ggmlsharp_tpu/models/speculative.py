@@ -53,6 +53,10 @@ def make_spec_round(t_forward, t_cfg, d_forward, d_cfg, k: int):
 
     Emits between 1 (no drafts accepted: the target's own next token) and
     k+1 (all accepted + the bonus token) tokens per slot per round.
+
+    Both forwards must accept `cached_prefix=` (models.gpt2 / models.llama
+    do): verify and the seed prefill run at positions > 0, so flat-cache
+    attention must read the cache's live prefix, not just this call's K/V.
     """
     if t_cfg.n_vocab != d_cfg.n_vocab:
         raise ValueError(
@@ -66,7 +70,7 @@ def make_spec_round(t_forward, t_cfg, d_forward, d_cfg, k: int):
         # --- draft chain: 2-token seed prefill, then k-1 greedy steps ----
         pos = d_cache.length[:, None] + jnp.arange(2, dtype=jnp.int32)[None]
         lg, d_cache = d_forward(d_params, d_cfg, seed, d_cache, pos,
-                                prefix_bound=d_eff)
+                                prefix_bound=d_eff, cached_prefix=True)
         tok = jnp.argmax(lg[:, -1:, :], axis=-1).astype(jnp.int32)
         drafts = [tok]
         for _ in range(k - 1):
@@ -83,7 +87,7 @@ def make_spec_round(t_forward, t_cfg, d_forward, d_cfg, k: int):
         pos = t_cache.length[:, None] + \
             jnp.arange(k + 1, dtype=jnp.int32)[None]
         logits, t_cache = t_forward(t_params, t_cfg, x, t_cache, pos,
-                                    prefix_bound=t_eff)
+                                    prefix_bound=t_eff, cached_prefix=True)
         g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
 
         # --- accept longest matching prefix + correction/bonus token -----

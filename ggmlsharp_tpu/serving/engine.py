@@ -40,6 +40,7 @@ class Request:
     temperature: float = 0.0
     top_k: int = 0
     eos_id: int | None = None
+    prefix_id: int | None = None  # Engine.register_prefix handle
     out_tokens: list = field(default_factory=list)
     done: bool = False
     error: str | None = None
@@ -79,6 +80,9 @@ class Engine:
         self._last_logits = jnp.zeros((batch_slots, cfg.n_vocab), jnp.float32)
         self._rng = jax.random.PRNGKey(rng_seed)
         self._compiled_prefill = {}
+        self._prefixes: dict[int, dict] = {}
+        self._compiled_install: dict[int, object] = {}
+        self._next_prefix_id = 0
         self._step = self._make_step()
 
     # --- jitted pieces ---------------------------------------------------
@@ -99,19 +103,31 @@ class Engine:
 
         return step
 
-    def _prefill_slot(self, req: Request, slot: int):
-        n = len(req.prompt)
+    def _prefill_slot(self, req: Request, slot: int, tokens=None,
+                      start: int = 0):
+        """Prefill `tokens` (default: req.prompt) into the slot's cache rows
+        starting at row `start` (non-zero when a registered prefix was just
+        installed — positions and the final slot length are offset by it)."""
+        tokens = req.prompt if tokens is None else tokens
+        n = len(tokens)
         # cap at max_len so the bucketed update always fits the cache rows
         bucket = min(_bucket(n), self.max_len)
-        if bucket not in self._compiled_prefill:
+        # static live-prefix bound covering installed prefix + this prompt
+        total = min(_bucket(start + bucket), self.max_len)
+        # non-zero start → queries must attend the installed prefix rows
+        # (flat caches would otherwise flash over fresh K/V only)
+        cached = start > 0 or None
+        key = (bucket, total, cached)
+        if key not in self._compiled_prefill:
             fwd, cfg = self.forward, self.cfg
 
-            # slot is a TRACED argument (dynamic_slice accepts traced starts)
-            # → exactly one prefill executable per length bucket; making it
-            # static would multiply warmup compiles by batch_slots (each
-            # remote TPU compile takes minutes).
+            # slot AND start are TRACED arguments (dynamic_slice accepts
+            # traced starts) → exactly one prefill executable per
+            # (length bucket, total bound); making them static would
+            # multiply warmup compiles by batch_slots × prefix lengths
+            # (each remote TPU compile takes minutes).
             @partial(jax.jit, donate_argnums=(1,))
-            def prefill(params, cache, tokens, n_real, slot):
+            def prefill(params, cache, tokens, n_real, slot, start):
                 def _slice(t):
                     return None if t is None else tuple(
                         jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=0)
@@ -129,30 +145,114 @@ class Engine:
                     _slice(cache.k_scale), _slice(cache.v_scale),
                     jnp.zeros((1,), jnp.int32),
                 )
-                positions = jnp.arange(tokens.shape[1], dtype=jnp.int32)[None]
-                # bucket is static per compiled prefill → static prefix
+                positions = (start
+                             + jnp.arange(tokens.shape[1], dtype=jnp.int32)[None])
+                # `total` is static per compiled prefill → static prefix;
+                # queries at positions ≥ start attend the installed prefix
+                # rows below them (mask is kpos <= position)
                 logits, sub2 = fwd(params, cfg, tokens, sub, positions,
-                                   prefix_bound=bucket)
+                                   prefix_bound=total, cached_prefix=cached)
                 cache = kvc.KVCache(
                     _unslice(cache.k, sub2.k), _unslice(cache.v, sub2.v),
                     _unslice(cache.k_scale, sub2.k_scale),
                     _unslice(cache.v_scale, sub2.v_scale),
-                    cache.length.at[slot].set(n_real),
+                    cache.length.at[slot].set(start + n_real),
                 )
                 last = jnp.take_along_axis(
                     logits, (n_real - 1)[None, None, None], axis=1
                 )[:, 0, :]
                 return last, cache
 
-            self._compiled_prefill[bucket] = prefill
-        prefill = self._compiled_prefill[bucket]
+            self._compiled_prefill[key] = prefill
+        prefill = self._compiled_prefill[key]
         toks = np.zeros((1, bucket), np.int32)
-        toks[0, :n] = req.prompt
+        toks[0, :n] = tokens
         last, self.cache = prefill(
             self.params, self.cache, jnp.asarray(toks), jnp.int32(n),
-            jnp.int32(slot),
+            jnp.int32(slot), jnp.int32(start),
         )
         self._last_logits = self._last_logits.at[slot].set(last[0])
+
+    # --- prefix caching ----------------------------------------------------
+    def register_prefix(self, tokens: list) -> int:
+        """Prefill a shared prompt prefix ONCE and keep its KV rows on
+        device; requests carrying the returned id skip recomputing it —
+        admission installs the rows into the slot with one
+        dynamic_update_slice per buffer and prefills only the remainder.
+        Compiles one registration executable per distinct prefix length."""
+        plen = len(tokens)
+        if not 0 < plen < self.max_len:
+            raise ValueError(f"prefix length {plen} must be in (0, "
+                             f"{self.max_len})")
+        fwd, cfg = self.forward, self.cfg
+        bucket = min(_bucket(plen), self.max_len)
+        proto = self.cache
+        n_head_kv = getattr(cfg, "n_head_kv", cfg.n_head)
+
+        @partial(jax.jit, static_argnames=("plen",))
+        def reg(params, toks, plen):
+            cache = kvc.init_cache(
+                cfg.n_layer, 1, n_head_kv, bucket, cfg.head_dim,
+                dtype=proto.k[0].dtype if not proto.int8 else jnp.bfloat16,
+                int8=proto.int8, flat=kvc.is_flat(proto),
+            )
+            positions = jnp.arange(bucket, dtype=jnp.int32)[None]
+            logits, c2 = fwd(params, cfg, toks, cache, positions,
+                             prefix_bound=bucket)
+
+            def cut(t):  # keep exactly the prefix rows (time axis 1 or 2)
+                return None if t is None else tuple(
+                    jax.lax.slice_in_dim(x, 0, plen,
+                                         axis=1 if x.ndim == 3 else 2)
+                    for x in t)
+
+            return (logits[:, plen - 1, :], cut(c2.k), cut(c2.v),
+                    cut(c2.k_scale), cut(c2.v_scale))
+
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :plen] = tokens
+        last, k, v, ks, vs = reg(self.params, jnp.asarray(toks), plen=plen)
+        pid = self._next_prefix_id
+        self._next_prefix_id += 1
+        self._prefixes[pid] = dict(tokens=list(tokens), plen=plen, k=k, v=v,
+                                   ks=ks, vs=vs, last=last[0])
+        return pid
+
+    def drop_prefix(self, prefix_id: int):
+        self._prefixes.pop(prefix_id, None)
+
+    def _install_prefix(self, pfx: dict, slot: int):
+        plen = pfx["plen"]
+        if plen in self._compiled_install:
+            install = self._compiled_install[plen]
+            self.cache = install(self.cache, pfx["k"], pfx["v"], pfx["ks"],
+                                 pfx["vs"], jnp.int32(slot))
+            return
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def install(cache, k, v, ks, vs, slot):
+            def upd(bufs, rows):
+                if bufs is None:
+                    return None
+                out = []
+                for x, r in zip(bufs, rows):
+                    axis = 1 if x.ndim == 3 else 2  # time axis
+                    sl = jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=0)
+                    sl = jax.lax.dynamic_update_slice_in_dim(
+                        sl, r.astype(sl.dtype), 0, axis=axis)
+                    out.append(jax.lax.dynamic_update_slice_in_dim(
+                        x, sl, slot, axis=0))
+                return tuple(out)
+
+            return kvc.KVCache(
+                upd(cache.k, k), upd(cache.v, v),
+                upd(cache.k_scale, ks), upd(cache.v_scale, vs),
+                cache.length.at[slot].set(plen),
+            )
+
+        self._compiled_install[plen] = install
+        self.cache = install(self.cache, pfx["k"], pfx["v"], pfx["ks"],
+                             pfx["vs"], jnp.int32(slot))
 
     # --- host loop -------------------------------------------------------
     def submit(self, req: Request):
@@ -174,6 +274,28 @@ class Engine:
                     continue
                 if len(req.prompt) + req.max_new_tokens > self.max_len:
                     req.max_new_tokens = self.max_len - len(req.prompt)
+                if req.prefix_id is not None:
+                    pfx = self._prefixes.get(req.prefix_id)
+                    if pfx is None:
+                        req.done = True
+                        req.error = f"unknown prefix_id {req.prefix_id}"
+                        self.finished.append(req)
+                        continue
+                    plen = pfx["plen"]
+                    if req.prompt[:plen] != pfx["tokens"]:
+                        req.done = True
+                        req.error = "prompt does not start with prefix"
+                        self.finished.append(req)
+                        continue
+                    self.slots[i] = req
+                    self._install_prefix(pfx, i)
+                    suffix = req.prompt[plen:]
+                    if suffix:
+                        self._prefill_slot(req, i, tokens=suffix, start=plen)
+                    else:  # prompt == prefix: reuse its stored last logits
+                        self._last_logits = self._last_logits.at[i].set(
+                            pfx["last"])
+                    continue
                 self.slots[i] = req
                 self._prefill_slot(req, i)
 

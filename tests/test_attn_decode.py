@@ -60,7 +60,12 @@ def test_flash_decode_parity(B, Hq, Hkv, D, T, npasts):
 
 def test_llama_flat_decode_matches_head_cache(monkeypatch):
     """End-to-end greedy decode: flat cache + fused flash-decode kernel vs
-    the head-major einsum path — same tokens (GQA tiny config)."""
+    the head-major einsum path — same tokens (GQA tiny config). f32 caches:
+    the fused kernel's bf16 score dots vs the einsum's f32 carry an
+    inherent ~1e-2 logit noise (bounded by the kernel-level allclose tests
+    above), and random-weight logits have top-2 gaps below that — exact
+    token equality is only a meaningful invariant when noise << tie gaps,
+    which f32 KV provides."""
     cfg = llama.LlamaConfig(n_vocab=256, n_ctx=128, n_embd=256, n_head=4,
                             n_head_kv=2, n_layer=2, n_ff=512)
     params = llama.init_params(jax.random.PRNGKey(3), cfg)
@@ -68,7 +73,7 @@ def test_llama_flat_decode_matches_head_cache(monkeypatch):
     prompt = jnp.asarray([[7, 3, 99, 12]], jnp.int32)
 
     def run(flat):
-        cache = llama.new_cache(cfg, 1, flat=flat)
+        cache = llama.new_cache(cfg, 1, dtype=jnp.float32, flat=flat)
         assert (cache.k[0].ndim == 3) == flat
         toks, _ = sampling.generate(llama.forward, cfg, qp, prompt, cache, 8)
         return np.asarray(toks)

@@ -115,3 +115,88 @@ def test_engine_llama_flat_flash_decode_matches_sequential():
 
     for i, req in enumerate(results):
         assert req.out_tokens == seq(prompts[i]), (i, req.out_tokens)
+
+
+def test_prefix_caching_matches_full_prefill():
+    """Requests sharing a registered prefix must decode IDENTICALLY to full
+    prefills of the same prompts (greedy), including prompt == prefix."""
+    params = _params()
+    prefix = [9, 42, 17, 5, 60, 2, 31]
+    suffixes = [[7, 1, 2], [100], [], [55, 44, 33, 22, 11]]
+    prompts = [prefix + s for s in suffixes]
+    n_new = 6
+
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2)
+    pid = eng.register_prefix(prefix)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=n_new,
+                           prefix_id=pid))
+    results = eng.run()
+    assert len(results) == len(prompts)
+    for i, req in enumerate(results):
+        assert req.error is None
+        want = _sequential_greedy(params, prompts[i], n_new)
+        assert req.out_tokens == want, (i, req.out_tokens, want)
+
+
+def test_prefix_caching_mixed_with_plain_requests():
+    params = _params()
+    prefix = [3, 14, 15, 92]
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=3)
+    pid = eng.register_prefix(prefix)
+    eng.submit(Request(id=0, prompt=prefix + [6, 5], max_new_tokens=4,
+                       prefix_id=pid))
+    eng.submit(Request(id=1, prompt=[8, 8, 8], max_new_tokens=4))
+    eng.submit(Request(id=2, prompt=prefix + [35], max_new_tokens=4,
+                       prefix_id=pid))
+    results = eng.run()
+    for req in results:
+        want = _sequential_greedy(params, req.prompt, 4)
+        assert req.out_tokens == want, (req.id, req.out_tokens, want)
+
+
+def test_prefix_caching_validates_prompt_and_id():
+    params = _params()
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2)
+    pid = eng.register_prefix([1, 2, 3])
+    eng.submit(Request(id=0, prompt=[9, 9, 9, 9], max_new_tokens=4,
+                       prefix_id=pid))       # wrong prefix
+    eng.submit(Request(id=1, prompt=[1, 2, 3, 4], max_new_tokens=4,
+                       prefix_id=pid + 99))  # unknown id
+    r = eng.run()
+    assert r[0].error == "prompt does not start with prefix"
+    assert "unknown prefix_id" in r[1].error
+    eng.drop_prefix(pid)
+    eng.submit(Request(id=2, prompt=[1, 2, 3, 4], max_new_tokens=4,
+                       prefix_id=pid))
+    assert "unknown prefix_id" in eng.run()[0].error
+
+
+def test_prefix_caching_llama_flat_cache():
+    """Prefix install over the flat [B, T, E] cache layout (time axis 1) +
+    batched flash-decode must equal full-prefill decoding."""
+    from ggmlsharp_tpu.models import llama
+
+    lcfg = llama.LlamaConfig(n_vocab=128, n_ctx=96, n_embd=256, n_head=4,
+                             n_head_kv=2, n_layer=2, n_ff=512)
+    params = llama.init_params(jax.random.PRNGKey(2), lcfg,
+                               dtype=jnp.float32)
+    prefix = [9, 42, 17, 5, 60]
+    suffixes = [[7, 1], [], [55, 44, 33]]
+    n_new = 5
+
+    eng = Engine(llama.forward, lcfg, params, batch_slots=2)
+    assert eng.cache.k[0].ndim == 3  # flat cache engaged
+    pid = eng.register_prefix(prefix)
+    for i, s in enumerate(suffixes):
+        eng.submit(Request(id=i, prompt=prefix + s, max_new_tokens=n_new,
+                           prefix_id=pid))
+    results = eng.run()
+
+    eng2 = Engine(llama.forward, lcfg, params, batch_slots=2)
+    for i, s in enumerate(suffixes):
+        eng2.submit(Request(id=i, prompt=prefix + s, max_new_tokens=n_new))
+    want = eng2.run()
+    for r, w in zip(results, want):
+        assert r.error is None
+        assert r.out_tokens == w.out_tokens, (r.id, r.out_tokens, w.out_tokens)

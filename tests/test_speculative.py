@@ -104,3 +104,22 @@ def test_spec_cache_headroom_validated(target_params, draft_params):
             gpt2.forward, CFG, target_params, gpt2.forward, CFG,
             draft_params, jnp.asarray([[1, 2]], jnp.int32), small,
             gpt2.new_cache(CFG, 1, dtype=jnp.float32), 32, k=4)
+
+
+def test_spec_llama_flat_eligible_cache():
+    # E_kv = n_head_kv * head_dim = 128 → the flat [B, T, E] cache + fused
+    # flash-decode engage; verify/seed calls must attend the LIVE prefix
+    # (cached_prefix=True), not just their own fresh K/V
+    cfg = llama.LlamaConfig(n_vocab=128, n_ctx=96, n_embd=256, n_head=4,
+                            n_head_kv=2, n_layer=2, n_ff=512)
+    tp = llama.init_params(jax.random.PRNGKey(4), cfg, dtype=jnp.float32)
+    dp = llama.init_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    tc = llama.new_cache(cfg, 1, dtype=jnp.float32)
+    assert tc.k[0].ndim == 3  # flat cache engaged
+    prompt = jnp.asarray([[7, 3, 88, 11]], jnp.int32)
+    n = 16
+    ref = _greedy_reference(llama, cfg, tp, prompt, n)
+    toks, _ = speculative_generate(
+        llama.forward, cfg, tp, llama.forward, cfg, dp, prompt, tc,
+        llama.new_cache(cfg, 1, dtype=jnp.float32), n, k=3)
+    np.testing.assert_array_equal(np.asarray(toks), ref)
