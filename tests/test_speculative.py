@@ -123,3 +123,21 @@ def test_spec_llama_flat_eligible_cache():
         llama.forward, cfg, tp, llama.forward, cfg, dp, prompt, tc,
         llama.new_cache(cfg, 1, dtype=jnp.float32), n, k=3)
     np.testing.assert_array_equal(np.asarray(toks), ref)
+
+
+def test_spec_llama_int8_kv_cache():
+    # INT8 KV: spec rounds re-quantize rollback-overwritten rows; output
+    # must equal plain greedy decode with the SAME int8 target cache
+    cfg = llama.LlamaConfig(n_vocab=128, n_ctx=96, n_embd=256, n_head=4,
+                            n_head_kv=2, n_layer=2, n_ff=512)
+    tp = llama.init_params(jax.random.PRNGKey(4), cfg, dtype=jnp.float32)
+    dp = llama.init_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    prompt = jnp.asarray([[7, 3, 88, 11]], jnp.int32)
+    n = 12
+    cache = llama.new_cache(cfg, 1, int8=True)
+    ref, _ = sampling.generate(llama.forward, cfg, tp, prompt, cache, n)
+    toks, _ = speculative_generate(
+        llama.forward, cfg, tp, llama.forward, cfg, dp, prompt,
+        llama.new_cache(cfg, 1, int8=True),
+        llama.new_cache(cfg, 1, int8=True), n, k=3)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
