@@ -397,8 +397,18 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
                          .transpose(0, 2, 1, 3).astype(q.dtype))
                 v_all = (vc.reshape(B, t, cfg.n_head_kv, hd)
                          .transpose(0, 2, 1, 3).astype(q.dtype))
-                a = merge_heads(_einsum_attention(
-                    q, k_all, v_all, positions, n_rep, 0.0)).astype(q.dtype)
+                if S > 8:
+                    # long suffix over a live prefix: flash kernel with a
+                    # per-slot npast (GQA via block index maps) — einsum
+                    # would materialize [B, H, S, t] scores in HBM
+                    from ..kernels.flash import flash_attention_cached
+
+                    a = merge_heads(flash_attention_cached(
+                        q, k_all, v_all, positions[:, 0])).astype(q.dtype)
+                else:
+                    a = merge_heads(_einsum_attention(
+                        q, k_all, v_all, positions, n_rep,
+                        0.0)).astype(q.dtype)
             else:
                 # prefill from the empty prefix over the fresh K/V:
                 # sequence-parallel ring when a sequence mesh is installed

@@ -200,3 +200,30 @@ def test_prefix_caching_llama_flat_cache():
     for r, w in zip(results, want):
         assert r.error is None
         assert r.out_tokens == w.out_tokens, (r.id, r.out_tokens, w.out_tokens)
+
+
+def test_prefix_caching_long_suffix():
+    """Suffix longer than 8 tokens rides the flash-with-npast path (flat
+    llama) / flash_attention_cached (head-major gpt2); both must equal full
+    prefill."""
+    from ggmlsharp_tpu.models import llama
+
+    # llama flat cache
+    lcfg = llama.LlamaConfig(n_vocab=128, n_ctx=96, n_embd=256, n_head=4,
+                             n_head_kv=2, n_layer=2, n_ff=512)
+    lp = llama.init_params(jax.random.PRNGKey(2), lcfg, dtype=jnp.float32)
+    prefix = [9, 42, 17, 5, 60]
+    suffix = [7, 1, 3, 8, 2, 99, 55, 44, 33, 22, 11, 6]  # 12 > 8
+    for fwd, cfg, params in ((llama.forward, lcfg, lp),
+                             (gpt2.forward, CFG, _params())):
+        eng = Engine(fwd, cfg, params, batch_slots=1)
+        pid = eng.register_prefix(prefix)
+        eng.submit(Request(id=0, prompt=prefix + suffix, max_new_tokens=5,
+                           prefix_id=pid))
+        got = eng.run()[0]
+        eng2 = Engine(fwd, cfg, params, batch_slots=1)
+        eng2.submit(Request(id=0, prompt=prefix + suffix, max_new_tokens=5))
+        want = eng2.run()[0]
+        assert got.error is None
+        assert got.out_tokens == want.out_tokens, (got.out_tokens,
+                                                   want.out_tokens)
