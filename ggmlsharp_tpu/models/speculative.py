@@ -103,9 +103,11 @@ def make_spec_round(t_forward, t_cfg, d_forward, d_cfg, k: int):
         n_emit = m + 1
 
         # --- O(1) rollback: reset per-slot lengths ------------------------
-        h_new = t_cache.length - (k + 1) + n_emit  # = h + m + 1
+        # clamped at 0 so inactive slots (continuous-batching engines run
+        # every slot through the round) don't drift to negative lengths
+        h_new = jnp.maximum(t_cache.length - (k + 1) + n_emit, 0)  # h+m+1
         t_cache = set_length(t_cache, h_new)
-        d_cache = set_length(d_cache, h_new - 1)
+        d_cache = set_length(d_cache, jnp.maximum(h_new - 1, 0))
         seed_next = jnp.concatenate(
             [jnp.take_along_axis(x, m[:, None], axis=1), gm], axis=1)
         return emitted, n_emit, t_cache, d_cache, seed_next

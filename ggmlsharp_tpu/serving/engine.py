@@ -56,7 +56,15 @@ def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048)) -> int:
 class Engine:
     def __init__(self, forward, cfg, params, batch_slots: int = 4,
                  max_len: int | None = None, cache_dtype=jnp.float32,
-                 int8_kv: bool = False, rng_seed: int = 0):
+                 int8_kv: bool = False, rng_seed: int = 0,
+                 draft_forward=None, draft_cfg=None, draft_params=None,
+                 spec_k: int = 4):
+        """draft_forward/draft_cfg/draft_params: enable SPECULATIVE
+        continuous batching — every tick runs one draft-propose/target-verify
+        round across all live slots (models.speculative), emitting 1..k+1
+        tokens per slot per target dispatch. Greedy-exact: outputs are
+        bit-identical to the non-speculative engine; requests with
+        temperature > 0 are rejected in spec mode."""
         self.forward = forward
         self.cfg = cfg
         self.params = params
@@ -85,6 +93,28 @@ class Engine:
         self._next_prefix_id = 0
         self._step = self._make_step()
 
+        # --- speculative mode ---------------------------------------------
+        self.spec = draft_forward is not None
+        if self.spec:
+            from ..models.speculative import make_spec_round
+
+            self.d_forward = draft_forward
+            self.d_cfg = draft_cfg or cfg
+            self.d_params = draft_params
+            self.spec_k = spec_k
+            d_hkv = getattr(self.d_cfg, "n_head_kv", self.d_cfg.n_head)
+            d_flat = ((d_hkv * self.d_cfg.head_dim) % 128 == 0
+                      and hasattr(self.d_cfg, "n_head_kv")
+                      and os.environ.get("GGML_TPU_FLASH_DECODE", "1") == "1")
+            self.d_cache = kvc.init_cache(
+                self.d_cfg.n_layer, batch_slots, d_hkv, self.max_len,
+                self.d_cfg.head_dim, dtype=cache_dtype, int8=int8_kv,
+                flat=d_flat,
+            )
+            self._spec_round = make_spec_round(
+                forward, cfg, draft_forward, self.d_cfg, spec_k)
+            self._seed = np.zeros((batch_slots, 2), np.int32)
+
     # --- jitted pieces ---------------------------------------------------
     def _make_step(self):
         fwd, cfg = self.forward, self.cfg
@@ -104,10 +134,11 @@ class Engine:
         return step
 
     def _prefill_slot(self, req: Request, slot: int, tokens=None,
-                      start: int = 0):
+                      start: int = 0, draft: bool = False):
         """Prefill `tokens` (default: req.prompt) into the slot's cache rows
         starting at row `start` (non-zero when a registered prefix was just
-        installed — positions and the final slot length are offset by it)."""
+        installed — positions and the final slot length are offset by it).
+        draft=True targets the speculative draft model's cache."""
         tokens = req.prompt if tokens is None else tokens
         n = len(tokens)
         # cap at max_len so the bucketed update always fits the cache rows
@@ -117,9 +148,10 @@ class Engine:
         # non-zero start → queries must attend the installed prefix rows
         # (flat caches would otherwise flash over fresh K/V only)
         cached = start > 0 or None
-        key = (bucket, total, cached)
+        key = (bucket, total, cached, draft)
         if key not in self._compiled_prefill:
-            fwd, cfg = self.forward, self.cfg
+            fwd = self.d_forward if draft else self.forward
+            cfg = self.d_cfg if draft else self.cfg
 
             # slot AND start are TRACED arguments (dynamic_slice accepts
             # traced starts) → exactly one prefill executable per
@@ -167,11 +199,17 @@ class Engine:
         prefill = self._compiled_prefill[key]
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :n] = tokens
-        last, self.cache = prefill(
-            self.params, self.cache, jnp.asarray(toks), jnp.int32(n),
+        params = self.d_params if draft else self.params
+        cache = self.d_cache if draft else self.cache
+        last, cache = prefill(
+            params, cache, jnp.asarray(toks), jnp.int32(n),
             jnp.int32(slot), jnp.int32(start),
         )
-        self._last_logits = self._last_logits.at[slot].set(last[0])
+        if draft:
+            self.d_cache = cache
+        else:
+            self.cache = cache
+            self._last_logits = self._last_logits.at[slot].set(last[0])
 
     # --- prefix caching ----------------------------------------------------
     def register_prefix(self, tokens: list) -> int:
@@ -254,6 +292,87 @@ class Engine:
         self.cache = install(self.cache, pfx["k"], pfx["v"], pfx["ks"],
                              pfx["vs"], jnp.int32(slot))
 
+    # --- speculative mode --------------------------------------------------
+    def _free_slot(self, i: int):
+        self.cache = kvc.KVCache(
+            self.cache.k, self.cache.v, self.cache.k_scale,
+            self.cache.v_scale, self.cache.length.at[i].set(0))
+        if self.spec:
+            self.d_cache = kvc.KVCache(
+                self.d_cache.k, self.d_cache.v, self.d_cache.k_scale,
+                self.d_cache.v_scale, self.d_cache.length.at[i].set(0))
+
+    def _admit_spec(self, req: Request, slot: int):
+        """Speculative admission: target prefill (emits the first token a0
+        host-side), draft prefill of prompt[:-1], per-slot seed =
+        [prompt[-1], a0] (the models.speculative round invariant)."""
+        if req.temperature > 0:
+            req.done = True
+            req.error = "speculative engine is greedy-only (temperature=0)"
+            self.finished.append(req)
+            return
+        if req.prefix_id is not None:
+            req.done = True
+            req.error = "prefix caching not supported in speculative mode"
+            self.finished.append(req)
+            return
+        # verify writes k+1 rows past the current history every round
+        cap = self.max_len - len(req.prompt) - self.spec_k - 2
+        if cap <= 0:
+            req.done = True
+            req.error = (f"prompt length {len(req.prompt)} leaves no "
+                         f"speculative headroom (k={self.spec_k}, "
+                         f"max_len={self.max_len})")
+            self.finished.append(req)
+            return
+        req.max_new_tokens = min(req.max_new_tokens, cap)
+        self.slots[slot] = req
+        self._prefill_slot(req, slot)
+        a0 = int(np.asarray(self._last_logits[slot]).argmax())
+        req.out_tokens.append(a0)
+        if (req.eos_id is not None and a0 == req.eos_id) or \
+                len(req.out_tokens) >= req.max_new_tokens:
+            req.done = True
+            self.finished.append(req)
+            self.slots[slot] = None
+            self._free_slot(slot)
+            return
+        if len(req.prompt) > 1:
+            self._prefill_slot(req, slot, tokens=req.prompt[:-1], draft=True)
+        self._seed[slot] = (req.prompt[-1], a0)
+
+    def _spec_tick(self) -> bool:
+        """One speculative engine tick: ONE draft-chain + verify round for
+        all live slots; each emits 1..k+1 tokens (per-slot accept counts)."""
+        from ..models.sampling import length_bucket
+
+        live = [r for r in self.slots if r is not None]
+        if not live:
+            return False
+        hmax = max(len(r.prompt) + len(r.out_tokens) for r in live)
+        t_eff = length_bucket(min(hmax + self.spec_k + 2, self.max_len),
+                              self.max_len)
+        emitted, n_emit, self.cache, self.d_cache, seed = self._spec_round(
+            self.params, self.d_params, self.cache, self.d_cache,
+            jnp.asarray(self._seed), t_eff=t_eff, d_eff=t_eff)
+        em, ne = np.asarray(emitted), np.asarray(n_emit)
+        self._seed = np.array(seed)  # writable copy — admits update rows
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            for j in range(int(ne[i])):
+                tok = int(em[i, j])
+                req.out_tokens.append(tok)
+                if (req.eos_id is not None and tok == req.eos_id) or \
+                        len(req.out_tokens) >= req.max_new_tokens:
+                    req.done = True
+                    break
+            if req.done:
+                self.finished.append(req)
+                self.slots[i] = None
+                self._free_slot(i)
+        return True
+
     # --- host loop -------------------------------------------------------
     def submit(self, req: Request):
         self.pending.append(req)
@@ -274,6 +393,9 @@ class Engine:
                     continue
                 if len(req.prompt) + req.max_new_tokens > self.max_len:
                     req.max_new_tokens = self.max_len - len(req.prompt)
+                if self.spec:
+                    self._admit_spec(req, i)
+                    continue
                 if req.prefix_id is not None:
                     pfx = self._prefixes.get(req.prefix_id)
                     if pfx is None:
@@ -300,8 +422,11 @@ class Engine:
                 self._prefill_slot(req, i)
 
     def step_once(self):
-        """One engine tick: admit, sample per live slot, batched decode."""
+        """One engine tick: admit, sample per live slot, batched decode.
+        Speculative mode: one draft/verify round instead (1..k+1 tokens)."""
         self._admit()
+        if self.spec:
+            return self._spec_tick()
         if all(s is None for s in self.slots):
             return False
 

@@ -227,3 +227,64 @@ def test_prefix_caching_long_suffix():
         assert got.error is None
         assert got.out_tokens == want.out_tokens, (got.out_tokens,
                                                    want.out_tokens)
+
+
+def test_spec_engine_matches_plain_engine():
+    """Speculative continuous batching: engine with a draft model emits
+    BIT-IDENTICAL tokens to the plain engine (greedy), across slot
+    recycling and uneven prompt lengths."""
+    params = _params()
+    draft = gpt2.init_params(jax.random.PRNGKey(7), CFG, dtype=jnp.float32)
+    prompts = [[5, 17, 99], [7, 1, 2, 3, 4, 5, 6, 8], [11], [3, 3, 3, 3],
+               [42, 42]]
+    n_new = 7
+
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2,
+                 draft_forward=gpt2.forward, draft_cfg=CFG,
+                 draft_params=draft, spec_k=3)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=n_new))
+    got = eng.run()
+
+    eng2 = Engine(gpt2.forward, CFG, params, batch_slots=2)
+    for i, p in enumerate(prompts):
+        eng2.submit(Request(id=i, prompt=p, max_new_tokens=n_new))
+    want = eng2.run()
+    assert len(got) == len(want) == len(prompts)
+    for g, w in zip(got, want):
+        assert g.error is None
+        assert g.out_tokens == w.out_tokens, (g.id, g.out_tokens,
+                                              w.out_tokens)
+
+
+def test_spec_engine_draft_is_target_all_accept():
+    params = _params()
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2,
+                 draft_forward=gpt2.forward, draft_cfg=CFG,
+                 draft_params=params, spec_k=4)
+    eng.submit(Request(id=0, prompt=[5, 17, 99], max_new_tokens=16))
+    got = eng.run()[0]
+    assert got.out_tokens == _sequential_greedy(params, [5, 17, 99], 16)
+
+
+def test_spec_engine_eos_and_validation():
+    params = _params()
+    draft = gpt2.init_params(jax.random.PRNGKey(7), CFG, dtype=jnp.float32)
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2,
+                 draft_forward=gpt2.forward, draft_cfg=CFG,
+                 draft_params=draft, spec_k=3)
+    # greedy-only: sampled request rejected with a clear error
+    eng.submit(Request(id=0, prompt=[1, 2], max_new_tokens=4,
+                       temperature=0.7))
+    # eos mid-round truncates: run the plain engine first to find a token
+    # that actually appears, then use it as eos
+    probe = Engine(gpt2.forward, CFG, params, batch_slots=1)
+    probe.submit(Request(id=0, prompt=[5, 17, 99], max_new_tokens=8))
+    seq = probe.run()[0].out_tokens
+    eos = seq[3]
+    eng.submit(Request(id=1, prompt=[5, 17, 99], max_new_tokens=8,
+                       eos_id=eos))
+    got = eng.run()
+    assert "greedy-only" in got[0].error
+    want = seq[: seq.index(eos) + 1]
+    assert got[1].out_tokens == want, (got[1].out_tokens, want)
