@@ -1,6 +1,12 @@
 """Continuous-batching serving demo: mixed workload through the Engine.
 
-    python examples/serve.py [--slots 4] [--requests 12] [--int8-kv]
+    python examples/serve.py [--slots 4] [--requests 12] [--int8-kv] \
+        [--draft] [--prefix]
+
+--draft: speculative continuous batching — a second (here: differently
+seeded) model drafts k tokens per tick, the target verifies them in one
+forward; output is bit-identical to plain greedy. --prefix: register a
+shared system prompt once and reuse its KV across requests.
 """
 import argparse
 import os
@@ -19,6 +25,10 @@ def main():
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--requests", type=int, default=12)
     ap.add_argument("--int8-kv", action="store_true")
+    ap.add_argument("--draft", action="store_true",
+                    help="speculative decoding (greedy-exact)")
+    ap.add_argument("--prefix", action="store_true",
+                    help="share a cached system-prompt prefix")
     args = ap.parse_args()
 
     from ggmlsharp_tpu.dtypes import GType
@@ -29,15 +39,26 @@ def main():
     params = gpt2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     params = jax.jit(lambda p: gpt2.quantize_params(p, GType.Q8_0))(params)
 
+    spec = {}
+    if args.draft:
+        draft = gpt2.init_params(jax.random.PRNGKey(9), cfg,
+                                 dtype=jnp.bfloat16)
+        draft = jax.jit(lambda p: gpt2.quantize_params(p, GType.Q8_0))(draft)
+        spec = dict(draft_forward=gpt2.forward, draft_cfg=cfg,
+                    draft_params=draft, spec_k=4)
     eng = Engine(gpt2.forward, cfg, params, batch_slots=args.slots,
-                 cache_dtype=jnp.bfloat16, int8_kv=args.int8_kv)
+                 cache_dtype=jnp.bfloat16, int8_kv=args.int8_kv, **spec)
+    pid = eng.register_prefix([50, 51, 52, 53, 54, 55]) if args.prefix \
+        else None
     for i in range(args.requests):
         eng.submit(Request(
             id=i,
-            prompt=list(range(1, 2 + i % 7)),
+            prompt=(([50, 51, 52, 53, 54, 55] if pid is not None else [])
+                    + list(range(1, 2 + i % 7))),
             max_new_tokens=16 + 8 * (i % 3),
-            temperature=0.7 if i % 2 else 0.0,
-            top_k=40,
+            temperature=0.0 if args.draft else (0.7 if i % 2 else 0.0),
+            top_k=0 if args.draft else 40,
+            prefix_id=pid,
         ))
     t0 = time.time()
     results = eng.run()

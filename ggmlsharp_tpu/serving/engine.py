@@ -212,19 +212,11 @@ class Engine:
             self._last_logits = self._last_logits.at[slot].set(last[0])
 
     # --- prefix caching ----------------------------------------------------
-    def register_prefix(self, tokens: list) -> int:
-        """Prefill a shared prompt prefix ONCE and keep its KV rows on
-        device; requests carrying the returned id skip recomputing it —
-        admission installs the rows into the slot with one
-        dynamic_update_slice per buffer and prefills only the remainder.
-        Compiles one registration executable per distinct prefix length."""
-        plen = len(tokens)
-        if not 0 < plen < self.max_len:
-            raise ValueError(f"prefix length {plen} must be in (0, "
-                             f"{self.max_len})")
-        fwd, cfg = self.forward, self.cfg
+    def _compute_prefix_rows(self, fwd, cfg, params, proto, tokens,
+                             plen: int) -> dict:
+        """Prefill `tokens` into a fresh 1-slot cache matching `proto`'s
+        layout and return exactly the prefix rows + last-token logits."""
         bucket = min(_bucket(plen), self.max_len)
-        proto = self.cache
         n_head_kv = getattr(cfg, "n_head_kv", cfg.n_head)
 
         @partial(jax.jit, static_argnames=("plen",))
@@ -249,48 +241,75 @@ class Engine:
 
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :plen] = tokens
-        last, k, v, ks, vs = reg(self.params, jnp.asarray(toks), plen=plen)
+        last, k, v, ks, vs = reg(params, jnp.asarray(toks), plen=plen)
+        return dict(k=k, v=v, ks=ks, vs=vs, last=last[0])
+
+    def register_prefix(self, tokens: list) -> int:
+        """Prefill a shared prompt prefix ONCE and keep its KV rows on
+        device; requests carrying the returned id skip recomputing it —
+        admission installs the rows into the slot with one
+        dynamic_update_slice per buffer and prefills only the remainder.
+        In speculative mode the draft model's rows are registered too.
+        Compiles one registration executable per distinct prefix length."""
+        plen = len(tokens)
+        if not 0 < plen < self.max_len:
+            raise ValueError(f"prefix length {plen} must be in (0, "
+                             f"{self.max_len})")
+        entry = dict(
+            tokens=list(tokens), plen=plen,
+            t=self._compute_prefix_rows(self.forward, self.cfg, self.params,
+                                        self.cache, tokens, plen),
+            d=(self._compute_prefix_rows(self.d_forward, self.d_cfg,
+                                         self.d_params, self.d_cache,
+                                         tokens, plen)
+               if self.spec else None),
+        )
         pid = self._next_prefix_id
         self._next_prefix_id += 1
-        self._prefixes[pid] = dict(tokens=list(tokens), plen=plen, k=k, v=v,
-                                   ks=ks, vs=vs, last=last[0])
+        self._prefixes[pid] = entry
         return pid
 
     def drop_prefix(self, prefix_id: int):
         self._prefixes.pop(prefix_id, None)
 
-    def _install_prefix(self, pfx: dict, slot: int):
-        plen = pfx["plen"]
-        if plen in self._compiled_install:
-            install = self._compiled_install[plen]
-            self.cache = install(self.cache, pfx["k"], pfx["v"], pfx["ks"],
-                                 pfx["vs"], jnp.int32(slot))
-            return
+    def _install_prefix(self, rows: dict, plen: int, slot: int,
+                        set_len: int, draft: bool = False):
+        """Write `rows` into cache rows [0:plen] of `slot` and set its
+        length to `set_len` (traced — the draft cache sits one token behind
+        when the prompt IS the prefix)."""
+        key = (plen, draft)
+        install = self._compiled_install.get(key)
+        if install is None:
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def install(cache, k, v, ks, vs, slot):
-            def upd(bufs, rows):
-                if bufs is None:
-                    return None
-                out = []
-                for x, r in zip(bufs, rows):
-                    axis = 1 if x.ndim == 3 else 2  # time axis
-                    sl = jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=0)
-                    sl = jax.lax.dynamic_update_slice_in_dim(
-                        sl, r.astype(sl.dtype), 0, axis=axis)
-                    out.append(jax.lax.dynamic_update_slice_in_dim(
-                        x, sl, slot, axis=0))
-                return tuple(out)
+            @partial(jax.jit, donate_argnums=(0,))
+            def install(cache, k, v, ks, vs, slot, set_len):
+                def upd(bufs, rows):
+                    if bufs is None:
+                        return None
+                    out = []
+                    for x, r in zip(bufs, rows):
+                        axis = 1 if x.ndim == 3 else 2  # time axis
+                        sl = jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=0)
+                        sl = jax.lax.dynamic_update_slice_in_dim(
+                            sl, r.astype(sl.dtype), 0, axis=axis)
+                        out.append(jax.lax.dynamic_update_slice_in_dim(
+                            x, sl, slot, axis=0))
+                    return tuple(out)
 
-            return kvc.KVCache(
-                upd(cache.k, k), upd(cache.v, v),
-                upd(cache.k_scale, ks), upd(cache.v_scale, vs),
-                cache.length.at[slot].set(plen),
-            )
+                return kvc.KVCache(
+                    upd(cache.k, k), upd(cache.v, v),
+                    upd(cache.k_scale, ks), upd(cache.v_scale, vs),
+                    cache.length.at[slot].set(set_len),
+                )
 
-        self._compiled_install[plen] = install
-        self.cache = install(self.cache, pfx["k"], pfx["v"], pfx["ks"],
-                             pfx["vs"], jnp.int32(slot))
+            self._compiled_install[key] = install
+        cache = self.d_cache if draft else self.cache
+        cache = install(cache, rows["k"], rows["v"], rows["ks"], rows["vs"],
+                        jnp.int32(slot), jnp.int32(set_len))
+        if draft:
+            self.d_cache = cache
+        else:
+            self.cache = cache
 
     # --- speculative mode --------------------------------------------------
     def _free_slot(self, i: int):
@@ -305,17 +324,27 @@ class Engine:
     def _admit_spec(self, req: Request, slot: int):
         """Speculative admission: target prefill (emits the first token a0
         host-side), draft prefill of prompt[:-1], per-slot seed =
-        [prompt[-1], a0] (the models.speculative round invariant)."""
+        [prompt[-1], a0] (the models.speculative round invariant). With a
+        registered prefix, both models' stored rows are installed and only
+        the suffix is prefilled (the draft one token short)."""
         if req.temperature > 0:
             req.done = True
             req.error = "speculative engine is greedy-only (temperature=0)"
             self.finished.append(req)
             return
+        pfx = None
         if req.prefix_id is not None:
-            req.done = True
-            req.error = "prefix caching not supported in speculative mode"
-            self.finished.append(req)
-            return
+            pfx = self._prefixes.get(req.prefix_id)
+            if pfx is None:
+                req.done = True
+                req.error = f"unknown prefix_id {req.prefix_id}"
+                self.finished.append(req)
+                return
+            if req.prompt[: pfx["plen"]] != pfx["tokens"]:
+                req.done = True
+                req.error = "prompt does not start with prefix"
+                self.finished.append(req)
+                return
         # verify writes k+1 rows past the current history every round
         cap = self.max_len - len(req.prompt) - self.spec_k - 2
         if cap <= 0:
@@ -327,6 +356,32 @@ class Engine:
             return
         req.max_new_tokens = min(req.max_new_tokens, cap)
         self.slots[slot] = req
+        if pfx is not None:
+            plen = pfx["plen"]
+            suffix = req.prompt[plen:]
+            self._install_prefix(pfx["t"], plen, slot, plen)
+            if suffix:
+                self._prefill_slot(req, slot, tokens=suffix, start=plen)
+                a0 = int(np.asarray(self._last_logits[slot]).argmax())
+            else:
+                a0 = int(np.asarray(pfx["t"]["last"]).argmax())
+            # draft holds history[0:P-1]: prefix rows, minus the last
+            # token when the prompt IS the prefix
+            self._install_prefix(pfx["d"], plen, slot,
+                                 plen if suffix else plen - 1, draft=True)
+            if len(suffix) > 1:
+                self._prefill_slot(req, slot, tokens=suffix[:-1],
+                                   start=plen, draft=True)
+            req.out_tokens.append(a0)
+            if (req.eos_id is not None and a0 == req.eos_id) or \
+                    len(req.out_tokens) >= req.max_new_tokens:
+                req.done = True
+                self.finished.append(req)
+                self.slots[slot] = None
+                self._free_slot(slot)
+                return
+            self._seed[slot] = (req.prompt[-1], a0)
+            return
         self._prefill_slot(req, slot)
         a0 = int(np.asarray(self._last_logits[slot]).argmax())
         req.out_tokens.append(a0)
@@ -410,13 +465,13 @@ class Engine:
                         self.finished.append(req)
                         continue
                     self.slots[i] = req
-                    self._install_prefix(pfx, i)
+                    self._install_prefix(pfx["t"], plen, i, plen)
                     suffix = req.prompt[plen:]
                     if suffix:
                         self._prefill_slot(req, i, tokens=suffix, start=plen)
                     else:  # prompt == prefix: reuse its stored last logits
                         self._last_logits = self._last_logits.at[i].set(
-                            pfx["last"])
+                            pfx["t"]["last"])
                     continue
                 self.slots[i] = req
                 self._prefill_slot(req, i)

@@ -67,7 +67,9 @@ def worker(args):
         qparams = shd.shard_params(qparams, shd.llama_param_specs(), mesh)
         # data axis shards batch slots across hosts
         B = args.batch_per_host * mesh.shape["data"]
-        cache = llama.new_cache(cfg, B)
+        # head-major cache: kv_cache_spec shards KV heads over `model`
+        # (the flat [B, T, E] layout is the single-chip decode fast path)
+        cache = llama.new_cache(cfg, B, flat=False)
         cache = shd.shard_cache(cache, shd.kv_cache_spec(), mesh)
         prompt = jnp.ones((B, 8), jnp.int32)
         prefill, step = sampling.make_decode_fns(llama.forward, cfg)

@@ -288,3 +288,33 @@ def test_spec_engine_eos_and_validation():
     assert "greedy-only" in got[0].error
     want = seq[: seq.index(eos) + 1]
     assert got[1].out_tokens == want, (got[1].out_tokens, want)
+
+
+def test_spec_engine_with_prefix_caching():
+    """Speculative mode + registered prefix: both models' rows installed,
+    suffix-only prefill (draft one behind); output equals the plain engine
+    on the full prompts, including prompt == prefix."""
+    params = _params()
+    draft = gpt2.init_params(jax.random.PRNGKey(7), CFG, dtype=jnp.float32)
+    prefix = [9, 42, 17, 5, 60]
+    suffixes = [[7, 1, 2], [100], [], [55, 44]]
+    prompts = [prefix + s for s in suffixes]
+    n_new = 6
+
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2,
+                 draft_forward=gpt2.forward, draft_cfg=CFG,
+                 draft_params=draft, spec_k=3)
+    pid = eng.register_prefix(prefix)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=n_new,
+                           prefix_id=pid))
+    got = eng.run()
+
+    eng2 = Engine(gpt2.forward, CFG, params, batch_slots=2)
+    for i, p in enumerate(prompts):
+        eng2.submit(Request(id=i, prompt=p, max_new_tokens=n_new))
+    want = eng2.run()
+    for g, w in zip(got, want):
+        assert g.error is None
+        assert g.out_tokens == w.out_tokens, (g.id, g.out_tokens,
+                                              w.out_tokens)
