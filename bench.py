@@ -424,6 +424,29 @@ def run_workload():
 # orchestrator: workload ladder under a time budget
 # --------------------------------------------------------------------------
 
+def _probe_device(timeout_s):
+    """Fresh-process TPU reachability probe: import jax, claim the device,
+    run one tiny jit, FETCH the value (axon's block_until_ready lies — only
+    a host transfer proves the relay is alive). Returns True/False. A hung
+    relay makes jax.devices() block forever, so without this probe every
+    ladder rung would burn its full child timeout."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "y = jax.jit(lambda x: x * 2 + 1)(jnp.ones((8, 128), jnp.float32));"
+        "print('PROBE_OK', float(np.asarray(y)[0, 0]), flush=True)"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0 and b"PROBE_OK" in proc.stdout
+
+
 def _run_child(env_overrides, timeout_s):
     """Run `python bench.py` as a child in BENCH_CHILD mode; return the JSON
     line it printed, or None."""
@@ -465,6 +488,29 @@ def main():
     budget = float(os.environ.get("BENCH_TIME_BUDGET", "1500"))
     t0 = time.perf_counter()
     remaining = lambda: budget - (time.perf_counter() - t0)
+
+    # gate the ladder on a cheap reachability probe: when the axon relay is
+    # wedged (observed outage: jax.devices() hangs indefinitely), fail fast
+    # with an honest zero line instead of burning the whole budget — the
+    # driver's own kill timeout may be shorter than ours
+    if os.environ.get("BENCH_SKIP_PROBE") != "1":
+        probe_t = min(180.0, max(60.0, remaining() - 60.0))
+        _log(f"device probe (timeout {probe_t:.0f}s)")
+        ok = _probe_device(probe_t)
+        if not ok:
+            _log("probe failed; one retry in a fresh process "
+                 "(killed clients can wedge the claim for ~minutes)")
+            ok = _probe_device(min(probe_t, max(60.0, remaining() - 30.0)))
+        if not ok:
+            print(json.dumps({
+                "metric": "bench failed (TPU device unreachable: relay "
+                          "probe timed out twice)",
+                "value": 0.0,
+                "unit": "tok/s",
+                "vs_baseline": 0.0,
+            }), flush=True)
+            return
+        _log(f"probe ok ({remaining():.0f}s budget left)")
 
     primary = {
         "BENCH_MODEL": os.environ.get("BENCH_MODEL", "llama-7b"),
