@@ -69,20 +69,52 @@ def make_greedy_step(forward, cfg):
     return greedy_step
 
 
-def sample_token(logits, rng=None, temperature: float = 0.0, top_k: int = 0):
-    """logits [B, V] → token [B, 1]."""
+def apply_repeat_penalty(logits, recent_tokens, penalty: float):
+    """CTRL-style repetition penalty over the recent-token window
+    (llama.cpp-era semantics: positive logits of seen tokens divide by
+    `penalty`, negative multiply). recent_tokens: int32 [B, N], -1 = pad."""
+    V = logits.shape[-1]
+    ids = jnp.clip(recent_tokens, 0, V - 1)
+    valid = recent_tokens >= 0
+    hit = jax.vmap(
+        lambda i, v: jnp.zeros((V,), bool).at[i].max(v)
+    )(ids, valid)
+    pen = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(hit, pen, logits)
+
+
+def sample_token(logits, rng=None, temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0, repeat_penalty: float = 1.0,
+                 recent_tokens=None):
+    """logits [B, V] → token [B, 1]. The llama.cpp-era sampler stack:
+    repetition penalty over `recent_tokens`, top-k then nucleus top-p
+    truncation, temperature sampling. temperature <= 0 is greedy argmax
+    (over the penalized logits, so penalty still steers greedy decode)."""
+    if repeat_penalty != 1.0 and recent_tokens is not None:
+        logits = apply_repeat_penalty(logits, recent_tokens, repeat_penalty)
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
     logits = logits / temperature
     if top_k > 0:
         kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
         logits = jnp.where(logits < kth, -1e30, logits)
+    if top_p < 1.0:
+        order = jnp.argsort(-logits, axis=-1)
+        sl = jnp.take_along_axis(logits, order, axis=-1)
+        probs = jax.nn.softmax(sl, axis=-1)
+        # keep the smallest prefix whose mass reaches top_p (the first
+        # token always survives: exclusive cumsum is 0 there)
+        keep = (jnp.cumsum(probs, axis=-1) - probs) < top_p
+        sl = jnp.where(keep, sl, -1e30)
+        inv = jnp.argsort(order, axis=-1)
+        logits = jnp.take_along_axis(sl, inv, axis=-1)
     return jax.random.categorical(rng, logits, axis=-1)[:, None].astype(jnp.int32)
 
 
 def generate(forward, cfg, params, prompt, cache, n_tokens: int,
              temperature: float = 0.0, top_k: int = 0, rng=None,
-             echo_logits: bool = False):
+             echo_logits: bool = False, top_p: float = 1.0,
+             repeat_penalty: float = 1.0, repeat_last_n: int = 64):
     """Host-driven decode: prefill once, then n_tokens single-token steps.
 
     prompt: int32 [B, S]. Returns (tokens [B, n_tokens], cache)."""
@@ -94,17 +126,36 @@ def generate(forward, cfg, params, prompt, cache, n_tokens: int,
                             t_eff=length_bucket(cur, T))
     out = []
     tok = None
+    history = np.asarray(prompt, np.int32)  # [B, S], grows per step
     for i in range(n_tokens):
         if rng is not None:
             rng, sub = jax.random.split(rng)
         else:
             sub = None
-        tok = sample_token(logits, sub, temperature, top_k)
+        recent = None
+        if repeat_penalty != 1.0:
+            recent = _recent_window(history, repeat_last_n)
+        tok = sample_token(logits, sub, temperature, top_k, top_p,
+                           repeat_penalty, recent)
         out.append(tok)
+        if repeat_penalty != 1.0:
+            history = np.concatenate(
+                [history, np.asarray(tok, np.int32)], axis=1)
         cur += 1
         logits, cache = step(params, tok, cache,
                              t_eff=length_bucket(cur, T))
     return jnp.concatenate(out, axis=1), cache
+
+
+def _recent_window(history, repeat_last_n: int):
+    """Last `repeat_last_n` tokens of [B, S] history, -1-padded on the left
+    to a FIXED width so the sampler compiles once per window size."""
+    recent = history[:, -repeat_last_n:]
+    if recent.shape[1] < repeat_last_n:
+        pad = np.full((recent.shape[0], repeat_last_n - recent.shape[1]),
+                      -1, np.int32)
+        recent = np.concatenate([pad, recent], axis=1)
+    return jnp.asarray(recent)
 
 
 def generate_scan(forward, cfg, params, prompt, cache, n_tokens: int):

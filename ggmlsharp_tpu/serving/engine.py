@@ -39,6 +39,9 @@ class Request:
     max_new_tokens: int = 64
     temperature: float = 0.0
     top_k: int = 0
+    top_p: float = 1.0
+    repeat_penalty: float = 1.0
+    repeat_last_n: int = 64
     eos_id: int | None = None
     prefix_id: int | None = None  # Engine.register_prefix handle
     out_tokens: list = field(default_factory=list)
@@ -327,9 +330,10 @@ class Engine:
         [prompt[-1], a0] (the models.speculative round invariant). With a
         registered prefix, both models' stored rows are installed and only
         the suffix is prefilled (the draft one token short)."""
-        if req.temperature > 0:
+        if req.temperature > 0 or req.repeat_penalty != 1.0:
             req.done = True
-            req.error = "speculative engine is greedy-only (temperature=0)"
+            req.error = ("speculative engine is greedy-only (temperature=0,"
+                         " no repeat_penalty)")
             self.finished.append(req)
             return
         pfx = None
@@ -493,9 +497,17 @@ class Engine:
         for i, req in enumerate(self.slots):
             if req is None:
                 continue
+            recent = None
+            if req.repeat_penalty != 1.0:
+                from ..models.sampling import _recent_window
+
+                hist = np.asarray(
+                    [req.prompt + req.out_tokens], np.int32)
+                recent = _recent_window(hist, req.repeat_last_n)
             tok = int(np.asarray(sample_token(
                 jnp.asarray(logits[i : i + 1]), keys[i],
-                req.temperature, req.top_k,
+                req.temperature, req.top_k, req.top_p,
+                req.repeat_penalty, recent,
             ))[0, 0])
             req.out_tokens.append(tok)
             toks[i, 0] = tok

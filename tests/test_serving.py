@@ -318,3 +318,58 @@ def test_spec_engine_with_prefix_caching():
         assert g.error is None
         assert g.out_tokens == w.out_tokens, (g.id, g.out_tokens,
                                               w.out_tokens)
+
+
+def test_sampler_top_p_and_repeat_penalty():
+    """Sampler-stack semantics: nucleus truncation keeps exactly the
+    smallest prefix reaching top_p mass; repetition penalty shrinks seen
+    tokens' logits (divide if positive, multiply if negative); greedy
+    argmax respects the penalty."""
+    logits = jnp.asarray([[2.0, 1.0, 0.0, -1.0, -2.0]])
+
+    # top_p: probs ~ [.64, .23, .086, .032, .012]; top_p=.7 keeps {0, 1}
+    seen = set()
+    for s in range(200):
+        t = int(np.asarray(sampling.sample_token(
+            logits, jax.random.PRNGKey(s), temperature=1.0, top_p=0.7,
+        ))[0, 0])
+        seen.add(t)
+    assert seen == {0, 1}, seen
+
+    # repeat penalty: token 0 seen -> 2.0/2=1.0 ties token 1; token 3 seen
+    # (negative logit) -> -1*2=-2.0
+    recent = jnp.asarray([[0, 3, -1, -1]], jnp.int32)
+    pen = sampling.apply_repeat_penalty(logits, recent, 2.0)
+    np.testing.assert_allclose(
+        np.asarray(pen)[0], [1.0, 1.0, 0.0, -2.0, -2.0])
+
+    # greedy argmax over penalized logits: 0 penalized below 1
+    logits2 = jnp.asarray([[2.0, 1.5, 0.0, -1.0, -2.0]])
+    tok = sampling.sample_token(
+        logits2, temperature=0.0, repeat_penalty=3.0,
+        recent_tokens=jnp.asarray([[0, -1]], jnp.int32))
+    assert int(np.asarray(tok)[0, 0]) == 1
+
+
+def test_engine_repeat_penalty_blocks_loops():
+    """A harsh repetition penalty in the engine must forbid emitting any
+    token twice within the window (greedy path), and generate() with the
+    same params must agree exactly."""
+    params = _params()
+    prompt = [5, 17, 99]
+    n_new = 8
+
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2)
+    eng.submit(Request(id=0, prompt=prompt, max_new_tokens=n_new,
+                       repeat_penalty=1e9, repeat_last_n=32))
+    got = eng.run()[0].out_tokens
+    hist = prompt + got
+    # every emitted token is new w.r.t. its preceding window
+    for i in range(len(prompt), len(hist)):
+        assert hist[i] not in hist[:i], (i, hist)
+
+    cache = gpt2.new_cache(CFG, 1, dtype=jnp.float32)
+    toks, _ = sampling.generate(
+        gpt2.forward, CFG, params, jnp.asarray([prompt], jnp.int32), cache,
+        n_new, repeat_penalty=1e9, repeat_last_n=32)
+    assert np.asarray(toks)[0].tolist() == got
