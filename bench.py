@@ -20,7 +20,8 @@ note in the metric name.
 
 Env overrides: BENCH_MODEL=gpt2-124m|gpt2-355m|gpt2-774m|llama-tiny|llama-7b,
 BENCH_FORMAT=q8_0|q4_0|q4_k|q6_k|bf16, BENCH_STEPS, BENCH_BATCH,
-BENCH_PREFILL, BENCH_INT8_KV=1, BENCH_MODE=decode|prefill,
+BENCH_PREFILL, BENCH_INT8_KV=1, BENCH_MODE=decode|prefill|train|serve
+(serve: BENCH_SERVE_SLOTS/BENCH_SERVE_REQUESTS/BENCH_SERVE_NEW),
 BENCH_TIME_BUDGET, BENCH_NO_FALLBACK=1 (single workload, no ladder).
 """
 import json
@@ -221,6 +222,53 @@ def _run_train_mode(mod, cfg, model, batch):
     }), flush=True)
 
 
+def _run_serve_mode(mod, cfg, model, fmt, params, slots, t_start):
+    """BENCH_MODE=serve: continuous-batching engine throughput — aggregate
+    generated tokens/sec across `slots` concurrent requests (prefill +
+    decode + admission, the full serving stack). vs_baseline = fraction of
+    the batched decode roofline: one weight pass serves `slots` tokens per
+    tick, so roofline = slots * HBM_BW / wire_bytes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from ggmlsharp_tpu.serving import Engine, Request
+
+    n_new = int(os.environ.get("BENCH_SERVE_NEW", "24"))
+    n_req = int(os.environ.get("BENCH_SERVE_REQUESTS", str(slots * 3)))
+    plen = int(os.environ.get("BENCH_PREFILL", "16"))
+    int8_kv = os.environ.get("BENCH_INT8_KV") == "1"
+    rng = _np.random.default_rng(7)
+    prompts = [rng.integers(0, cfg.n_vocab, size=plen).tolist()
+               for _ in range(n_req)]
+
+    eng = Engine(mod.forward, cfg, params, batch_slots=slots,
+                 cache_dtype=jnp.bfloat16, int8_kv=int8_kv)
+    # warmup: compile the prefill bucket, decode step, and fused argmax
+    for i in range(min(slots, n_req)):
+        eng.submit(Request(id=-1 - i, prompt=prompts[i], max_new_tokens=2))
+    eng.run()
+    _log(f"serve engine warm at t={time.perf_counter()-t_start:.1f}s")
+
+    for i, p in enumerate(prompts):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=n_new))
+    t0 = time.perf_counter()
+    results = eng.run()
+    dt = time.perf_counter() - t0
+    toks = sum(len(r.out_tokens) for r in results if r.id >= 0)
+    toks_per_s = toks / dt
+
+    wbytes = _wire_bytes(params)
+    roofline = slots * _hbm_bw() / wbytes
+    print(json.dumps({
+        "metric": f"serving tokens/sec/chip ({model} {fmt} slots={slots} "
+                  f"reqs={n_req} new={n_new})",
+        "value": round(toks_per_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(toks_per_s / roofline, 4),
+    }), flush=True)
+
+
 def run_workload():
     import jax
     import jax.numpy as jnp
@@ -269,6 +317,12 @@ def run_workload():
             )(params)
     params = jax.block_until_ready(params)
     _log(f"params ready at t={time.perf_counter()-t_start:.1f}s")
+
+    if os.environ.get("BENCH_MODE") == "serve":
+        slots = batch if batch > 1 else int(
+            os.environ.get("BENCH_SERVE_SLOTS", "4"))
+        _run_serve_mode(mod, cfg, model, fmt, params, slots, t_start)
+        return
 
     int8_kv = os.environ.get("BENCH_INT8_KV") == "1"
     cache = mod.new_cache(cfg, batch, int8=int8_kv)

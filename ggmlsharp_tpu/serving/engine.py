@@ -95,6 +95,8 @@ class Engine:
         self._compiled_install: dict[int, object] = {}
         self._next_prefix_id = 0
         self._step = self._make_step()
+        self._argmax = jax.jit(
+            lambda l: jnp.argmax(l, axis=-1).astype(jnp.int32))
 
         # --- speculative mode ---------------------------------------------
         self.spec = draft_forward is not None
@@ -490,25 +492,36 @@ class Engine:
             return False
 
         self._rng, sub = jax.random.split(self._rng)
-        # per-slot sampling params differ; sample host-side per slot
         toks = np.zeros((self.B, 1), np.int32)
-        logits = np.asarray(self._last_logits)
+        # greedy penalty-free slots sample in ONE fused argmax dispatch
+        # (a B-int fetch); only slots with sampling params fetch their
+        # [V] logits row and sample host-side
+        greedy = [s is not None and s.temperature <= 0.0
+                  and s.repeat_penalty == 1.0 for s in self.slots]
+        fancy = [s is not None and not g
+                 for s, g in zip(self.slots, greedy)]
+        gtoks = np.asarray(self._argmax(self._last_logits)) \
+            if any(greedy) else None
+        logits = np.asarray(self._last_logits) if any(fancy) else None
         keys = jax.random.split(sub, self.B)
         for i, req in enumerate(self.slots):
             if req is None:
                 continue
-            recent = None
-            if req.repeat_penalty != 1.0:
-                from ..models.sampling import _recent_window
+            if greedy[i]:
+                tok = int(gtoks[i])
+            else:
+                recent = None
+                if req.repeat_penalty != 1.0:
+                    from ..models.sampling import _recent_window
 
-                hist = np.asarray(
-                    [req.prompt + req.out_tokens], np.int32)
-                recent = _recent_window(hist, req.repeat_last_n)
-            tok = int(np.asarray(sample_token(
-                jnp.asarray(logits[i : i + 1]), keys[i],
-                req.temperature, req.top_k, req.top_p,
-                req.repeat_penalty, recent,
-            ))[0, 0])
+                    hist = np.asarray(
+                        [req.prompt + req.out_tokens], np.int32)
+                    recent = _recent_window(hist, req.repeat_last_n)
+                tok = int(np.asarray(sample_token(
+                    jnp.asarray(logits[i : i + 1]), keys[i],
+                    req.temperature, req.top_k, req.top_p,
+                    req.repeat_penalty, recent,
+                ))[0, 0])
             req.out_tokens.append(tok)
             toks[i, 0] = tok
             if (req.eos_id is not None and tok == req.eos_id) or \
