@@ -158,8 +158,11 @@ def _recent_window(history, repeat_last_n: int):
     return jnp.asarray(recent)
 
 
-def generate_scan(forward, cfg, params, prompt, cache, n_tokens: int):
-    """Fully-jitted greedy decode: ONE dispatch for the whole generation.
+def generate_scan(forward, cfg, params, prompt, cache, n_tokens: int,
+                  temperature: float = 0.0, top_k: int = 0,
+                  top_p: float = 1.0, rng=None):
+    """Fully-jitted decode: ONE dispatch for the whole generation, greedy
+    by default, temperature/top-k/top-p sampling in-loop when rng is given.
 
     Round-1's lax.scan form made XLA copy the scan-carried KV cache every
     step (~300 ms/tok on GPT-2 124M vs 0.9 ms host loop — the pallas
@@ -170,9 +173,14 @@ def generate_scan(forward, cfg, params, prompt, cache, n_tokens: int):
     land in a preallocated [B, n_tokens] buffer."""
     prefill, _ = make_decode_fns(forward, cfg)
     B = prompt.shape[0]
+    sampled = temperature > 0.0
+    if sampled and rng is None:
+        raise ValueError("temperature > 0 requires an rng key")
+    if not sampled:
+        rng = jax.random.PRNGKey(0)  # unused; keeps the carry static
 
     @jax.jit
-    def run(params, prompt, cache):
+    def run(params, prompt, cache, rng):
         logits, cache = prefill(params, prompt, cache)
         toks0 = jnp.zeros((B, n_tokens), jnp.int32)
 
@@ -180,16 +188,21 @@ def generate_scan(forward, cfg, params, prompt, cache, n_tokens: int):
             return c[0] < n_tokens
 
         def body(c):
-            i, logits, cache, toks = c
-            tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+            i, logits, cache, toks, key = c
+            if sampled:
+                key, sub = jax.random.split(key)
+                tok = sample_token(logits, sub, temperature, top_k, top_p)
+            else:
+                tok = jnp.argmax(
+                    logits, axis=-1, keepdims=True).astype(jnp.int32)
             toks = jax.lax.dynamic_update_slice(toks, tok, (0, i))
             positions = cache.length[:, None]
             lg, cache = forward(params, cfg, tok, cache, positions)
-            return i + 1, lg[:, -1, :], cache, toks
+            return i + 1, lg[:, -1, :], cache, toks, key
 
-        _, logits, cache, toks = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), logits, cache, toks0)
+        _, logits, cache, toks, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), logits, cache, toks0, rng)
         )
         return toks, cache  # [B, n_tokens]
 
-    return run(params, prompt, cache)
+    return run(params, prompt, cache, rng)

@@ -197,3 +197,30 @@ def test_batched_decode_independent_slots(gpt2_setup):
         gpt2.forward, cfg, params, prompt, gpt2.new_cache(cfg, 2, dtype=jnp.float32), 6
     )
     np.testing.assert_array_equal(np.asarray(toks[0]), np.asarray(toks[1]))
+
+
+def test_generate_scan_sampled(gpt2_setup):
+    """Jit-resident sampled decode: top_k=1 collapses to greedy (same
+    tokens as the greedy scan), and a given rng key is reproducible."""
+    cfg, params = TINY_GPT2, gpt2_setup
+    prompt = jnp.asarray([[5, 17, 99]], jnp.int32)
+
+    greedy, _ = sampling.generate_scan(
+        gpt2.forward, cfg, params, prompt,
+        gpt2.new_cache(cfg, 1, dtype=jnp.float32), 8)
+    k1, _ = sampling.generate_scan(
+        gpt2.forward, cfg, params, prompt,
+        gpt2.new_cache(cfg, 1, dtype=jnp.float32), 8,
+        temperature=0.7, top_k=1, rng=jax.random.PRNGKey(3))
+    assert np.asarray(k1).tolist() == np.asarray(greedy).tolist()
+
+    a, _ = sampling.generate_scan(
+        gpt2.forward, cfg, params, prompt,
+        gpt2.new_cache(cfg, 1, dtype=jnp.float32), 8,
+        temperature=1.0, top_p=0.9, rng=jax.random.PRNGKey(4))
+    b, _ = sampling.generate_scan(
+        gpt2.forward, cfg, params, prompt,
+        gpt2.new_cache(cfg, 1, dtype=jnp.float32), 8,
+        temperature=1.0, top_p=0.9, rng=jax.random.PRNGKey(4))
+    assert np.asarray(a).tolist() == np.asarray(b).tolist()
+    assert int(np.asarray(a).max()) < cfg.n_vocab
