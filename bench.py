@@ -244,10 +244,18 @@ def _run_serve_mode(mod, cfg, model, fmt, params, slots, t_start):
 
     eng = Engine(mod.forward, cfg, params, batch_slots=slots,
                  cache_dtype=jnp.bfloat16, int8_kv=int8_kv)
-    # warmup: compile the prefill bucket, decode step, and fused argmax
-    for i in range(min(slots, n_req)):
-        eng.submit(Request(id=-1 - i, prompt=prompts[i], max_new_tokens=2))
-    eng.run()
+    # warmup: compile the decode step, fused argmax, the single-slot
+    # prefill, and every power-of-two batched-admission group size the
+    # timed run can hit (admission bursts compile one executable per
+    # (bucket, group) — keep those out of the timed window)
+    g, wid = 1, 0
+    while g <= slots:
+        for i in range(g):
+            eng.submit(Request(id=-1 - wid, prompt=prompts[i % n_req],
+                               max_new_tokens=2))
+            wid += 1
+        eng.run()
+        g *= 2
     _log(f"serve engine warm at t={time.perf_counter()-t_start:.1f}s")
 
     for i, p in enumerate(prompts):

@@ -438,7 +438,90 @@ class Engine:
     def submit(self, req: Request):
         self.pending.append(req)
 
+    def _make_prefill_many(self, bucket: int, G: int):
+        """One executable prefilling G same-bucket prompts in ONE forward —
+        one weight pass serves the whole admission burst instead of one
+        pass per request. Slot rows, real lengths, and last-logit rows are
+        scattered by traced index vectors; padded duplicate rows (same
+        slot, same values) make the scatter idempotent."""
+        fwd, cfg = self.forward, self.cfg
+        n_head_kv = getattr(cfg, "n_head_kv", cfg.n_head)
+        flat = self.cache.k[0].ndim == 3
+        int8 = self.cache.k_scale is not None
+        dtype = self.cache.k[0].dtype
+        max_len, head_dim = self.max_len, cfg.head_dim
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def prefill_many(params, cache, tokens, n_real, slots, last_logits):
+            sub = kvc.init_cache(cfg.n_layer, G, n_head_kv, max_len,
+                                 head_dim, dtype=dtype, int8=int8, flat=flat)
+            positions = jnp.broadcast_to(
+                jnp.arange(bucket, dtype=jnp.int32)[None], (G, bucket))
+            logits, sub2 = fwd(params, cfg, tokens, sub, positions,
+                               prefix_bound=bucket)
+
+            def scatter(bufs, subs):
+                if bufs is None:
+                    return None
+                out = []
+                for x, s in zip(bufs, subs):
+                    if x.ndim == 3:  # flat [B, T, E] (time axis 1)
+                        out.append(x.at[slots, :bucket].set(
+                            s[:, :bucket].astype(x.dtype)))
+                    else:  # head-major [B, H, T, D] (time axis 2)
+                        out.append(x.at[slots, :, :bucket].set(
+                            s[:, :, :bucket].astype(x.dtype)))
+                return tuple(out)
+
+            cache = kvc.KVCache(
+                scatter(cache.k, sub2.k), scatter(cache.v, sub2.v),
+                scatter(cache.k_scale, sub2.k_scale),
+                scatter(cache.v_scale, sub2.v_scale),
+                cache.length.at[slots].set(n_real),
+            )
+            last = jnp.take_along_axis(
+                logits, (n_real - 1)[:, None, None], axis=1)[:, 0, :]
+            return last_logits.at[slots].set(last), cache
+
+        return prefill_many
+
+    def _prefill_group(self, admits: list):
+        """Prefill a tick's plain admissions, same-bucket ones batched into
+        one dispatch (group size padded to a power of two ≤ batch_slots so
+        compile count stays at buckets × log2(B))."""
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for req, slot in admits:
+            groups[min(_bucket(len(req.prompt)), self.max_len)].append(
+                (req, slot))
+        for bucket, grp in groups.items():
+            if len(grp) == 1:
+                self._prefill_slot(*grp[0])
+                continue
+            G = 1
+            while G < len(grp):
+                G *= 2
+            G = min(G, self.B)
+            padded = grp + [grp[-1]] * (G - len(grp))
+            key = ("many", bucket, G)
+            fn = self._compiled_prefill.get(key)
+            if fn is None:
+                fn = self._make_prefill_many(bucket, G)
+                self._compiled_prefill[key] = fn
+            toks = np.zeros((G, bucket), np.int32)
+            n_real = np.zeros((G,), np.int32)
+            slots = np.zeros((G,), np.int32)
+            for j, (req, slot) in enumerate(padded):
+                toks[j, : len(req.prompt)] = req.prompt
+                n_real[j] = len(req.prompt)
+                slots[j] = slot
+            self._last_logits, self.cache = fn(
+                self.params, self.cache, jnp.asarray(toks),
+                jnp.asarray(n_real), jnp.asarray(slots), self._last_logits)
+
     def _admit(self):
+        plain = []
         for i in range(self.B):
             while self.slots[i] is None and self.pending:
                 req = self.pending.pop(0)
@@ -480,7 +563,10 @@ class Engine:
                             pfx["t"]["last"])
                     continue
                 self.slots[i] = req
-                self._prefill_slot(req, i)
+                plain.append((req, i))
+                break  # slot filled; prefill happens batched below
+        if plain:
+            self._prefill_group(plain)
 
     def step_once(self):
         """One engine tick: admit, sample per live slot, batched decode.

@@ -373,3 +373,25 @@ def test_engine_repeat_penalty_blocks_loops():
         gpt2.forward, CFG, params, jnp.asarray([prompt], jnp.int32), cache,
         n_new, repeat_penalty=1e9, repeat_last_n=32)
     assert np.asarray(toks)[0].tolist() == got
+
+
+def test_batched_admission_prefill_matches_sequential():
+    """A burst of same-bucket admissions rides ONE batched prefill
+    executable (padded to a power of two via idempotent duplicate rows);
+    outputs must still equal sequential greedy decoding."""
+    params = _params()
+    # 3 same-bucket prompts (pad to G=4) + 1 in a larger bucket
+    prompts = [[5, 17, 99], [7, 1], [11, 4, 9, 2],
+               list(range(1, 20))]  # bucket 32
+    n_new = 6
+
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=4)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=n_new))
+    results = eng.run()
+
+    assert any(isinstance(k, tuple) and k and k[0] == "many"
+               for k in eng._compiled_prefill), eng._compiled_prefill.keys()
+    for i, req in enumerate(sorted(results, key=lambda r: r.id)):
+        want = _sequential_greedy(params, prompts[i], n_new)
+        assert req.out_tokens == want, (i, req.out_tokens, want)
