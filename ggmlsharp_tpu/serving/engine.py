@@ -61,30 +61,41 @@ class Engine:
                  max_len: int | None = None, cache_dtype=jnp.float32,
                  int8_kv: bool = False, rng_seed: int = 0,
                  draft_forward=None, draft_cfg=None, draft_params=None,
-                 spec_k: int = 4):
+                 spec_k: int = 4, mesh=None):
         """draft_forward/draft_cfg/draft_params: enable SPECULATIVE
         continuous batching — every tick runs one draft-propose/target-verify
         round across all live slots (models.speculative), emitting 1..k+1
         tokens per slot per target dispatch. Greedy-exact: outputs are
         bit-identical to the non-speculative engine; requests with
-        temperature > 0 are rejected in spec mode."""
+        temperature > 0 are rejected in spec mode.
+
+        mesh: a jax.sharding.Mesh with a "model" axis for tensor-parallel
+        serving — pass params already sharded (parallel.sharding
+        .shard_params); the engine shards its KV cache's heads over the
+        axis and GSPMD partitions every prefill/decode executable. Forces
+        the head-major cache layout (the flat-cache pallas flash-decode
+        kernel is single-chip; XLA attention partitions cleanly)."""
         self.forward = forward
         self.cfg = cfg
         self.params = params
         self.B = batch_slots
         n_head_kv = getattr(cfg, "n_head_kv", cfg.n_head)
         self.max_len = max_len or cfg.n_ctx
+        self.mesh = mesh
         import os
 
         # flat cache → batched flash-decode kernel with per-slot prefix
         # lengths (kernels.attn_decode); INT8 KV dequantizes in-kernel
-        flat = ((n_head_kv * cfg.head_dim) % 128 == 0
+        flat = (mesh is None
+                and (n_head_kv * cfg.head_dim) % 128 == 0
                 and hasattr(cfg, "n_head_kv")  # llama-family forward only
                 and os.environ.get("GGML_TPU_FLASH_DECODE", "1") == "1")
         self.cache = kvc.init_cache(
             cfg.n_layer, batch_slots, n_head_kv, self.max_len, cfg.head_dim,
             dtype=cache_dtype, int8=int8_kv, flat=flat,
         )
+        if mesh is not None:
+            self.cache = self._shard_cache(self.cache)
         self.slots: list[Request | None] = [None] * batch_slots
         self.pending: list[Request] = []
         self.finished: list[Request] = []
@@ -108,7 +119,8 @@ class Engine:
             self.d_params = draft_params
             self.spec_k = spec_k
             d_hkv = getattr(self.d_cfg, "n_head_kv", self.d_cfg.n_head)
-            d_flat = ((d_hkv * self.d_cfg.head_dim) % 128 == 0
+            d_flat = (mesh is None
+                      and (d_hkv * self.d_cfg.head_dim) % 128 == 0
                       and hasattr(self.d_cfg, "n_head_kv")
                       and os.environ.get("GGML_TPU_FLASH_DECODE", "1") == "1")
             self.d_cache = kvc.init_cache(
@@ -116,9 +128,24 @@ class Engine:
                 self.d_cfg.head_dim, dtype=cache_dtype, int8=int8_kv,
                 flat=d_flat,
             )
+            if mesh is not None:
+                self.d_cache = self._shard_cache(self.d_cache)
             self._spec_round = make_spec_round(
                 forward, cfg, draft_forward, self.d_cfg, spec_k)
             self._seed = np.zeros((batch_slots, 2), np.int32)
+
+    def _shard_cache(self, cache):
+        """Shard a head-major KV cache's KV heads over the mesh "model"
+        axis (slots stay host-addressable: batch axis replicated so the
+        per-slot scatters in prefill/install never cross hosts)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import shard_cache
+
+        heads = P(None, "model", None, None)
+        specs = {"k": heads, "v": heads, "k_scale": heads,
+                 "v_scale": heads, "length": P(None)}
+        return shard_cache(cache, specs, self.mesh)
 
     # --- jitted pieces ---------------------------------------------------
     def _make_step(self):

@@ -232,3 +232,34 @@ def test_pipeline_1f1b_train_step_matches_sequential():
             np.testing.assert_allclose(
                 np.asarray(got_g[k]), np.asarray(want_g[k]),
                 rtol=1e-4, atol=1e-5, err_msg=f"{k} M={M}")
+
+
+def test_engine_tensor_parallel_serving():
+    """Engine(mesh=...): TP-sharded params + KV heads sharded over the
+    model axis produce bit-identical outputs to the single-device engine,
+    and the cache is actually distributed."""
+    from ggmlsharp_tpu.models import llama
+    from ggmlsharp_tpu.parallel import sharding as shd
+    from ggmlsharp_tpu.serving import Engine, Request
+
+    cfg = llama.TINY_LLAMA  # n_head_kv=2 divides the model axis below
+    params = llama.init_params(jax.random.PRNGKey(0), cfg,
+                               dtype=jnp.float32)
+    prompts = [[3, 7, 11], [5, 2], [9, 9, 9, 9, 1]]
+
+    eng0 = Engine(llama.forward, cfg, params, batch_slots=2,
+                  cache_dtype=jnp.float32)
+    for i, p in enumerate(prompts):
+        eng0.submit(Request(id=i, prompt=p, max_new_tokens=6))
+    want = {r.id: r.out_tokens for r in eng0.run()}
+
+    mesh = make_mesh(data=4, model=2)
+    sp = shd.shard_params(params, shd.llama_param_specs(), mesh)
+    eng = Engine(llama.forward, cfg, sp, batch_slots=2,
+                 cache_dtype=jnp.float32, mesh=mesh)
+    k0 = eng.cache.k[0]
+    assert not k0.sharding.is_fully_replicated, k0.sharding
+    for i, p in enumerate(prompts):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=6))
+    got = {r.id: r.out_tokens for r in eng.run()}
+    assert got == want, (got, want)
