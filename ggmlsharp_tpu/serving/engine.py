@@ -44,6 +44,7 @@ class Request:
     repeat_last_n: int = 64
     eos_id: int | None = None
     prefix_id: int | None = None  # Engine.register_prefix handle
+    on_token: object = None  # streaming callback: on_token(req, token)
     out_tokens: list = field(default_factory=list)
     done: bool = False
     error: str | None = None
@@ -105,6 +106,8 @@ class Engine:
         self._prefixes: dict[int, dict] = {}
         self._compiled_install: dict[int, object] = {}
         self._next_prefix_id = 0
+        self._n_ticks = self._n_emitted = self._n_prefills = 0
+        self._t_first = None
         self._step = self._make_step()
         self._argmax = jax.jit(
             lambda l: jnp.argmax(l, axis=-1).astype(jnp.int32))
@@ -233,6 +236,7 @@ class Engine:
         toks[0, :n] = tokens
         params = self.d_params if draft else self.params
         cache = self.d_cache if draft else self.cache
+        self._n_prefills += 1
         last, cache = prefill(
             params, cache, jnp.asarray(toks), jnp.int32(n),
             jnp.int32(slot), jnp.int32(start),
@@ -405,7 +409,7 @@ class Engine:
             if len(suffix) > 1:
                 self._prefill_slot(req, slot, tokens=suffix[:-1],
                                    start=plen, draft=True)
-            req.out_tokens.append(a0)
+            self._emit(req, a0)
             if (req.eos_id is not None and a0 == req.eos_id) or \
                     len(req.out_tokens) >= req.max_new_tokens:
                 req.done = True
@@ -417,7 +421,7 @@ class Engine:
             return
         self._prefill_slot(req, slot)
         a0 = int(np.asarray(self._last_logits[slot]).argmax())
-        req.out_tokens.append(a0)
+        self._emit(req, a0)
         if (req.eos_id is not None and a0 == req.eos_id) or \
                 len(req.out_tokens) >= req.max_new_tokens:
             req.done = True
@@ -450,7 +454,7 @@ class Engine:
                 continue
             for j in range(int(ne[i])):
                 tok = int(em[i, j])
-                req.out_tokens.append(tok)
+                self._emit(req, tok)
                 if (req.eos_id is not None and tok == req.eos_id) or \
                         len(req.out_tokens) >= req.max_new_tokens:
                     req.done = True
@@ -464,6 +468,52 @@ class Engine:
     # --- host loop -------------------------------------------------------
     def submit(self, req: Request):
         self.pending.append(req)
+
+    def _emit(self, req: Request, tok: int):
+        """Record one generated token and fire the streaming callback."""
+        req.out_tokens.append(tok)
+        self._n_emitted += 1
+        if req.on_token is not None:
+            req.on_token(req, tok)
+
+    def cancel(self, request_id: int) -> bool:
+        """Cancel a pending or live request (error='cancelled'); its slot
+        frees at once and the partial output stays on the request."""
+        for j, r in enumerate(self.pending):
+            if r.id == request_id:
+                r.done, r.error = True, "cancelled"
+                self.finished.append(self.pending.pop(j))
+                return True
+        for i, r in enumerate(self.slots):
+            if r is not None and r.id == request_id:
+                r.done, r.error = True, "cancelled"
+                self.finished.append(r)
+                self.slots[i] = None
+                self.cache = kvc.KVCache(
+                    self.cache.k, self.cache.v, self.cache.k_scale,
+                    self.cache.v_scale, self.cache.length.at[i].set(0),
+                )
+                if self.spec:
+                    self._free_slot(i)
+                return True
+        return False
+
+    def stats(self) -> dict:
+        """Engine counters: ticks, emitted tokens, prefill dispatches,
+        queue/slot occupancy, rolling tokens/sec since the first tick."""
+        import time as _time
+
+        dt = (_time.perf_counter() - self._t_first) \
+            if self._t_first is not None else 0.0
+        return {
+            "ticks": self._n_ticks,
+            "tokens_emitted": self._n_emitted,
+            "prefill_dispatches": self._n_prefills,
+            "queue_depth": len(self.pending),
+            "live_slots": sum(s is not None for s in self.slots),
+            "finished": len(self.finished),
+            "tokens_per_s": (self._n_emitted / dt) if dt > 0 else 0.0,
+        }
 
     def _make_prefill_many(self, bucket: int, G: int):
         """One executable prefilling G same-bucket prompts in ONE forward —
@@ -543,6 +593,7 @@ class Engine:
                 toks[j, : len(req.prompt)] = req.prompt
                 n_real[j] = len(req.prompt)
                 slots[j] = slot
+            self._n_prefills += 1
             self._last_logits, self.cache = fn(
                 self.params, self.cache, jnp.asarray(toks),
                 jnp.asarray(n_real), jnp.asarray(slots), self._last_logits)
@@ -598,6 +649,11 @@ class Engine:
     def step_once(self):
         """One engine tick: admit, sample per live slot, batched decode.
         Speculative mode: one draft/verify round instead (1..k+1 tokens)."""
+        import time as _time
+
+        if self._t_first is None:
+            self._t_first = _time.perf_counter()
+        self._n_ticks += 1
         self._admit()
         if self.spec:
             return self._spec_tick()
@@ -635,7 +691,7 @@ class Engine:
                     req.temperature, req.top_k, req.top_p,
                     req.repeat_penalty, recent,
                 ))[0, 0])
-            req.out_tokens.append(tok)
+            self._emit(req, tok)
             toks[i, 0] = tok
             if (req.eos_id is not None and tok == req.eos_id) or \
                     len(req.out_tokens) >= req.max_new_tokens:

@@ -395,3 +395,38 @@ def test_batched_admission_prefill_matches_sequential():
     for i, req in enumerate(sorted(results, key=lambda r: r.id)):
         want = _sequential_greedy(params, prompts[i], n_new)
         assert req.out_tokens == want, (i, req.out_tokens, want)
+
+
+def test_streaming_cancel_and_stats():
+    """on_token streams every emitted token in order; cancel() frees a live
+    slot (partial output kept, error='cancelled') and drops a pending
+    request; stats() counts ticks/tokens/prefills."""
+    params = _params()
+    streamed = []
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2)
+    eng.submit(Request(id=0, prompt=[5, 17, 99], max_new_tokens=6,
+                       on_token=lambda r, t: streamed.append((r.id, t))))
+    eng.submit(Request(id=1, prompt=[7, 1], max_new_tokens=4))
+    eng.submit(Request(id=2, prompt=[9], max_new_tokens=4))  # queued
+
+    # run a few ticks, then cancel one live and the queued request
+    eng.step_once()
+    eng.step_once()
+    live_id = next(r.id for r in eng.slots if r is not None)
+    assert eng.cancel(live_id)
+    assert eng.cancel(2)
+    assert not eng.cancel(99)
+    results = {r.id: r for r in eng.run()}
+
+    assert results[live_id].error == "cancelled"
+    assert results[2].error == "cancelled" and results[2].out_tokens == []
+    done = [r for r in results.values() if r.error is None]
+    assert done and all(len(r.out_tokens) > 0 for r in done)
+    assert streamed == [(0, t) for t in results[0].out_tokens]
+
+    st = eng.stats()
+    assert st["tokens_emitted"] == sum(
+        len(r.out_tokens) for r in results.values())
+    # both initial admissions share a bucket -> ONE batched prefill
+    assert st["ticks"] > 0 and st["prefill_dispatches"] == 1
+    assert st["live_slots"] == 0 and st["queue_depth"] == 0
