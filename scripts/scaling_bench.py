@@ -93,6 +93,54 @@ def worker(args):
     return toks
 
 
+def worker_serve(args):
+    """One serving host: an independent tensor-parallel Engine over the
+    host's local devices (DP serving is embarrassingly parallel — each
+    host feeds its own slots, params replicated per host, no cross-host
+    collectives; this IS the deployment shape the engine docstring
+    promises: "each host feeds its data-shard slots")."""
+    import jax
+
+    if not args.real:
+        jax.config.update("jax_num_cpu_devices", args.devices_per_host)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ggmlsharp_tpu.models import llama
+    from ggmlsharp_tpu.parallel import sharding as shd
+    from ggmlsharp_tpu.serving import Engine, Request
+
+    cfg = llama.LlamaConfig(
+        n_vocab=512, n_ctx=512, n_embd=256, n_head=8, n_head_kv=4,
+        n_layer=4, n_ff=512,
+    )
+    params = llama.fuse_params(
+        llama.init_params(jax.random.PRNGKey(0), cfg))
+    mesh = Mesh(np.array(jax.devices()), ("model",))
+    params = shd.shard_params(params, shd.llama_param_specs(), mesh)
+    eng = Engine(llama.forward, cfg, params,
+                 batch_slots=args.batch_per_host, mesh=mesh)
+    rng = np.random.default_rng(1234 + args.process_id)
+    prompts = [rng.integers(0, cfg.n_vocab, size=8).tolist()
+               for _ in range(args.batch_per_host * 3)]
+    # warmup: compile prefill groups + step
+    for i in range(args.batch_per_host):
+        eng.submit(Request(id=-1 - i, prompt=prompts[i], max_new_tokens=2))
+    eng.run()
+    for i, p in enumerate(prompts):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=args.steps))
+    t0 = time.perf_counter()
+    results = eng.run()
+    dt = time.perf_counter() - t0
+    toks = sum(len(r.out_tokens) for r in results if r.id >= 0) / dt
+    print(json.dumps({
+        "host": args.process_id, "devices": jax.device_count(),
+        "slots": args.batch_per_host, "tokens_per_s": round(toks, 1),
+    }), flush=True)
+    return toks
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hosts", type=int, default=2)
@@ -103,16 +151,20 @@ def main():
                     help="run on a real pod host (no emulation spawn)")
     ap.add_argument("--baseline-toks", type=float, default=0.0)
     ap.add_argument("--coordinator", default="127.0.0.1:8476")
+    ap.add_argument("--serve", action="store_true",
+                    help="continuous-batching scaling: one independent "
+                         "TP Engine per host (DP serving)")
     ap.add_argument("--process-id", type=int,
                     default=int(os.environ.get("JAX_PROCESS_ID", "-1")))
     args = ap.parse_args()
 
     if args.process_id >= 0 or args.real:
-        worker(args)
+        (worker_serve if args.serve else worker)(args)
         return
 
-    def launch(hosts):
-        """Spawn `hosts` emulated-host processes; return host-0 tokens/s."""
+    def launch(hosts, collect_all=False):
+        """Spawn `hosts` emulated-host processes; return host-0 JSON (or
+        every host's JSON with collect_all)."""
         env = dict(os.environ)
         env.update(PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
                    TF_CPP_MIN_LOG_LEVEL="2")
@@ -126,7 +178,8 @@ def main():
                    "--batch-per-host", str(args.batch_per_host),
                    "--steps", str(args.steps),
                    "--coordinator", args.coordinator,
-                   "--process-id", str(pid)]
+                   "--process-id", str(pid)] \
+                + (["--serve"] if args.serve else [])
             procs.append(subprocess.Popen(
                 cmd, env=env, stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE, text=True))
@@ -134,8 +187,27 @@ def main():
         if any(p.returncode != 0 for p in procs):
             sys.stderr.write(errs[0][-2000:])
             raise SystemExit([p.returncode for p in procs])
-        line = next(ln for ln in outs[0].splitlines() if ln.startswith("{"))
-        return json.loads(line)
+        rows = [json.loads(next(ln for ln in o.splitlines()
+                                if ln.startswith("{"))) for o in outs]
+        return rows if collect_all else rows[0]
+
+    if args.serve:
+        one = launch(1, collect_all=True)
+        many = launch(args.hosts, collect_all=True)
+        agg = sum(r["tokens_per_s"] for r in many)
+        scaling = agg / (one[0]["tokens_per_s"] * args.hosts)
+        print(json.dumps({
+            "metric": f"continuous-batching serving, 1 and {args.hosts} "
+                      "emulated hosts (independent TP engines, DP slots)",
+            "one_host": one[0], "multi_host_aggregate": round(agg, 1),
+            "per_host": many,
+            "emulated_scaling": round(scaling, 3),
+            "note": "per-host engines share nothing — cross-host serving "
+                    "scaling is bounded only by host CPU contention here; "
+                    "run with --serve --real per pod host for hardware "
+                    "numbers",
+        }))
+        return
 
     one = launch(1)
     many = launch(args.hosts)
