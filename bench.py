@@ -248,14 +248,18 @@ def _run_serve_mode(mod, cfg, model, fmt, params, slots, t_start):
     # prefill, and every power-of-two batched-admission group size the
     # timed run can hit (admission bursts compile one executable per
     # (bucket, group) — keep those out of the timed window)
-    g, wid = 1, 0
-    while g <= slots:
+    sizes, g = [], 1
+    while g < slots:
+        sizes.append(g)
+        g *= 2
+    sizes.append(slots)  # the capped full-burst size (B if not a pow2)
+    wid = 0
+    for g in sizes:
         for i in range(g):
             eng.submit(Request(id=-1 - wid, prompt=prompts[i % n_req],
                                max_new_tokens=2))
             wid += 1
         eng.run()
-        g *= 2
     _log(f"serve engine warm at t={time.perf_counter()-t_start:.1f}s")
 
     for i, p in enumerate(prompts):
@@ -556,13 +560,17 @@ def main():
     # with an honest zero line instead of burning the whole budget — the
     # driver's own kill timeout may be shorter than ours
     if os.environ.get("BENCH_SKIP_PROBE") != "1":
-        probe_t = min(180.0, max(60.0, remaining() - 60.0))
+        # a HEALTHY chip can still take minutes on first contact (claim
+        # stalls 10-300 s + one tiny remote compile on a cold cache), so
+        # each window is 300 s — two failures still leave ~ half the
+        # default budget for the honest error line
+        probe_t = min(300.0, max(60.0, remaining() - 360.0))
         _log(f"device probe (timeout {probe_t:.0f}s)")
         ok = _probe_device(probe_t)
         if not ok:
             _log("probe failed; one retry in a fresh process "
                  "(killed clients can wedge the claim for ~minutes)")
-            ok = _probe_device(min(probe_t, max(60.0, remaining() - 30.0)))
+            ok = _probe_device(min(300.0, max(60.0, remaining() - 30.0)))
         if not ok:
             print(json.dumps({
                 "metric": "bench failed (TPU device unreachable: relay "

@@ -132,13 +132,12 @@ def generate(forward, cfg, params, prompt, cache, n_tokens: int,
             rng, sub = jax.random.split(rng)
         else:
             sub = None
-        recent = None
-        if repeat_penalty != 1.0:
-            recent = _recent_window(history, repeat_last_n)
+        penalize = repeat_penalty != 1.0 and repeat_last_n > 0
+        recent = _recent_window(history, repeat_last_n) if penalize else None
         tok = sample_token(logits, sub, temperature, top_k, top_p,
-                           repeat_penalty, recent)
+                           repeat_penalty if penalize else 1.0, recent)
         out.append(tok)
-        if repeat_penalty != 1.0:
+        if penalize:
             history = np.concatenate(
                 [history, np.asarray(tok, np.int32)], axis=1)
         cur += 1
@@ -149,7 +148,11 @@ def generate(forward, cfg, params, prompt, cache, n_tokens: int,
 
 def _recent_window(history, repeat_last_n: int):
     """Last `repeat_last_n` tokens of [B, S] history, -1-padded on the left
-    to a FIXED width so the sampler compiles once per window size."""
+    to a FIXED width so the sampler compiles once per window size.
+    repeat_last_n <= 0 means 'penalty off' (llama.cpp semantics) — callers
+    must not reach here with it; guard against the -0: full-slice trap."""
+    if repeat_last_n <= 0:
+        raise ValueError("repeat_last_n must be positive")
     recent = history[:, -repeat_last_n:]
     if recent.shape[1] < repeat_last_n:
         pad = np.full((recent.shape[0], repeat_last_n - recent.shape[1]),

@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from ..models import kv_cache as kvc
-from ..models.sampling import sample_token
 
 
 @dataclass
@@ -111,6 +110,7 @@ class Engine:
         self._step = self._make_step()
         self._argmax = jax.jit(
             lambda l: jnp.argmax(l, axis=-1).astype(jnp.int32))
+        self._samplers: dict[tuple, object] = {}
 
         # --- speculative mode ---------------------------------------------
         self.spec = draft_forward is not None
@@ -150,6 +150,37 @@ class Engine:
                  "v_scale": heads, "length": P(None)}
         return shard_cache(cache, specs, self.mesh)
 
+    def _slot_sampler(self, req: Request):
+        """One jitted sampler per distinct (temperature, top_k, top_p,
+        penalty, window) config: slices the slot's logits row on device and
+        samples in ONE dispatch (CLAUDE.md: never run eager jnp ops on the
+        TPU path). repeat_last_n <= 0 disables the penalty (llama.cpp
+        semantics) — and keeps the recent-window shape static."""
+        from ..models.sampling import sample_token as _st
+
+        win = (req.repeat_last_n
+               if req.repeat_penalty != 1.0 and req.repeat_last_n > 0
+               else 0)
+        key = (req.temperature, req.top_k, req.top_p,
+               req.repeat_penalty if win else 1.0, win)
+        fn = self._samplers.get(key)
+        if fn is None:
+            t, k, p = req.temperature, req.top_k, req.top_p
+            rp = req.repeat_penalty
+
+            if win:
+                @jax.jit
+                def fn(logits, slot, rng, recent):
+                    row = jax.lax.dynamic_slice_in_dim(logits, slot, 1, 0)
+                    return _st(row, rng, t, k, p, rp, recent)[0, 0]
+            else:
+                @jax.jit
+                def fn(logits, slot, rng):
+                    row = jax.lax.dynamic_slice_in_dim(logits, slot, 1, 0)
+                    return _st(row, rng, t, k, p)[0, 0]
+            self._samplers[key] = fn
+        return fn, win
+
     # --- jitted pieces ---------------------------------------------------
     def _make_step(self):
         fwd, cfg = self.forward, self.cfg
@@ -176,8 +207,11 @@ class Engine:
         draft=True targets the speculative draft model's cache."""
         tokens = req.prompt if tokens is None else tokens
         n = len(tokens)
-        # cap at max_len so the bucketed update always fits the cache rows
-        bucket = min(_bucket(n), self.max_len)
+        # cap so the bucketed update always fits the cache rows FROM
+        # `start`: dynamic_update_slice would otherwise clamp the write
+        # start backwards over the installed prefix tail (admission
+        # guarantees start + n < max_len, so the cap stays >= n)
+        bucket = min(_bucket(n), self.max_len - start)
         # static live-prefix bound covering installed prefix + this prompt
         total = min(_bucket(start + bucket), self.max_len)
         # non-zero start → queries must attend the installed prefix rows
@@ -489,12 +523,7 @@ class Engine:
                 r.done, r.error = True, "cancelled"
                 self.finished.append(r)
                 self.slots[i] = None
-                self.cache = kvc.KVCache(
-                    self.cache.k, self.cache.v, self.cache.k_scale,
-                    self.cache.v_scale, self.cache.length.at[i].set(0),
-                )
-                if self.spec:
-                    self._free_slot(i)
+                self._free_slot(i)
                 return True
         return False
 
@@ -526,11 +555,13 @@ class Engine:
         flat = self.cache.k[0].ndim == 3
         int8 = self.cache.k_scale is not None
         dtype = self.cache.k[0].dtype
-        max_len, head_dim = self.max_len, cfg.head_dim
+        head_dim = cfg.head_dim
 
         @partial(jax.jit, donate_argnums=(1,))
         def prefill_many(params, cache, tokens, n_real, slots, last_logits):
-            sub = kvc.init_cache(cfg.n_layer, G, n_head_kv, max_len,
+            # scratch cache sized to the bucket (not max_len): the only
+            # rows written/scattered are [:bucket]
+            sub = kvc.init_cache(cfg.n_layer, G, n_head_kv, bucket,
                                  head_dim, dtype=dtype, int8=int8, flat=flat)
             positions = jnp.broadcast_to(
                 jnp.arange(bucket, dtype=jnp.int32)[None], (G, bucket))
@@ -671,26 +702,24 @@ class Engine:
                  for s, g in zip(self.slots, greedy)]
         gtoks = np.asarray(self._argmax(self._last_logits)) \
             if any(greedy) else None
-        logits = np.asarray(self._last_logits) if any(fancy) else None
-        keys = jax.random.split(sub, self.B)
+        keys = jax.random.split(sub, self.B) if any(fancy) else None
         for i, req in enumerate(self.slots):
             if req is None:
                 continue
             if greedy[i]:
                 tok = int(gtoks[i])
             else:
-                recent = None
-                if req.repeat_penalty != 1.0:
+                fn, win = self._slot_sampler(req)
+                if win:
                     from ..models.sampling import _recent_window
 
-                    hist = np.asarray(
-                        [req.prompt + req.out_tokens], np.int32)
-                    recent = _recent_window(hist, req.repeat_last_n)
-                tok = int(np.asarray(sample_token(
-                    jnp.asarray(logits[i : i + 1]), keys[i],
-                    req.temperature, req.top_k, req.top_p,
-                    req.repeat_penalty, recent,
-                ))[0, 0])
+                    recent = _recent_window(np.asarray(
+                        [req.prompt + req.out_tokens], np.int32), win)
+                    tok = int(np.asarray(fn(
+                        self._last_logits, jnp.int32(i), keys[i], recent)))
+                else:
+                    tok = int(np.asarray(fn(
+                        self._last_logits, jnp.int32(i), keys[i])))
             self._emit(req, tok)
             toks[i, 0] = tok
             if (req.eos_id is not None and tok == req.eos_id) or \

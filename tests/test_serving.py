@@ -430,3 +430,58 @@ def test_streaming_cancel_and_stats():
     # both initial admissions share a bucket -> ONE batched prefill
     assert st["ticks"] > 0 and st["prefill_dispatches"] == 1
     assert st["live_slots"] == 0 and st["queue_depth"] == 0
+
+
+def test_prefix_suffix_near_max_len():
+    """Regression: suffix prefill over an installed prefix whose start +
+    suffix-bucket exceeds max_len must not clamp the write back over the
+    prefix tail (code-review finding: dynamic_update_slice clamps)."""
+    params = _params()
+    max_len = 32
+    prefix = list(np.arange(1, 21))  # plen=20; suffix bucket would be 16
+    suffix = [7, 3, 9, 1, 4]
+    prompt = [int(t) for t in prefix] + suffix
+    n_new = 4
+
+    want = _sequential_greedy(params, prompt, n_new)
+
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2, max_len=max_len)
+    pid = eng.register_prefix([int(t) for t in prefix])
+    eng.submit(Request(id=0, prompt=prompt, max_new_tokens=n_new,
+                       prefix_id=pid))
+    got = eng.run()[0]
+    assert got.error is None
+    assert got.out_tokens == want, (got.out_tokens, want)
+
+    # speculative mode takes the same path for target AND draft prefills
+    draft = gpt2.init_params(jax.random.PRNGKey(7), CFG, dtype=jnp.float32)
+    eng2 = Engine(gpt2.forward, CFG, params, batch_slots=2, max_len=max_len,
+                  draft_forward=gpt2.forward, draft_cfg=CFG,
+                  draft_params=draft, spec_k=2)
+    pid2 = eng2.register_prefix([int(t) for t in prefix])
+    eng2.submit(Request(id=0, prompt=prompt, max_new_tokens=n_new,
+                        prefix_id=pid2))
+    got2 = eng2.run()[0]
+    assert got2.error is None
+    # spec-mode capacity guard caps max_new at max_len-plen-k-2 = 3
+    assert got2.out_tokens == want[:3], (got2.out_tokens, want)
+
+
+def test_repeat_last_n_zero_disables_penalty():
+    """llama.cpp semantics: repeat_last_n <= 0 turns the penalty off (the
+    -0: slice trap must not penalize the whole history)."""
+    params = _params()
+    prompt = [5, 17, 99]
+    n_new = 5
+    want = _sequential_greedy(params, prompt, n_new)
+
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=1)
+    eng.submit(Request(id=0, prompt=prompt, max_new_tokens=n_new,
+                       repeat_penalty=5.0, repeat_last_n=0))
+    assert eng.run()[0].out_tokens == want
+
+    cache = gpt2.new_cache(CFG, 1, dtype=jnp.float32)
+    toks, _ = sampling.generate(
+        gpt2.forward, CFG, params, jnp.asarray([prompt], jnp.int32), cache,
+        n_new, repeat_penalty=5.0, repeat_last_n=0)
+    assert np.asarray(toks)[0].tolist() == want
