@@ -1,12 +1,14 @@
 """Continuous-batching serving demo: mixed workload through the Engine.
 
     python examples/serve.py [--slots 4] [--requests 12] [--int8-kv] \
-        [--draft] [--prefix]
+        [--draft] [--prefix] [--top-p 0.9] [--penalty 1.3] [--stream]
 
 --draft: speculative continuous batching — a second (here: differently
 seeded) model drafts k tokens per tick, the target verifies them in one
 forward; output is bit-identical to plain greedy. --prefix: register a
-shared system prompt once and reuse its KV across requests.
+shared system prompt once and reuse its KV across requests. --top-p /
+--penalty exercise the nucleus / repetition-penalty sampler stack;
+--stream prints tokens from the per-token callback as they land.
 """
 import argparse
 import os
@@ -29,6 +31,11 @@ def main():
                     help="speculative decoding (greedy-exact)")
     ap.add_argument("--prefix", action="store_true",
                     help="share a cached system-prompt prefix")
+    ap.add_argument("--top-p", type=float, default=1.0)
+    ap.add_argument("--penalty", type=float, default=1.0,
+                    help="repetition penalty over the last 64 tokens")
+    ap.add_argument("--stream", action="store_true",
+                    help="print tokens from the on_token callback")
     args = ap.parse_args()
 
     from ggmlsharp_tpu.dtypes import GType
@@ -58,13 +65,18 @@ def main():
             max_new_tokens=16 + 8 * (i % 3),
             temperature=0.0 if args.draft else (0.7 if i % 2 else 0.0),
             top_k=0 if args.draft else 40,
+            top_p=1.0 if args.draft else args.top_p,
+            repeat_penalty=1.0 if args.draft else args.penalty,
             prefix_id=pid,
+            on_token=(lambda r, t: print(f"  [stream] req {r.id} -> {t}"))
+            if args.stream else None,
         ))
     t0 = time.time()
     results = eng.run()
     dt = time.time() - t0
     total = sum(len(r.out_tokens) for r in results)
     print(f"served {len(results)} requests, {total} tokens in {dt:.2f}s")
+    print(f"engine stats: {eng.stats()}")
     for r in results[:3]:
         print(f"  req {r.id}: {r.out_tokens[:10]}...")
 

@@ -263,3 +263,31 @@ def test_engine_tensor_parallel_serving():
         eng.submit(Request(id=i, prompt=p, max_new_tokens=6))
     got = {r.id: r.out_tokens for r in eng.run()}
     assert got == want, (got, want)
+
+
+def test_engine_tensor_parallel_gpt2():
+    """GPT-2 TP serving: vocab-sharded embedding/lm-head + fused argmax
+    over sharded logits matches the single-device engine."""
+    from ggmlsharp_tpu.models import gpt2
+    from ggmlsharp_tpu.parallel import sharding as shd
+    from ggmlsharp_tpu.serving import Engine, Request
+
+    cfg = gpt2.GPT2Config(n_vocab=128, n_ctx=64, n_embd=64, n_head=4,
+                          n_layer=2)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    prompts = [[5, 17, 99], [7, 1]]
+
+    eng0 = Engine(gpt2.forward, cfg, params, batch_slots=2,
+                  cache_dtype=jnp.float32)
+    for i, p in enumerate(prompts):
+        eng0.submit(Request(id=i, prompt=p, max_new_tokens=5))
+    want = {r.id: r.out_tokens for r in eng0.run()}
+
+    mesh = make_mesh(data=2, model=4)
+    sp = shd.shard_params(params, shd.gpt2_param_specs(), mesh)
+    eng = Engine(gpt2.forward, cfg, sp, batch_slots=2,
+                 cache_dtype=jnp.float32, mesh=mesh)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=5))
+    got = {r.id: r.out_tokens for r in eng.run()}
+    assert got == want, (got, want)
