@@ -391,6 +391,21 @@ class Engine:
                 self.d_cache.k, self.d_cache.v, self.d_cache.k_scale,
                 self.d_cache.v_scale, self.d_cache.length.at[i].set(0))
 
+    def _validate_spec_cap(self, req: Request) -> bool:
+        """Cap max_new_tokens to the speculative headroom (verify writes
+        k+1 rows past the current history every round); reject prompts that
+        leave none."""
+        cap = self.max_len - len(req.prompt) - self.spec_k - 2
+        if cap <= 0:
+            req.done = True
+            req.error = (f"prompt length {len(req.prompt)} leaves no "
+                         f"speculative headroom (k={self.spec_k}, "
+                         f"max_len={self.max_len})")
+            self.finished.append(req)
+            return False
+        req.max_new_tokens = min(req.max_new_tokens, cap)
+        return True
+
     def _admit_spec(self, req: Request, slot: int):
         """Speculative admission: target prefill (emits the first token a0
         host-side), draft prefill of prompt[:-1], per-slot seed =
@@ -416,16 +431,8 @@ class Engine:
                 req.error = "prompt does not start with prefix"
                 self.finished.append(req)
                 return
-        # verify writes k+1 rows past the current history every round
-        cap = self.max_len - len(req.prompt) - self.spec_k - 2
-        if cap <= 0:
-            req.done = True
-            req.error = (f"prompt length {len(req.prompt)} leaves no "
-                         f"speculative headroom (k={self.spec_k}, "
-                         f"max_len={self.max_len})")
-            self.finished.append(req)
+        if not self._validate_spec_cap(req):
             return
-        req.max_new_tokens = min(req.max_new_tokens, cap)
         self.slots[slot] = req
         if pfx is not None:
             plen = pfx["plen"]
@@ -544,17 +551,19 @@ class Engine:
             "tokens_per_s": (self._n_emitted / dt) if dt > 0 else 0.0,
         }
 
-    def _make_prefill_many(self, bucket: int, G: int):
+    def _make_prefill_many(self, bucket: int, G: int, draft: bool = False):
         """One executable prefilling G same-bucket prompts in ONE forward —
         one weight pass serves the whole admission burst instead of one
         pass per request. Slot rows, real lengths, and last-logit rows are
         scattered by traced index vectors; padded duplicate rows (same
         slot, same values) make the scatter idempotent."""
-        fwd, cfg = self.forward, self.cfg
+        fwd = self.d_forward if draft else self.forward
+        cfg = self.d_cfg if draft else self.cfg
+        ref_cache = self.d_cache if draft else self.cache
         n_head_kv = getattr(cfg, "n_head_kv", cfg.n_head)
-        flat = self.cache.k[0].ndim == 3
-        int8 = self.cache.k_scale is not None
-        dtype = self.cache.k[0].dtype
+        flat = ref_cache.k[0].ndim == 3
+        int8 = ref_cache.k_scale is not None
+        dtype = ref_cache.k[0].dtype
         head_dim = cfg.head_dim
 
         @partial(jax.jit, donate_argnums=(1,))
@@ -589,48 +598,88 @@ class Engine:
             )
             last = jnp.take_along_axis(
                 logits, (n_real - 1)[:, None, None], axis=1)[:, 0, :]
+            if draft:  # draft logits are never sampled from
+                return last_logits, cache
             return last_logits.at[slots].set(last), cache
 
         return prefill_many
 
-    def _prefill_group(self, admits: list):
+    def _prefill_group(self, admits: list, draft: bool = False,
+                       tokens_of=None):
         """Prefill a tick's plain admissions, same-bucket ones batched into
         one dispatch (group size padded to a power of two ≤ batch_slots so
-        compile count stays at buckets × log2(B))."""
+        compile count stays at buckets × log2(B)). draft=True prefills the
+        speculative draft model's cache (tokens_of selects the per-request
+        token list, e.g. prompt[:-1]); its logits are discarded."""
         from collections import defaultdict
 
+        tokens_of = tokens_of or (lambda r: r.prompt)
         groups = defaultdict(list)
         for req, slot in admits:
-            groups[min(_bucket(len(req.prompt)), self.max_len)].append(
+            groups[min(_bucket(len(tokens_of(req))), self.max_len)].append(
                 (req, slot))
         for bucket, grp in groups.items():
             if len(grp) == 1:
-                self._prefill_slot(*grp[0])
+                req, slot = grp[0]
+                self._prefill_slot(req, slot, tokens=tokens_of(req),
+                                   draft=draft)
                 continue
             G = 1
             while G < len(grp):
                 G *= 2
             G = min(G, self.B)
             padded = grp + [grp[-1]] * (G - len(grp))
-            key = ("many", bucket, G)
+            key = ("many", bucket, G, draft)
             fn = self._compiled_prefill.get(key)
             if fn is None:
-                fn = self._make_prefill_many(bucket, G)
+                fn = self._make_prefill_many(bucket, G, draft)
                 self._compiled_prefill[key] = fn
             toks = np.zeros((G, bucket), np.int32)
             n_real = np.zeros((G,), np.int32)
             slots = np.zeros((G,), np.int32)
             for j, (req, slot) in enumerate(padded):
-                toks[j, : len(req.prompt)] = req.prompt
-                n_real[j] = len(req.prompt)
+                t = tokens_of(req)
+                toks[j, : len(t)] = t
+                n_real[j] = len(t)
                 slots[j] = slot
             self._n_prefills += 1
-            self._last_logits, self.cache = fn(
-                self.params, self.cache, jnp.asarray(toks),
+            params = self.d_params if draft else self.params
+            cache = self.d_cache if draft else self.cache
+            last, cache = fn(
+                params, cache, jnp.asarray(toks),
                 jnp.asarray(n_real), jnp.asarray(slots), self._last_logits)
+            if draft:
+                self.d_cache = cache
+            else:
+                self._last_logits, self.cache = last, cache
+
+    def _admit_spec_batch(self, admits: list):
+        """Batched speculative admission: ONE grouped target prefill for
+        the burst, one fused argmax for every first token, then ONE grouped
+        draft prefill of the prompts[:-1] (the models.speculative round
+        invariant: draft holds history[0:P-1])."""
+        self._prefill_group(admits)
+        gtoks = np.asarray(self._argmax(self._last_logits))
+        drafts = []
+        for req, slot in admits:
+            a0 = int(gtoks[slot])
+            self._emit(req, a0)
+            if (req.eos_id is not None and a0 == req.eos_id) or \
+                    len(req.out_tokens) >= req.max_new_tokens:
+                req.done = True
+                self.finished.append(req)
+                self.slots[slot] = None
+                self._free_slot(slot)
+                continue
+            self._seed[slot] = (req.prompt[-1], a0)
+            if len(req.prompt) > 1:
+                drafts.append((req, slot))
+        if drafts:
+            self._prefill_group(drafts, draft=True,
+                                tokens_of=lambda r: r.prompt[:-1])
 
     def _admit(self):
-        plain = []
+        plain, spec_plain = [], []
         for i in range(self.B):
             while self.slots[i] is None and self.pending:
                 req = self.pending.pop(0)
@@ -647,7 +696,13 @@ class Engine:
                 if len(req.prompt) + req.max_new_tokens > self.max_len:
                     req.max_new_tokens = self.max_len - len(req.prompt)
                 if self.spec:
-                    self._admit_spec(req, i)
+                    if (req.prefix_id is not None or req.temperature > 0
+                            or req.repeat_penalty != 1.0):
+                        # rejection + prefix paths stay per-slot
+                        self._admit_spec(req, i)
+                    elif self._validate_spec_cap(req):
+                        self.slots[i] = req
+                        spec_plain.append((req, i))
                     continue
                 if req.prefix_id is not None:
                     pfx = self._prefixes.get(req.prefix_id)
@@ -676,6 +731,8 @@ class Engine:
                 break  # slot filled; prefill happens batched below
         if plain:
             self._prefill_group(plain)
+        if spec_plain:
+            self._admit_spec_batch(spec_plain)
 
     def step_once(self):
         """One engine tick: admit, sample per live slot, batched decode.

@@ -485,3 +485,28 @@ def test_repeat_last_n_zero_disables_penalty():
         gpt2.forward, CFG, params, jnp.asarray([prompt], jnp.int32), cache,
         n_new, repeat_penalty=5.0, repeat_last_n=0)
     assert np.asarray(toks)[0].tolist() == want
+
+
+def test_spec_batched_admission_executables():
+    """A speculative admission burst rides grouped prefills for BOTH models
+    (target prompts, draft prompts[:-1]) and stays greedy-exact."""
+    params = _params()
+    draft = gpt2.init_params(jax.random.PRNGKey(7), CFG, dtype=jnp.float32)
+    prompts = [[5, 17, 99], [7, 1, 2], [11, 4], [3, 3, 3, 3]]
+    n_new = 6
+
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=4,
+                 draft_forward=gpt2.forward, draft_cfg=CFG,
+                 draft_params=draft, spec_k=3)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=n_new))
+    got = eng.run()
+
+    keys = set(eng._compiled_prefill)
+    assert any(k[0] == "many" and k[3] is False for k in keys
+               if isinstance(k, tuple) and len(k) == 4), keys
+    assert any(k[0] == "many" and k[3] is True for k in keys
+               if isinstance(k, tuple) and len(k) == 4), keys
+    for i, req in enumerate(sorted(got, key=lambda r: r.id)):
+        want = _sequential_greedy(params, prompts[i], n_new)
+        assert req.out_tokens == want, (i, req.out_tokens, want)
