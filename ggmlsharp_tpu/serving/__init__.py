@@ -1,3 +1,4 @@
 from .engine import Engine, Request
+from .server import EngineServer
 
-__all__ = ["Engine", "Request"]
+__all__ = ["Engine", "Request", "EngineServer"]

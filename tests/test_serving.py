@@ -510,3 +510,54 @@ def test_spec_batched_admission_executables():
     for i, req in enumerate(sorted(got, key=lambda r: r.id)):
         want = _sequential_greedy(params, prompts[i], n_new)
         assert req.out_tokens == want, (i, req.out_tokens, want)
+
+
+def test_http_server_end_to_end():
+    """EngineServer: concurrent /v1/generate requests through the real
+    HTTP stack match sequential greedy; stats and health respond."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from ggmlsharp_tpu.serving import EngineServer
+
+    params = _params()
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2)
+    srv = EngineServer(eng, port=0).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            base + path, data=_json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return _json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(base + "/health", timeout=30) as r:
+            assert _json.loads(r.read()) == {"ok": True}
+
+        prompts = [[5, 17, 99], [7, 1, 2], [11, 4]]
+        outs = [None] * len(prompts)
+
+        def hit(i):
+            outs[i] = post("/v1/generate",
+                           {"prompt": prompts[i], "max_new_tokens": 5})
+
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(len(prompts))]
+        [t.start() for t in threads]
+        [t.join(timeout=180) for t in threads]
+
+        for i, out in enumerate(outs):
+            assert out is not None and out["error"] is None, out
+            assert out["tokens"] == _sequential_greedy(params, prompts[i], 5)
+
+        with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
+            st = _json.loads(r.read())
+        assert st["tokens_emitted"] == 15 and "uptime_s" in st
+        assert post("/v1/cancel", {"id": 12345}) == {"cancelled": False}
+        assert post("/v1/generate",
+                    {"prompt": [1], "max_new_tokens": 1})["tokens"]
+    finally:
+        srv.stop()
