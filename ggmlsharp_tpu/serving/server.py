@@ -60,8 +60,9 @@ class EngineServer:
             if not busy:
                 self._stop.wait(0.005)
 
-    def submit(self, body: dict) -> Request:
-        """Enqueue a request from a handler thread; block until finished."""
+    def submit(self, body: dict, on_token=None) -> Request:
+        """Enqueue a request from a handler thread; block until finished.
+        on_token(req, tok) is fired from the tick thread per token."""
         with self._lock:
             rid = self._next_id
             self._next_id += 1
@@ -76,6 +77,7 @@ class EngineServer:
                 repeat_last_n=int(body.get("repeat_last_n", 64)),
                 eos_id=body.get("eos_id"),
                 prefix_id=body.get("prefix_id"),
+                on_token=on_token,
             )
             ev = threading.Event()
             self._events[rid] = ev
@@ -112,6 +114,45 @@ class EngineServer:
                     return self._json(200, st)
                 return self._json(404, {"error": "not found"})
 
+            def _stream(self, body: dict):
+                """Chunked NDJSON: one {"token": t} line per emitted token
+                (pushed from the tick thread via on_token), then a final
+                {"done": true, ...} line."""
+                import queue
+
+                q: "queue.Queue" = queue.Queue()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(obj):
+                    data = json.dumps(obj).encode() + b"\n"
+                    self.wfile.write(
+                        f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                    self.wfile.flush()
+
+                done_box = []
+
+                def waiter():
+                    done_box.append(server.submit(
+                        body, on_token=lambda r, t: q.put(t)))
+                    q.put(None)  # sentinel: finished
+
+                t = threading.Thread(target=waiter, daemon=True)
+                t.start()
+                while True:
+                    tok = q.get()
+                    if tok is None:
+                        break
+                    chunk({"token": tok})
+                t.join()
+                req = done_box[0]
+                chunk({"done": True, "id": req.id, "tokens": req.out_tokens,
+                       "error": req.error})
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
+
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", "0"))
                 try:
@@ -122,6 +163,8 @@ class EngineServer:
                     if not isinstance(body.get("prompt"), list):
                         return self._json(
                             400, {"error": "prompt must be a token list"})
+                    if body.get("stream"):
+                        return self._stream(body)
                     req = server.submit(body)
                     return self._json(200, {
                         "id": req.id,

@@ -561,3 +561,30 @@ def test_http_server_end_to_end():
                     {"prompt": [1], "max_new_tokens": 1})["tokens"]
     finally:
         srv.stop()
+
+
+def test_http_server_streaming():
+    """stream=true returns chunked NDJSON: one token line per emitted
+    token, then a done line whose tokens equal the streamed sequence."""
+    import json as _json
+    import urllib.request
+
+    from ggmlsharp_tpu.serving import EngineServer
+
+    params = _params()
+    srv = EngineServer(Engine(gpt2.forward, CFG, params, batch_slots=2),
+                       port=0).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/generate",
+            data=_json.dumps({"prompt": [5, 17, 99], "max_new_tokens": 5,
+                              "stream": True}).encode())
+        with urllib.request.urlopen(req, timeout=120) as r:
+            lines = [_json.loads(ln) for ln in r.read().splitlines() if ln]
+        toks = [ln["token"] for ln in lines[:-1]]
+        done = lines[-1]
+        assert done["done"] is True and done["error"] is None
+        assert toks == done["tokens"]
+        assert toks == _sequential_greedy(params, [5, 17, 99], 5)
+    finally:
+        srv.stop()
