@@ -8,6 +8,9 @@ llama.cpp-`server`-style deployment surface over serving.engine.Engine:
                          "repeat_penalty": 1.1, "eos_id": 2,
                          "prefix_id": 0}
         → {"id": N, "tokens": [...], "error": null}   (blocks until done)
+        With a tokenizer (EngineServer(..., tokenizer=...)), "text" may
+        replace "prompt" and responses carry decoded "text"; pass
+        "stream": true for chunked NDJSON (one token per line).
     POST /v1/cancel     {"id": N} → {"cancelled": true|false}
     GET  /v1/stats      → Engine.stats() + uptime
     GET  /health        → {"ok": true}
@@ -30,8 +33,10 @@ from .engine import Request
 class EngineServer:
     """Runs an Engine on a background tick thread and serves HTTP."""
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 8080):
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 8080,
+                 tokenizer=None):
         self.engine = engine
+        self.tokenizer = tokenizer  # io.tokenizer SPM/BPE (encode/decode)
         self.host, self.port = host, port
         self._lock = threading.Lock()  # guards engine.pending/cancel
         self._events: dict[int, threading.Event] = {}
@@ -148,8 +153,11 @@ class EngineServer:
                     chunk({"token": tok})
                 t.join()
                 req = done_box[0]
-                chunk({"done": True, "id": req.id, "tokens": req.out_tokens,
-                       "error": req.error})
+                fin = {"done": True, "id": req.id, "tokens": req.out_tokens,
+                       "error": req.error}
+                if server.tokenizer is not None:
+                    fin["text"] = server.tokenizer.decode(req.out_tokens)
+                chunk(fin)
                 self.wfile.write(b"0\r\n\r\n")
                 self.wfile.flush()
 
@@ -160,17 +168,30 @@ class EngineServer:
                 except json.JSONDecodeError:
                     return self._json(400, {"error": "bad json"})
                 if self.path == "/v1/generate":
+                    if isinstance(body.get("text"), str):
+                        if server.tokenizer is None:
+                            return self._json(400, {
+                                "error": "no tokenizer configured; send "
+                                         "'prompt' as a token list"})
+                        body["prompt"] = server.tokenizer.encode(
+                            body.pop("text"))
+                        if body.get("eos_id") is None:
+                            body["eos_id"] = getattr(
+                                server.tokenizer, "eos_id", None)
                     if not isinstance(body.get("prompt"), list):
                         return self._json(
                             400, {"error": "prompt must be a token list"})
                     if body.get("stream"):
                         return self._stream(body)
                     req = server.submit(body)
-                    return self._json(200, {
+                    out = {
                         "id": req.id,
                         "tokens": req.out_tokens,
                         "error": req.error,
-                    })
+                    }
+                    if server.tokenizer is not None:
+                        out["text"] = server.tokenizer.decode(req.out_tokens)
+                    return self._json(200, out)
                 if self.path == "/v1/cancel":
                     ok = server.cancel(int(body.get("id", -1)))
                     return self._json(200, {"cancelled": ok})

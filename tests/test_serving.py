@@ -588,3 +588,36 @@ def test_http_server_streaming():
         assert toks == _sequential_greedy(params, [5, 17, 99], 5)
     finally:
         srv.stop()
+
+
+def test_http_server_text_api():
+    """With a tokenizer, /v1/generate accepts "text" and returns decoded
+    "text" alongside the token ids."""
+    import json as _json
+    import urllib.request
+
+    from ggmlsharp_tpu.io.tokenizer import SPMTokenizer
+    from ggmlsharp_tpu.serving import EngineServer
+
+    # vocab sized to CFG.n_vocab=128: specials + pieces + padding
+    tokens = ["<unk>", "<s>", "</s>", "▁", "▁hi", "hi", "h", "i"]
+    tokens += [f"<p{j}>" for j in range(128 - len(tokens))]
+    scores = [0.0, 0.0, 0.0, -1.0, -0.5, -2.0, -9.0, -9.0]
+    scores += [-30.0] * (128 - len(scores))
+    tok = SPMTokenizer(tokens, scores)
+
+    params = _params()
+    srv = EngineServer(Engine(gpt2.forward, CFG, params, batch_slots=2),
+                       port=0, tokenizer=tok).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/generate",
+            data=_json.dumps({"text": "hi", "max_new_tokens": 4}).encode())
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = _json.loads(r.read())
+        assert out["error"] is None
+        assert out["tokens"] == _sequential_greedy(
+            params, tok.encode("hi"), 4)
+        assert out["text"] == tok.decode(out["tokens"])
+    finally:
+        srv.stop()
