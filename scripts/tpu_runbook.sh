@@ -9,7 +9,7 @@ LOG=/tmp/runbook
 mkdir -p $LOG
 # bench A/B before the compile-heavy autotune: on a cold cache each probe
 # candidate is its own minutes-long remote compile
-stages=${@:-smoke diag bench_ab diag_gpt2 autotune}
+stages=${@:-smoke diag bench_ab bench_serve diag_gpt2 autotune}
 
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 tmo=$2; shift 2
@@ -44,6 +44,14 @@ bench_ab)
     BENCH_FORMAT=q8_0 python bench.py
   run bench_gpt2_nolf 1800 env BENCH_CHILD=1 BENCH_MODEL=gpt2-124m \
     BENCH_FORMAT=q8_0 GGML_TPU_LAYER_FUSED=0 python bench.py ;;
+bench_serve)
+  # continuous-batching engine throughput (aggregate tok/s across slots)
+  run bench_serve_7b 2400 env BENCH_CHILD=1 BENCH_MODE=serve \
+    BENCH_MODEL=llama-7b BENCH_FORMAT=q4_0 BENCH_SERVE_SLOTS=8 \
+    python bench.py
+  run bench_serve_spec 2400 env BENCH_CHILD=1 BENCH_MODE=serve \
+    BENCH_MODEL=gpt2-124m BENCH_FORMAT=q8_0 BENCH_SERVE_SLOTS=8 \
+    python bench.py ;;
 *) echo "unknown stage $s" ;;
 esac
 done
