@@ -12,6 +12,7 @@ from .params import (
 from .adam import opt_adam
 from .lbfgs import opt_lbfgs
 from .facade import opt, opt_fn
+from .optax_compat import as_optax, opt_optax
 
 __all__ = [
     "AdamParams",
@@ -19,9 +20,11 @@ __all__ = [
     "LineSearch",
     "OptParams",
     "OptResult",
+    "as_optax",
     "opt",
     "opt_adam",
     "opt_default_params",
     "opt_fn",
     "opt_lbfgs",
+    "opt_optax",
 ]

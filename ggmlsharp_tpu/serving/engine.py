@@ -440,7 +440,7 @@ class Engine:
             self._install_prefix(pfx["t"], plen, slot, plen)
             if suffix:
                 self._prefill_slot(req, slot, tokens=suffix, start=plen)
-                a0 = int(np.asarray(self._last_logits[slot]).argmax())
+                a0 = int(np.asarray(self._argmax(self._last_logits))[slot])
             else:
                 a0 = int(np.asarray(pfx["t"]["last"]).argmax())
             # draft holds history[0:P-1]: prefix rows, minus the last
@@ -461,7 +461,7 @@ class Engine:
             self._seed[slot] = (req.prompt[-1], a0)
             return
         self._prefill_slot(req, slot)
-        a0 = int(np.asarray(self._last_logits[slot]).argmax())
+        a0 = int(np.asarray(self._argmax(self._last_logits))[slot])
         self._emit(req, a0)
         if (req.eos_id is not None and a0 == req.eos_id) or \
                 len(req.out_tokens) >= req.max_new_tokens:

@@ -213,3 +213,65 @@ def test_adamw_weight_decay_and_gclip():
     w2, _, _, _ = opt_fn(lambda w: 1e6 * jnp.sum(w), jnp.zeros((2,)), p2)
     # with clipping the normalized Adam step is still ~alpha; just finite
     assert bool(jnp.all(jnp.isfinite(w2)))
+
+
+def test_as_optax_matches_opt_adam_trajectory():
+    """Our Adam exposed as an optax GradientTransformation follows the
+    exact same trajectory as opt_adam's jitted step (same math, same
+    order: gclip -> moments -> bias-corrected update + decoupled wd)."""
+    import optax
+
+    from ggmlsharp_tpu.optim import as_optax
+    from ggmlsharp_tpu.optim.adam import _adam_step
+    from ggmlsharp_tpu.optim.params import AdamParams
+
+    a = AdamParams(alpha=0.05, weight_decay=0.01, gclip=1.0)
+
+    def fun_vg(x):
+        f = jnp.sum((x["w"] - 3.0) ** 2) + jnp.sum(jnp.abs(x["b"]))
+        return f, jax.grad(lambda y: jnp.sum((y["w"] - 3.0) ** 2)
+                           + jnp.sum(jnp.abs(y["b"])))(x)
+
+    x1 = {"w": jnp.zeros((4,)), "b": jnp.ones((3,))}
+    x2 = jax.tree.map(jnp.copy, x1)
+    m = jax.tree.map(jnp.zeros_like, x1)
+    v = jax.tree.map(jnp.zeros_like, x1)
+    tx = as_optax(a)
+    st = tx.init(x2)
+    for t in range(1, 6):
+        x1, m, v, f, _ = _adam_step(fun_vg, x1, m, v, float(t), a.alpha,
+                                    a.beta1, a.beta2, a.eps,
+                                    a.weight_decay, a.gclip)
+        _, g = fun_vg(x2)
+        upd, st = tx.update(g, st, x2)
+        x2 = optax.apply_updates(x2, upd)
+    for k in x1:
+        # XLA fuses the jitted step differently from the eager optax
+        # path — identical math, f32 rounding differs in the last ulps
+        np.testing.assert_allclose(np.asarray(x1[k]), np.asarray(x2[k]),
+                                   rtol=3e-5, atol=3e-6)
+
+
+def test_opt_optax_with_stock_optimizer_converges():
+    """ggml stopping rules drive a stock optax optimizer to the Test2
+    least-squares solution."""
+    import optax
+
+    from ggmlsharp_tpu.optim import opt_optax
+    from ggmlsharp_tpu.optim.params import OptParams, OptResult
+
+    xs = jnp.linspace(-1, 1, 32)
+    ys = 5.0 * xs + 10.0
+
+    def fun_vg(p):
+        def loss(p):
+            return jnp.mean((p["t0"] * xs + p["t1"] - ys) ** 2)
+
+        return loss(p), jax.grad(loss)(p)
+
+    x0 = {"t0": jnp.zeros(()), "t1": jnp.zeros(())}
+    x, f, res, it = opt_optax(fun_vg, x0, optax.adam(0.1),
+                              OptParams())
+    assert res == OptResult.OK or f < 1e-6
+    assert abs(float(x["t0"]) - 5.0) < 1e-2
+    assert abs(float(x["t1"]) - 10.0) < 1e-2
