@@ -12,7 +12,11 @@ from .params import (
 from .adam import opt_adam
 from .lbfgs import opt_lbfgs
 from .facade import opt, opt_fn
-from .optax_compat import as_optax, opt_optax
+
+try:  # optax interop is optional — the core optimizers stay optax-free
+    from .optax_compat import as_optax, opt_optax
+except ImportError:  # pragma: no cover
+    as_optax = opt_optax = None
 
 __all__ = [
     "AdamParams",

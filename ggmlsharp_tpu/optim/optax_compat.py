@@ -102,13 +102,14 @@ def opt_optax(fun_vg, x0, tx: optax.GradientTransformation,
                 x, state = x_new, state_new
                 result = OptResult.OK
                 break
-        if p.past > 0:
-            pf.append(f)
-            if len(pf) > p.past:
-                if abs(pf.pop(0) - f) < p.delta:
+        if p.past > 0:  # identical to opt_adam's window-rate test
+            if len(pf) == p.past:
+                if abs((pf[0] - f) / p.past) < p.delta:
                     x, state = x_new, state_new
                     result = OptResult.OK
                     break
+                pf.pop(0)
+            pf.append(f)
         if p.max_no_improvement > 0:
             if fx_best is None or f < fx_best:
                 fx_best, n_no_improvement = f, 0

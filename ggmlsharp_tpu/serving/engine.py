@@ -479,6 +479,11 @@ class Engine:
         all live slots; each emits 1..k+1 tokens (per-slot accept counts)."""
         from ..models.sampling import length_bucket
 
+        for i, req in enumerate(self.slots):  # externally-cancelled slots
+            if req is not None and req.done:
+                self.finished.append(req)
+                self.slots[i] = None
+                self._free_slot(i)
         live = [r for r in self.slots if r is not None]
         if not live:
             return False
@@ -762,6 +767,8 @@ class Engine:
         keys = jax.random.split(sub, self.B) if any(fancy) else None
         for i, req in enumerate(self.slots):
             if req is None:
+                continue
+            if req.done:  # cancelled externally: no further tokens
                 continue
             if greedy[i]:
                 tok = int(gtoks[i])

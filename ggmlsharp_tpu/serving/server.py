@@ -11,7 +11,9 @@ llama.cpp-`server`-style deployment surface over serving.engine.Engine:
         With a tokenizer (EngineServer(..., tokenizer=...)), "text" may
         replace "prompt" and responses carry decoded "text"; pass
         "stream": true for chunked NDJSON (one token per line).
-    POST /v1/cancel     {"id": N} → {"cancelled": true|false}
+        Pass "request_id" (any string/int) to make the request
+        cancellable; streaming responses emit {"id": ...} first.
+    POST /v1/cancel     {"id": N} or {"request_id": X} → {"cancelled": bool}
     GET  /v1/stats      → Engine.stats() + uptime
     GET  /health        → {"ok": true}
 
@@ -41,6 +43,7 @@ class EngineServer:
         self._lock = threading.Lock()  # guards engine.pending/cancel
         self._events: dict[int, threading.Event] = {}
         self._results: dict[int, Request] = {}
+        self._public: dict = {}  # client request_id → engine rid
         self._next_id = 0
         self._stop = threading.Event()
         self._t0 = time.time()
@@ -55,22 +58,38 @@ class EngineServer:
                 busy = self.engine.pending or any(
                     s is not None for s in self.engine.slots)
                 if busy:
-                    self.engine.step_once()
+                    try:
+                        self.engine.step_once()
+                    except Exception as e:  # keep the server alive: fail
+                        # every in-flight request instead of zombieing all
+                        # blocked handler threads (the tick thread is the
+                        # only one that can unblock them)
+                        for r in (self.engine.pending
+                                  + [x for x in self.engine.slots
+                                     if x is not None]):
+                            r.done, r.error = True, f"engine error: {e!r}"
+                            self.engine.finished.append(r)
+                        self.engine.pending.clear()
+                        self.engine.slots = [None] * self.engine.B
                 done, self.engine.finished = self.engine.finished, []
             for req in done:
                 self._results[req.id] = req
+                self._public.pop(getattr(req, "_public_id", None), None)
                 ev = self._events.pop(req.id, None)
                 if ev is not None:
                     ev.set()
             if not busy:
                 self._stop.wait(0.005)
 
-    def submit(self, body: dict, on_token=None) -> Request:
+    def submit(self, body: dict, on_token=None, rid_box=None) -> Request:
         """Enqueue a request from a handler thread; block until finished.
-        on_token(req, tok) is fired from the tick thread per token."""
+        on_token(req, tok) is fired from the tick thread per token;
+        rid_box (a list) receives the engine id before the wait."""
         with self._lock:
             rid = self._next_id
             self._next_id += 1
+            if rid_box is not None:
+                rid_box.append(rid)
             req = Request(
                 id=rid,
                 prompt=list(body["prompt"]),
@@ -84,21 +103,43 @@ class EngineServer:
                 prefix_id=body.get("prefix_id"),
                 on_token=on_token,
             )
+            pub = body.get("request_id")
+            if pub is not None:
+                self._public[pub] = rid
+                req._public_id = pub
             ev = threading.Event()
             self._events[rid] = ev
             self.engine.submit(req)
         ev.wait()
         return self._results.pop(rid)
 
-    def cancel(self, rid: int) -> bool:
+    def cancel(self, rid) -> bool:
+        """Cancel by engine id or client request_id — flag-only (NO jax on
+        handler threads; the tick thread frees the slot and finishes the
+        request on its next pass)."""
         with self._lock:
-            return self.engine.cancel(rid)
+            rid = self._public.get(rid, rid)
+            for r in self.engine.pending:
+                if r.id == rid:
+                    r.done, r.error = True, "cancelled"
+                    self.engine.pending.remove(r)
+                    self.engine.finished.append(r)
+                    return True
+            for r in self.engine.slots:
+                if r is not None and r.id == rid and not r.done:
+                    r.done, r.error = True, "cancelled"
+                    return True
+        return False
 
     # --- http ---------------------------------------------------------------
     def _handler(self):
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # chunked transfer-encoding does not exist in HTTP/1.0; every
+            # response carries Content-Length or proper chunk framing
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet
                 pass
 
@@ -137,21 +178,33 @@ class EngineServer:
                         f"{len(data):x}\r\n".encode() + data + b"\r\n")
                     self.wfile.flush()
 
-                done_box = []
+                done_box, rid_box = [], []
 
                 def waiter():
-                    done_box.append(server.submit(
-                        body, on_token=lambda r, t: q.put(t)))
-                    q.put(None)  # sentinel: finished
+                    try:
+                        done_box.append(server.submit(
+                            body, on_token=lambda r, t: q.put(t),
+                            rid_box=rid_box))
+                    finally:
+                        q.put(None)  # sentinel: ALWAYS unblock the reader
 
                 t = threading.Thread(target=waiter, daemon=True)
                 t.start()
+                first = True
                 while True:
                     tok = q.get()
                     if tok is None:
                         break
+                    if first:  # engine id first, so clients can cancel
+                        first = False
+                        chunk({"id": rid_box[0]})
                     chunk({"token": tok})
                 t.join()
+                if not done_box:  # submit raised (malformed body)
+                    chunk({"done": True, "error": "bad request"})
+                    self.wfile.write(b"0\r\n\r\n")
+                    self.wfile.flush()
+                    return
                 req = done_box[0]
                 fin = {"done": True, "id": req.id, "tokens": req.out_tokens,
                        "error": req.error}
@@ -178,9 +231,12 @@ class EngineServer:
                         if body.get("eos_id") is None:
                             body["eos_id"] = getattr(
                                 server.tokenizer, "eos_id", None)
-                    if not isinstance(body.get("prompt"), list):
+                    pr = body.get("prompt")
+                    if not isinstance(pr, list) or not all(
+                            isinstance(t, int) and not isinstance(t, bool)
+                            for t in pr):
                         return self._json(
-                            400, {"error": "prompt must be a token list"})
+                            400, {"error": "prompt must be a list of ints"})
                     if body.get("stream"):
                         return self._stream(body)
                     req = server.submit(body)
@@ -193,8 +249,10 @@ class EngineServer:
                         out["text"] = server.tokenizer.decode(req.out_tokens)
                     return self._json(200, out)
                 if self.path == "/v1/cancel":
-                    ok = server.cancel(int(body.get("id", -1)))
-                    return self._json(200, {"cancelled": ok})
+                    handle = body.get("request_id",
+                                      body.get("id", -1))
+                    return self._json(
+                        200, {"cancelled": server.cancel(handle)})
                 return self._json(404, {"error": "not found"})
 
         return Handler

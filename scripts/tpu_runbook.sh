@@ -49,7 +49,7 @@ bench_serve)
   run bench_serve_7b 2400 env BENCH_CHILD=1 BENCH_MODE=serve \
     BENCH_MODEL=llama-7b BENCH_FORMAT=q4_0 BENCH_SERVE_SLOTS=8 \
     python bench.py
-  run bench_serve_spec 2400 env BENCH_CHILD=1 BENCH_MODE=serve \
+  run bench_serve_gpt2 2400 env BENCH_CHILD=1 BENCH_MODE=serve \
     BENCH_MODEL=gpt2-124m BENCH_FORMAT=q8_0 BENCH_SERVE_SLOTS=8 \
     python bench.py ;;
 *) echo "unknown stage $s" ;;

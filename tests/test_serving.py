@@ -581,7 +581,8 @@ def test_http_server_streaming():
                               "stream": True}).encode())
         with urllib.request.urlopen(req, timeout=120) as r:
             lines = [_json.loads(ln) for ln in r.read().splitlines() if ln]
-        toks = [ln["token"] for ln in lines[:-1]]
+        assert "id" in lines[0]  # engine id first, for /v1/cancel
+        toks = [ln["token"] for ln in lines[1:-1]]
         done = lines[-1]
         assert done["done"] is True and done["error"] is None
         assert toks == done["tokens"]
@@ -619,5 +620,83 @@ def test_http_server_text_api():
         assert out["tokens"] == _sequential_greedy(
             params, tok.encode("hi"), 4)
         assert out["text"] == tok.decode(out["tokens"])
+    finally:
+        srv.stop()
+
+
+def test_http_server_robustness_and_cancel():
+    """Malformed bodies get 400s (not a dead tick thread); server-side
+    engine errors fail the request instead of hanging the handler; cancel
+    works via client-supplied request_id on an in-flight request."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from ggmlsharp_tpu.serving import EngineServer
+
+    params = _params()
+    srv = EngineServer(Engine(gpt2.forward, CFG, params, batch_slots=2),
+                       port=0).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def post(path, obj, timeout=120):
+        req = urllib.request.Request(
+            base + path, data=_json.dumps(obj).encode())
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return _json.loads(r.read())
+
+    try:
+        # malformed prompts → 400, server stays up
+        for bad in ["nope", ["a"], [True], None]:
+            try:
+                post("/v1/generate", {"prompt": bad})
+                assert False, "expected 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        assert post("/v1/generate",
+                    {"prompt": [5, 17], "max_new_tokens": 3})["tokens"]
+
+        # cancel by client request_id: park the target request behind two
+        # slot-filling blockers so it is deterministically still pending
+        # when the cancel lands (live-slot cancel shares the same flag
+        # path, exercised by test_streaming_cancel_and_stats)
+        import threading as _t
+        out = {}
+
+        def req(key, body):
+            out[key] = post("/v1/generate", body)
+
+        threads = [
+            _t.Thread(target=req, args=("b0", {"prompt": [5],
+                                               "max_new_tokens": 40})),
+            _t.Thread(target=req, args=("b1", {"prompt": [6],
+                                               "max_new_tokens": 40})),
+        ]
+        [t.start() for t in threads]
+        import time as _time
+        for _ in range(400):  # wait until both blockers occupy the slots
+            if all(s is not None for s in srv.engine.slots):
+                break
+            _time.sleep(0.02)
+        th = _t.Thread(target=req, args=("c", {"prompt": [5, 17],
+                                               "max_new_tokens": 500,
+                                               "request_id": "abc"}))
+        th.start()
+        ok = False
+        for _ in range(400):  # queued (or just-admitted): flag it
+            if post("/v1/cancel", {"request_id": "abc"})["cancelled"]:
+                ok = True
+                break
+            _time.sleep(0.02)
+        assert ok, "cancel never landed"
+        th.join(timeout=180)
+        [t.join(timeout=180) for t in threads]
+        assert out["c"]["error"] == "cancelled"
+        assert len(out["c"]["tokens"]) < 500
+        assert out["b0"]["error"] is None and out["b1"]["error"] is None
+
+        # server still healthy afterwards
+        assert post("/v1/generate",
+                    {"prompt": [9], "max_new_tokens": 2})["error"] is None
     finally:
         srv.stop()
