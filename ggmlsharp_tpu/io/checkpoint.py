@@ -2,9 +2,10 @@
 state. The reference has zero serialization (SURVEY §5).
 
 Format: a self-contained npz layout (plane-flattened pytree) that round-trips
-QTensors exactly. Single-host; for multi-host sharded saves, gather to host 0
-or wrap the tree with orbax-checkpoint externally — this module deliberately
-stays dependency-free.
+QTensors exactly (single-host, dependency-free), plus an orbax-backed
+`save_checkpoint_sharded`/`load_checkpoint_sharded` pair for multi-host
+sharded trees: each jax.Array is written per-shard by orbax and restored
+with the shardings of a `like` tree — no host gather, no resharding copy.
 """
 from __future__ import annotations
 
@@ -18,16 +19,19 @@ from ..dtypes import GType
 from ..quant.formats import QTensor
 
 
-def _flatten_tree(tree, prefix=""):
-    """→ dict[path → numpy array], with QTensor planes as path/__q__/..."""
+def _flatten_tree(tree, prefix="", materialize=True):
+    """→ dict[path → numpy array], with QTensor planes as path/__q__/...
+    materialize=False keeps jax.Arrays as-is (sharded saves must not
+    gather to host)."""
     out = {}
     meta = {}
+    mat = (lambda x: np.asarray(x)) if materialize else (lambda x: x)
 
     def walk(node, path):
         if isinstance(node, QTensor):
             meta[path] = {"gtype": int(node.gtype), "shape": list(node.shape)}
             for k, v in node.planes.items():
-                out[f"{path}/__q__/{k}"] = np.asarray(v)
+                out[f"{path}/__q__/{k}"] = mat(v)
         elif isinstance(node, dict):
             for k, v in node.items():
                 walk(v, f"{path}/{k}" if path else k)
@@ -38,7 +42,7 @@ def _flatten_tree(tree, prefix=""):
         elif node is None:
             meta.setdefault("__none__", []).append(path)
         else:
-            out[path] = np.asarray(node)
+            out[path] = mat(node)
 
     walk(tree, prefix)
     return out, meta
@@ -94,4 +98,45 @@ def load_checkpoint(path: str):
         m = json.load(f)
     z = np.load(os.path.join(path, "arrays.npz"))
     flat = {k: z[k] for k in z.files}
+    return _unflatten_tree(flat, m["meta"]), m.get("step")
+
+
+def save_checkpoint_sharded(path: str, tree, step: int | None = None):
+    """Multi-host/sharded save via orbax: every jax.Array leaf (QTensor
+    planes included) is written per-shard from its owning devices — no
+    host gather. Structure/QTensor metadata rides the same meta.json as
+    the npz format."""
+    import orbax.checkpoint as ocp
+
+    os.makedirs(path, exist_ok=True)
+    flat, meta = _flatten_tree(tree, materialize=False)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"meta": meta, "step": step, "orbax": True}, f)
+    ckptr = ocp.StandardCheckpointer()
+    target = os.path.join(os.path.abspath(path), "arrays")
+    ckptr.save(target, flat, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_sharded(path: str, like=None):
+    """Restore an orbax checkpoint. `like`: optional tree with the same
+    structure whose leaves supply restore shardings/dtypes (pass the
+    freshly-sharded init tree for a resume-in-place on a mesh); without
+    it, arrays restore unsharded."""
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(path, "meta.json")) as f:
+        m = json.load(f)
+    ckptr = ocp.StandardCheckpointer()
+    target = os.path.join(os.path.abspath(path), "arrays")
+    if like is not None:
+        flat_like, _ = _flatten_tree(like, materialize=False)
+        abstract = {
+            k: jax.ShapeDtypeStruct(v.shape, v.dtype,
+                                    sharding=getattr(v, "sharding", None))
+            for k, v in flat_like.items()
+        }
+        flat = ckptr.restore(target, abstract)
+    else:
+        flat = ckptr.restore(target)
     return _unflatten_tree(flat, m["meta"]), m.get("step")

@@ -297,3 +297,40 @@ def test_bpe_native_matches_python_fuzz():
             want = tok2.encode(text)
             assert got == want, (trial, text, got, want)
             assert tok.decode(got) == tok2.decode(want)
+
+
+def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint_sharded writes sharded jax.Arrays per-shard via
+    orbax and restores them WITH the `like` tree's shardings; QTensor
+    planes round-trip exactly."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ggmlsharp_tpu import GType, quantize
+    from ggmlsharp_tpu.io.checkpoint import (load_checkpoint_sharded,
+                                             save_checkpoint_sharded)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("model",))
+    sh = NamedSharding(mesh, P("model", None))
+    w = jax.device_put(
+        jnp.arange(64 * 32, dtype=jnp.float32).reshape(64, 32) / 100.0, sh)
+    tree = {"w": w, "q": quantize(np.ones((16, 64), np.float32) * 0.03,
+                                  GType.Q4_0), "step_scalar": jnp.float32(3)}
+
+    save_checkpoint_sharded(str(tmp_path / "ck"), tree, step=7)
+    like = {"w": jax.device_put(jnp.zeros((64, 32), jnp.float32), sh),
+            "q": tree["q"], "step_scalar": jnp.float32(0)}
+    got, step = load_checkpoint_sharded(str(tmp_path / "ck"), like=like)
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(w))
+    assert got["w"].sharding.is_equivalent_to(sh, 2)
+    assert got["q"].gtype == tree["q"].gtype
+    for k in tree["q"].planes:
+        np.testing.assert_array_equal(np.asarray(got["q"].planes[k]),
+                                      np.asarray(tree["q"].planes[k]))
