@@ -18,7 +18,8 @@ JSON line. BENCH_TIME_BUDGET (seconds, default 1500) bounds total wall time;
 the final JSON line is ALWAYS printed, worst case with value 0 and an error
 note in the metric name.
 
-Env overrides: BENCH_MODEL=gpt2-124m|gpt2-355m|gpt2-774m|llama-tiny|llama-7b,
+Env overrides: BENCH_MODEL=gpt2-124m|gpt2-355m|gpt2-774m|llama-tiny|
+llama-7b|gptj-6b|gptj-tiny,
 BENCH_FORMAT=q8_0|q4_0|q4_k|q6_k|bf16, BENCH_STEPS, BENCH_BATCH,
 BENCH_PREFILL, BENCH_INT8_KV=1, BENCH_MODE=decode|prefill|train|serve
 (serve: BENCH_SERVE_SLOTS/BENCH_SERVE_REQUESTS/BENCH_SERVE_NEW),
@@ -287,7 +288,7 @@ def run_workload():
     import numpy as _np
 
     from ggmlsharp_tpu.dtypes import GType
-    from ggmlsharp_tpu.models import gpt2, llama, sampling
+    from ggmlsharp_tpu.models import gpt2, gptj, llama, sampling
 
     model = os.environ.get("BENCH_MODEL", "llama-7b")
     fmt = os.environ.get("BENCH_FORMAT", "q4_0")
@@ -301,6 +302,8 @@ def run_workload():
         "gpt2-774m": (gpt2, gpt2.GPT2_774M),
         "llama-tiny": (llama, llama.TINY_LLAMA),
         "llama-7b": (llama, llama.LLAMA_7B),
+        "gptj-6b": (gptj, gptj.GPTJ_6B),
+        "gptj-tiny": (gptj, gptj.TINY_GPTJ),
     }
     mod, cfg = cfgs[model]
     gtypes = {
