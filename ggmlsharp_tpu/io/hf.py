@@ -148,3 +148,64 @@ def load_hf_llama(path: str, config: dict | None = None):
             "w_down": g(p + "mlp.down_proj.weight"),
         })
     return cfg, params
+
+
+def load_hf_gptj(path: str, config: dict | None = None):
+    """GPTJForCausalLM safetensors → (GPTJConfig, params). HF GPT-J uses
+    rotate_every_two rotary (interleaved pairs) over rotary_dim dims —
+    exactly models.gptj's mode-0 partial rope, so weights map 1:1."""
+    from ..models.gptj import GPTJConfig
+
+    t = _load_safetensors(path)
+    if config is None and os.path.isdir(path):
+        with open(os.path.join(path, "config.json")) as f:
+            config = json.load(f)
+    config = config or {}
+
+    def g(name):
+        for k in (name, "transformer." + name):
+            if k in t:
+                return t[k]
+        raise KeyError(name)
+
+    emb = g("wte.weight")
+    n_layer = config.get("n_layer") or max(
+        int(k.split("h.")[1].split(".")[0]) for k in t if ".h." in k
+    ) + 1
+    cfg = GPTJConfig(
+        n_vocab=emb.shape[0],
+        n_ctx=config.get("n_positions", 2048),
+        n_embd=emb.shape[1],
+        n_head=config.get("n_head", 16),
+        n_layer=n_layer,
+        rotary_dim=config.get("rotary_dim", 64),
+        ln_eps=config.get("layer_norm_epsilon", 1e-5),
+    )
+    params = {
+        "wte": emb,
+        "ln_f": {"g": g("ln_f.weight"), "b": g("ln_f.bias")},
+        "lm_head": {
+            "w": t.get("lm_head.weight", emb),
+            "b": t.get("lm_head.bias",
+                       np.zeros((emb.shape[0],), emb.dtype)),
+        },
+        "blocks": [],
+    }
+    for i in range(cfg.n_layer):
+        p = f"h.{i}."
+        params["blocks"].append({
+            "ln_1": {"g": g(p + "ln_1.weight"), "b": g(p + "ln_1.bias")},
+            "attn": {
+                "wq": g(p + "attn.q_proj.weight"),
+                "wk": g(p + "attn.k_proj.weight"),
+                "wv": g(p + "attn.v_proj.weight"),
+                "wo": g(p + "attn.out_proj.weight"),
+            },
+            "mlp": {
+                "fc_in_w": g(p + "mlp.fc_in.weight"),
+                "fc_in_b": g(p + "mlp.fc_in.bias"),
+                "fc_out_w": g(p + "mlp.fc_out.weight"),
+                "fc_out_b": g(p + "mlp.fc_out.bias"),
+            },
+        })
+    return cfg, params
