@@ -119,3 +119,25 @@ def run(n_devices: int) -> None:
                                        xpp, ypp, mesh)
         assert float(lpp) == float(lpp), "1F1B loss is NaN"
         print(f"[dryrun] 1F1B pipeline train step ok: loss={float(lpp):.4f}")
+
+    # --- TP continuous-batching serving over the same mesh ---------------
+    _run_serving(mesh, cfg)
+
+
+def _run_serving(mesh, cfg):
+    """Tensor-parallel continuous-batching engine on the mesh: admits a
+    burst (grouped prefill), runs a few ticks, and checks outputs."""
+    from ..serving import Engine, Request
+
+    params = llama.init_params(jax.random.PRNGKey(1), cfg,
+                               dtype=jnp.float32)
+    params = shd.shard_params(params, shd.llama_param_specs(), mesh)
+    eng = Engine(llama.forward, cfg, params, batch_slots=2,
+                 cache_dtype=jnp.float32, mesh=mesh)
+    for i, p in enumerate([[3, 7, 11], [5, 2], [9, 9, 9, 1]]):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=3))
+    results = eng.run()
+    assert len(results) == 3 and all(
+        len(r.out_tokens) == 3 and r.error is None for r in results)
+    print(f"[dryrun] TP serving engine ok: "
+          f"{[r.out_tokens for r in results]}")
