@@ -135,6 +135,7 @@ class Engine:
                 self.d_cache = self._shard_cache(self.d_cache)
             self._spec_round = make_spec_round(
                 forward, cfg, draft_forward, self.d_cfg, spec_k)
+            self._spec_round_sampled = None  # built on first sampled slot
             self._seed = np.zeros((batch_slots, 2), np.int32)
 
     def _shard_cache(self, cache):
@@ -412,10 +413,15 @@ class Engine:
         [prompt[-1], a0] (the models.speculative round invariant). With a
         registered prefix, both models' stored rows are installed and only
         the suffix is prefilled (the draft one token short)."""
-        if req.temperature > 0 or req.repeat_penalty != 1.0:
+        if req.repeat_penalty != 1.0:
             req.done = True
-            req.error = ("speculative engine is greedy-only (temperature=0,"
-                         " no repeat_penalty)")
+            req.error = ("speculative engine supports temperature/top_k/"
+                         "top_p but not repeat_penalty")
+            self.finished.append(req)
+            return
+        if req.temperature > 0 and req.prefix_id is not None:
+            req.done = True
+            req.error = "sampled speculative + prefix caching not supported"
             self.finished.append(req)
             return
         pfx = None
@@ -490,9 +496,35 @@ class Engine:
         hmax = max(len(r.prompt) + len(r.out_tokens) for r in live)
         t_eff = length_bucket(min(hmax + self.spec_k + 2, self.max_len),
                               self.max_len)
-        emitted, n_emit, self.cache, self.d_cache, seed = self._spec_round(
-            self.params, self.d_params, self.cache, self.d_cache,
-            jnp.asarray(self._seed), t_eff=t_eff, d_eff=t_eff)
+        if any(r is not None and r.temperature > 0 for r in self.slots):
+            # rejection-sampled round: per-slot traced sampling params;
+            # greedy slots ride along with temp 0 (one-hot distributions
+            # degenerate to exact greedy prefix matching)
+            if self._spec_round_sampled is None:
+                from ..models.speculative import make_spec_round_sampled
+
+                self._spec_round_sampled = make_spec_round_sampled(
+                    self.forward, self.cfg, self.d_forward, self.d_cfg,
+                    self.spec_k)
+            temp = np.zeros((self.B,), np.float32)
+            topk = np.zeros((self.B,), np.int32)
+            topp = np.ones((self.B,), np.float32)
+            for i, r in enumerate(self.slots):
+                if r is not None and r.temperature > 0:
+                    temp[i], topk[i], topp[i] = (r.temperature, r.top_k,
+                                                 r.top_p)
+            self._rng, sub = jax.random.split(self._rng)
+            emitted, n_emit, self.cache, self.d_cache, seed = \
+                self._spec_round_sampled(
+                    self.params, self.d_params, self.cache, self.d_cache,
+                    jnp.asarray(self._seed), sub, jnp.asarray(temp),
+                    jnp.asarray(topk), jnp.asarray(topp),
+                    t_eff=t_eff, d_eff=t_eff)
+        else:
+            emitted, n_emit, self.cache, self.d_cache, seed = \
+                self._spec_round(
+                    self.params, self.d_params, self.cache, self.d_cache,
+                    jnp.asarray(self._seed), t_eff=t_eff, d_eff=t_eff)
         em, ne = np.asarray(emitted), np.asarray(n_emit)
         self._seed = np.array(seed)  # writable copy — admits update rows
         for i, req in enumerate(self.slots):
@@ -667,7 +699,13 @@ class Engine:
         gtoks = np.asarray(self._argmax(self._last_logits))
         drafts = []
         for req, slot in admits:
-            a0 = int(gtoks[slot])
+            if req.temperature > 0:
+                fn, _ = self._slot_sampler(req)
+                self._rng, sub = jax.random.split(self._rng)
+                a0 = int(np.asarray(fn(
+                    self._last_logits, jnp.int32(slot), sub)))
+            else:
+                a0 = int(gtoks[slot])
             self._emit(req, a0)
             if (req.eos_id is not None and a0 == req.eos_id) or \
                     len(req.out_tokens) >= req.max_new_tokens:
@@ -701,7 +739,7 @@ class Engine:
                 if len(req.prompt) + req.max_new_tokens > self.max_len:
                     req.max_new_tokens = self.max_len - len(req.prompt)
                 if self.spec:
-                    if (req.prefix_id is not None or req.temperature > 0
+                    if (req.prefix_id is not None
                             or req.repeat_penalty != 1.0):
                         # rejection + prefix paths stay per-slot
                         self._admit_spec(req, i)

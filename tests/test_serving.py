@@ -273,9 +273,9 @@ def test_spec_engine_eos_and_validation():
     eng = Engine(gpt2.forward, CFG, params, batch_slots=2,
                  draft_forward=gpt2.forward, draft_cfg=CFG,
                  draft_params=draft, spec_k=3)
-    # greedy-only: sampled request rejected with a clear error
+    # repeat_penalty unsupported in spec mode: clear rejection
     eng.submit(Request(id=0, prompt=[1, 2], max_new_tokens=4,
-                       temperature=0.7))
+                       repeat_penalty=1.3))
     # eos mid-round truncates: run the plain engine first to find a token
     # that actually appears, then use it as eos
     probe = Engine(gpt2.forward, CFG, params, batch_slots=1)
@@ -285,7 +285,7 @@ def test_spec_engine_eos_and_validation():
     eng.submit(Request(id=1, prompt=[5, 17, 99], max_new_tokens=8,
                        eos_id=eos))
     got = eng.run()
-    assert "greedy-only" in got[0].error
+    assert "repeat_penalty" in got[0].error
     want = seq[: seq.index(eos) + 1]
     assert got[1].out_tokens == want, (got[1].out_tokens, want)
 
@@ -700,3 +700,30 @@ def test_http_server_robustness_and_cancel():
                     {"prompt": [9], "max_new_tokens": 2})["error"] is None
     finally:
         srv.stop()
+
+
+def test_spec_engine_sampled_requests():
+    """Sampled requests in the speculative engine: top_k=1 forces the
+    greedy sequence exactly (any rng), and mixed greedy+sampled slots run
+    one round together (greedy slots stay bit-exact)."""
+    params = _params()
+    draft = gpt2.init_params(jax.random.PRNGKey(7), CFG, dtype=jnp.float32)
+    n_new = 6
+
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2,
+                 draft_forward=gpt2.forward, draft_cfg=CFG,
+                 draft_params=draft, spec_k=3, rng_seed=42)
+    eng.submit(Request(id=0, prompt=[5, 17, 99], max_new_tokens=n_new,
+                       temperature=0.9, top_k=1))  # == greedy
+    eng.submit(Request(id=1, prompt=[7, 1], max_new_tokens=n_new))  # greedy
+    eng.submit(Request(id=2, prompt=[9, 4], max_new_tokens=n_new,
+                       temperature=1.2, top_p=0.9))  # truly sampled
+    got = {r.id: r for r in eng.run()}
+
+    assert got[0].error is None
+    assert got[0].out_tokens == _sequential_greedy(params, [5, 17, 99],
+                                                   n_new)
+    assert got[1].error is None
+    assert got[1].out_tokens == _sequential_greedy(params, [7, 1], n_new)
+    assert got[2].error is None and len(got[2].out_tokens) == n_new
+    assert all(0 <= t < CFG.n_vocab for t in got[2].out_tokens)

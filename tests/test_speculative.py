@@ -141,3 +141,107 @@ def test_spec_llama_int8_kv_cache():
         llama.new_cache(cfg, 1, int8=True),
         llama.new_cache(cfg, 1, int8=True), n, k=3)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+def test_sampled_spec_topk1_equals_greedy(target_params, draft_params):
+    """top_k=1 truncates both distributions to one-hot argmax, so sampled
+    speculative decoding must reproduce greedy decode exactly, for any
+    temperature and rng."""
+    prompt = jnp.asarray([[5, 17, 99]], jnp.int32)
+    n = 12
+    ref = _greedy_reference(gpt2, CFG, target_params, prompt, n)
+    toks, rate = speculative_generate(
+        gpt2.forward, CFG, target_params, gpt2.forward, CFG, draft_params,
+        prompt, gpt2.new_cache(CFG, 1, dtype=jnp.float32),
+        gpt2.new_cache(CFG, 1, dtype=jnp.float32), n, k=3,
+        temperature=0.8, top_k=1, rng=jax.random.PRNGKey(11))
+    assert np.asarray(toks).tolist() == np.asarray(ref).tolist()
+    assert 1.0 <= rate <= 4.0
+
+
+def test_sampled_spec_temp0_slots_degenerate_to_greedy(target_params,
+                                                       draft_params):
+    """The sampled round with temp=0 vectors emits exactly what the greedy
+    round emits (one-hot distributions -> acceptance == argmax match)."""
+    from ggmlsharp_tpu.models.speculative import (make_spec_round,
+                                                  make_spec_round_sampled)
+
+    k = 3
+    B = 2
+    greedy_round = make_spec_round(gpt2.forward, CFG, gpt2.forward, CFG, k)
+    sampled_round = make_spec_round_sampled(gpt2.forward, CFG, gpt2.forward,
+                                            CFG, k)
+
+    def fresh():
+        tc = gpt2.new_cache(CFG, B, dtype=jnp.float32)
+        dc = gpt2.new_cache(CFG, B, dtype=jnp.float32)
+        # prefill both with a 4-token history (target) / 3 (draft)
+        prompt = jnp.asarray([[5, 17, 99, 2], [7, 1, 3, 4]], jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32)[None],
+                               (B, 4))
+        lg, tc = gpt2.forward(target_params, CFG, prompt, tc, pos)
+        _, dc = gpt2.forward(draft_params, CFG, prompt[:, :3], dc,
+                             pos[:, :3])
+        a0 = jnp.argmax(lg[:, -1, :], -1).astype(jnp.int32)
+        seed = jnp.stack([prompt[:, -1], a0], axis=1)
+        return tc, dc, seed
+
+    tc, dc, seed = fresh()
+    em_g, ne_g, *_ = greedy_round(target_params, draft_params, tc, dc, seed)
+    tc, dc, seed = fresh()
+    zeros = jnp.zeros((B,), jnp.float32)
+    em_s, ne_s, *_ = sampled_round(
+        target_params, draft_params, tc, dc, seed,
+        jax.random.PRNGKey(0), zeros, jnp.zeros((B,), jnp.int32),
+        jnp.ones((B,), jnp.float32))
+    assert np.asarray(ne_s).tolist() == np.asarray(ne_g).tolist()
+    assert np.asarray(em_s).tolist() == np.asarray(em_g).tolist()
+
+
+def test_sampled_spec_preserves_target_distribution(target_params,
+                                                    draft_params):
+    """Rejection-sampled speculative decoding must emit the target's
+    modified distribution: over many rngs, the FIRST emitted token of one
+    round matches direct sampling from the target's softmax (fixed seeds —
+    deterministic check of total-variation distance)."""
+    from ggmlsharp_tpu.models.speculative import (_mod_probs,
+                                                  make_spec_round_sampled)
+
+    k = 2
+    temp, nsamp = 0.9, 1500
+    sampled_round = make_spec_round_sampled(gpt2.forward, CFG, gpt2.forward,
+                                            CFG, k)
+    prompt = jnp.asarray([[5, 17, 99, 2]], jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    tc0 = gpt2.new_cache(CFG, 1, dtype=jnp.float32)
+    dc0 = gpt2.new_cache(CFG, 1, dtype=jnp.float32)
+    lg, tc0 = gpt2.forward(target_params, CFG, prompt, tc0, pos)
+    _, dc0 = gpt2.forward(draft_params, CFG, prompt[:, :3], dc0, pos[:, :3])
+    a0 = jnp.argmax(lg[:, -1, :], -1).astype(jnp.int32)
+    seed = jnp.stack([prompt[:, -1], a0], axis=1)
+
+    tv = jnp.full((1,), temp, jnp.float32)
+    kv_ = jnp.zeros((1,), jnp.int32)
+    pv = jnp.ones((1,), jnp.float32)
+
+    def one(key):
+        em, ne, tc, dc, _ = sampled_round(
+            target_params, draft_params,
+            jax.tree.map(jnp.copy, tc0), jax.tree.map(jnp.copy, dc0),
+            seed, key, tv, kv_, pv)
+        return em[0, 0]
+
+    keys = jax.random.split(jax.random.PRNGKey(123), nsamp)
+    first = np.asarray(jax.lax.map(one, keys, batch_size=64))
+    counts = np.bincount(first, minlength=CFG.n_vocab) / nsamp
+
+    # ground truth: the target's modified distribution at this position
+    # (the first emitted token of a round is the verify row-0 sample)
+    nxt = jnp.asarray([[int(np.asarray(a0)[0])]], jnp.int32)
+    lg2, _ = gpt2.forward(target_params, CFG, nxt,
+                          jax.tree.map(jnp.copy, tc0),
+                          jnp.asarray([[4]], jnp.int32))
+    want = np.asarray(_mod_probs(lg2[:, -1, :].astype(jnp.float32),
+                                 tv, kv_, pv))[0]
+    tvd = 0.5 * np.abs(counts - want).sum()
+    assert tvd < 0.12, tvd
