@@ -22,9 +22,8 @@ def main():
     args = ap.parse_args()
 
     from ggmlsharp_tpu.dtypes import GType
-    from ggmlsharp_tpu.io.gguf import GGUFWriter
+    from ggmlsharp_tpu.io.gguf import save_gguf_llama
     from ggmlsharp_tpu.models import llama
-    from ggmlsharp_tpu.quant.formats import QTensor
 
     gt = GType[args.format.upper()]
     if args.hf:
@@ -40,36 +39,7 @@ def main():
         lambda p: llama.quantize_params(p, gt, pad_rows_to=0, fuse=False)
     )(params)
 
-    w = GGUFWriter()
-    w.add_meta("general.architecture", 8, "llama")
-    for key, t, v in [("block_count", 4, cfg.n_layer),
-                      ("context_length", 4, cfg.n_ctx),
-                      ("embedding_length", 4, cfg.n_embd),
-                      ("attention.head_count", 4, cfg.n_head),
-                      ("attention.head_count_kv", 4, cfg.n_head_kv),
-                      ("feed_forward_length", 4, cfg.n_ff)]:
-        w.add_meta(f"llama.{key}", t, v)
-
-    def np_of(x):
-        if isinstance(x, QTensor):
-            return QTensor(x.gtype, x.shape,
-                           {k: np.asarray(v) for k, v in x.planes.items()})
-        return np.asarray(x, np.float32)
-
-    names = [("token_embd.weight", qparams["tok_embd"]),
-             ("output_norm.weight", qparams["norm"])]
-    if qparams["output"] is not None:
-        names.append(("output.weight", qparams["output"]))
-    for i, b in enumerate(qparams["blocks"]):
-        for nm, key in [("attn_norm", "attn_norm"), ("attn_q", "wq"),
-                        ("attn_k", "wk"), ("attn_v", "wv"),
-                        ("attn_output", "wo"), ("ffn_norm", "ffn_norm"),
-                        ("ffn_gate", "w_gate"), ("ffn_up", "w_up"),
-                        ("ffn_down", "w_down")]:
-            names.append((f"blk.{i}.{nm}.weight", b[key]))
-    for name, t in names:
-        w.add_tensor(name, np_of(t))
-    w.write(args.out)
+    save_gguf_llama(args.out, cfg, qparams)
     print(f"wrote {args.out} ({os.path.getsize(args.out)/1e6:.2f} MB, {gt.name})")
 
 

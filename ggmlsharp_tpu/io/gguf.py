@@ -579,3 +579,128 @@ def load_gguf_llama(path: str):
             "w_down": r.load(p + "ffn_down.weight"),
         })
     return cfg, params
+
+
+def _np_of(x):
+    """Host copies for the writer (QTensor planes included)."""
+    if isinstance(x, QTensor):
+        return QTensor(x.gtype, x.shape,
+                       {k: np.asarray(v) for k, v in x.planes.items()})
+    return np.asarray(x, np.float32)
+
+
+def save_gguf_llama(path: str, cfg, params):
+    """Write a llama-arch GGUF (llama.cpp tensor naming; QTensor planes
+    repacked to wire blocks by GGUFWriter)."""
+    w = GGUFWriter()
+    w.add_meta("general.architecture", 8, "llama")
+    for key, t, v in [("block_count", 4, cfg.n_layer),
+                      ("context_length", 4, cfg.n_ctx),
+                      ("embedding_length", 4, cfg.n_embd),
+                      ("attention.head_count", 4, cfg.n_head),
+                      ("attention.head_count_kv", 4, cfg.n_head_kv),
+                      ("feed_forward_length", 4, cfg.n_ff)]:
+        w.add_meta(f"llama.{key}", t, v)
+    names = [("token_embd.weight", params["tok_embd"]),
+             ("output_norm.weight", params["norm"])]
+    if params.get("output") is not None:
+        names.append(("output.weight", params["output"]))
+    for i, b in enumerate(params["blocks"]):
+        for nm, key in [("attn_norm", "attn_norm"), ("attn_q", "wq"),
+                        ("attn_k", "wk"), ("attn_v", "wv"),
+                        ("attn_output", "wo"), ("ffn_norm", "ffn_norm"),
+                        ("ffn_gate", "w_gate"), ("ffn_up", "w_up"),
+                        ("ffn_down", "w_down")]:
+            names.append((f"blk.{i}.{nm}.weight", b[key]))
+    for name, t in names:
+        w.add_tensor(name, _np_of(t))
+    w.write(path)
+
+
+def save_gguf_gptj(path: str, cfg, params):
+    """Write a gptj-arch GGUF (llama.cpp gptj tensor naming)."""
+    w = GGUFWriter()
+    w.add_meta("general.architecture", 8, "gptj")
+    for key, t, v in [("block_count", 4, cfg.n_layer),
+                      ("context_length", 4, cfg.n_ctx),
+                      ("embedding_length", 4, cfg.n_embd),
+                      ("attention.head_count", 4, cfg.n_head),
+                      ("rope.dimension_count", 4, cfg.rotary_dim)]:
+        w.add_meta(f"gptj.{key}", t, v)
+    w.add_meta("gptj.attention.layer_norm_epsilon", 6, float(cfg.ln_eps))
+    names = [
+        ("token_embd.weight", params["wte"]),
+        ("output_norm.weight", params["ln_f"]["g"]),
+        ("output_norm.bias", params["ln_f"]["b"]),
+        ("output.weight", params["lm_head"]["w"]),
+        ("output.bias", params["lm_head"]["b"]),
+    ]
+    for i, b in enumerate(params["blocks"]):
+        p = f"blk.{i}."
+        names += [
+            (p + "attn_norm.weight", b["ln_1"]["g"]),
+            (p + "attn_norm.bias", b["ln_1"]["b"]),
+            (p + "attn_q.weight", b["attn"]["wq"]),
+            (p + "attn_k.weight", b["attn"]["wk"]),
+            (p + "attn_v.weight", b["attn"]["wv"]),
+            (p + "attn_output.weight", b["attn"]["wo"]),
+            (p + "ffn_up.weight", b["mlp"]["fc_in_w"]),
+            (p + "ffn_up.bias", b["mlp"]["fc_in_b"]),
+            (p + "ffn_down.weight", b["mlp"]["fc_out_w"]),
+            (p + "ffn_down.bias", b["mlp"]["fc_out_b"]),
+        ]
+    for name, t in names:
+        w.add_tensor(name, _np_of(t))
+    w.write(path)
+
+
+def load_gguf_gptj(path: str):
+    """Load a gptj-arch GGUF into (GPTJConfig, params tree)."""
+    from ..models.gptj import GPTJConfig
+
+    r = GGUFReader(path)
+    md = r.metadata
+    g = lambda k, d=None: md.get(f"gptj.{k}", d)
+    n_layer = g("block_count")
+    cfg = GPTJConfig(
+        n_vocab=r.tensors["token_embd.weight"].shape[0],
+        n_ctx=g("context_length", 2048),
+        n_embd=g("embedding_length"),
+        n_head=g("attention.head_count"),
+        n_layer=n_layer,
+        rotary_dim=g("rope.dimension_count", 64),
+        ln_eps=g("attention.layer_norm_epsilon", 1e-5),
+    )
+    emb = r.load("token_embd.weight")
+    params = {
+        "wte": emb,
+        "ln_f": {"g": r.load("output_norm.weight"),
+                 "b": r.load("output_norm.bias")},
+        "lm_head": {
+            "w": r.load("output.weight")
+            if "output.weight" in r.tensors else emb,
+            "b": r.load("output.bias")
+            if "output.bias" in r.tensors
+            else np.zeros((cfg.n_vocab,), np.float32),
+        },
+        "blocks": [],
+    }
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        params["blocks"].append({
+            "ln_1": {"g": r.load(p + "attn_norm.weight"),
+                     "b": r.load(p + "attn_norm.bias")},
+            "attn": {
+                "wq": r.load(p + "attn_q.weight"),
+                "wk": r.load(p + "attn_k.weight"),
+                "wv": r.load(p + "attn_v.weight"),
+                "wo": r.load(p + "attn_output.weight"),
+            },
+            "mlp": {
+                "fc_in_w": r.load(p + "ffn_up.weight"),
+                "fc_in_b": r.load(p + "ffn_up.bias"),
+                "fc_out_w": r.load(p + "ffn_down.weight"),
+                "fc_out_b": r.load(p + "ffn_down.bias"),
+            },
+        })
+    return cfg, params

@@ -334,3 +334,40 @@ def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
     for k in tree["q"].planes:
         np.testing.assert_array_equal(np.asarray(got["q"].planes[k]),
                                       np.asarray(tree["q"].planes[k]))
+
+
+def test_gguf_gptj_roundtrip(tmp_path):
+    """gptj-arch GGUF export → import round trip: quantized planes ride the
+    wire bit-exactly and the reloaded model's logits match."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggmlsharp_tpu import GType
+    from ggmlsharp_tpu.io.gguf import load_gguf_gptj, save_gguf_gptj
+    from ggmlsharp_tpu.models import gptj
+
+    cfg = gptj.GPTJConfig(n_vocab=256, n_ctx=64, n_embd=256, n_head=4,
+                          n_layer=2, rotary_dim=16)
+    params = gptj.init_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    # GGUF wire wants (N, .)-row layouts → swar off for the export copy
+    qparams = gptj.quantize_params(params, GType.Q4_0, swar=False)
+
+    path = str(tmp_path / "gptj-q4_0.gguf")
+    save_gguf_gptj(path, cfg, qparams)
+    cfg2, p2 = load_gguf_gptj(path)
+    # ln_eps rides the wire as f32 — compare it with tolerance
+    assert abs(cfg2.ln_eps - cfg.ln_eps) < 1e-9
+    import dataclasses
+
+    assert dataclasses.replace(cfg2, ln_eps=cfg.ln_eps) == cfg
+
+    p2 = jax.tree.map(jnp.asarray, p2)  # QTensor planes are pytree leaves
+
+    toks = jnp.asarray([[5, 17, 99, 2]], jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    la, _ = gptj.forward(qparams, cfg, toks,
+                         gptj.new_cache(cfg, 1, dtype=jnp.float32), pos)
+    lb, _ = gptj.forward(p2, cfg2, toks,
+                         gptj.new_cache(cfg2, 1, dtype=jnp.float32), pos)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=2e-4, atol=2e-4)
