@@ -44,7 +44,9 @@ class Request:
     eos_id: int | None = None
     prefix_id: int | None = None  # Engine.register_prefix handle
     on_token: object = None  # streaming callback: on_token(req, token)
+    want_logprobs: bool = False  # fill out_logprobs (plain engine only)
     out_tokens: list = field(default_factory=list)
+    out_logprobs: list = field(default_factory=list)
     done: bool = False
     error: str | None = None
 
@@ -110,6 +112,12 @@ class Engine:
         self._step = self._make_step()
         self._argmax = jax.jit(
             lambda l: jnp.argmax(l, axis=-1).astype(jnp.int32))
+
+        def _lp(l, toks):  # log-prob of the chosen token per slot
+            lp = jax.nn.log_softmax(l.astype(jnp.float32), axis=-1)
+            return jnp.take_along_axis(lp, toks[:, None], axis=-1)[:, 0]
+
+        self._logprob_of = jax.jit(_lp)
         self._samplers: dict[tuple, object] = {}
 
         # --- speculative mode ---------------------------------------------
@@ -413,10 +421,10 @@ class Engine:
         [prompt[-1], a0] (the models.speculative round invariant). With a
         registered prefix, both models' stored rows are installed and only
         the suffix is prefilled (the draft one token short)."""
-        if req.repeat_penalty != 1.0:
+        if req.repeat_penalty != 1.0 or req.want_logprobs:
             req.done = True
             req.error = ("speculative engine supports temperature/top_k/"
-                         "top_p but not repeat_penalty")
+                         "top_p but not repeat_penalty/want_logprobs")
             self.finished.append(req)
             return
         if req.temperature > 0 and req.prefix_id is not None:
@@ -740,7 +748,8 @@ class Engine:
                     req.max_new_tokens = self.max_len - len(req.prompt)
                 if self.spec:
                     if (req.prefix_id is not None
-                            or req.repeat_penalty != 1.0):
+                            or req.repeat_penalty != 1.0
+                            or req.want_logprobs):
                         # rejection + prefix paths stay per-slot
                         self._admit_spec(req, i)
                     elif self._validate_spec_cap(req):
@@ -827,6 +836,13 @@ class Engine:
             if (req.eos_id is not None and tok == req.eos_id) or \
                     len(req.out_tokens) >= req.max_new_tokens:
                 req.done = True
+        if any(s_ is not None and s_.want_logprobs for s_ in self.slots):
+            lps = np.asarray(self._logprob_of(
+                self._last_logits, jnp.asarray(toks[:, 0])))
+            for i, req in enumerate(self.slots):
+                if req is not None and req.want_logprobs and \
+                        len(req.out_logprobs) < len(req.out_tokens):
+                    req.out_logprobs.append(float(lps[i]))
 
         active = jnp.asarray(
             [[s is not None and not s.done] for s in self.slots], bool

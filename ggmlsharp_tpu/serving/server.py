@@ -102,6 +102,7 @@ class EngineServer:
                 eos_id=body.get("eos_id"),
                 prefix_id=body.get("prefix_id"),
                 on_token=on_token,
+                want_logprobs=bool(body.get("logprobs", False)),
             )
             pub = body.get("request_id")
             if pub is not None:
@@ -245,6 +246,8 @@ class EngineServer:
                         "tokens": req.out_tokens,
                         "error": req.error,
                     }
+                    if req.want_logprobs:
+                        out["logprobs"] = req.out_logprobs
                     if server.tokenizer is not None:
                         out["text"] = server.tokenizer.decode(req.out_tokens)
                     return self._json(200, out)

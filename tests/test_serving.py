@@ -727,3 +727,35 @@ def test_spec_engine_sampled_requests():
     assert got[1].out_tokens == _sequential_greedy(params, [7, 1], n_new)
     assert got[2].error is None and len(got[2].out_tokens) == n_new
     assert all(0 <= t < CFG.n_vocab for t in got[2].out_tokens)
+
+
+def test_engine_logprobs():
+    """want_logprobs fills per-token log-probabilities of the chosen
+    tokens (greedy: log-softmax at the argmax), one per emitted token,
+    matching a direct forward recomputation."""
+    params = _params()
+    prompt = [5, 17, 99]
+    n_new = 5
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2)
+    eng.submit(Request(id=0, prompt=prompt, max_new_tokens=n_new,
+                       want_logprobs=True))
+    eng.submit(Request(id=1, prompt=[7, 1], max_new_tokens=3))
+    got = {r.id: r for r in eng.run()}
+    r0 = got[0]
+    assert len(r0.out_logprobs) == len(r0.out_tokens) == n_new
+    assert got[1].out_logprobs == []
+
+    # recompute: logprob of each emitted token from scratch
+    cache = gpt2.new_cache(CFG, 1, dtype=jnp.float32)
+    toks = jnp.asarray([prompt], jnp.int32)
+    pos = jnp.arange(len(prompt), dtype=jnp.int32)[None]
+    logits, cache = gpt2.forward(params, CFG, toks, cache, pos)
+    cur = logits[:, -1, :]
+    for j, t in enumerate(r0.out_tokens):
+        lp = float(jax.nn.log_softmax(cur.astype(jnp.float32))[0, t])
+        assert abs(lp - r0.out_logprobs[j]) < 1e-4, (j, lp,
+                                                     r0.out_logprobs[j])
+        nxt = jnp.asarray([[t]], jnp.int32)
+        p = jnp.asarray([[len(prompt) + j]], jnp.int32)
+        logits, cache = gpt2.forward(params, CFG, nxt, cache, p)
+        cur = logits[:, -1, :]
