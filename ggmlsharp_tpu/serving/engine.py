@@ -5,11 +5,13 @@ Slot-based design on a static-shape runtime (SURVEY §7 "hard parts"):
   * B fixed slots share one batched KV cache; per-slot lengths live in
     cache.length, so finished requests free their slot without reshaping
     anything.
-  * admission = per-slot prefill: the slot's cache rows are sliced out
-    (lax.dynamic_slice), the prompt runs through a bucketed-length jitted
-    prefill (prompt padded up to the bucket; pad K/V rows land at positions ≥
-    len and are progressively overwritten by decode, never attended before
-    that), and the rows are written back.
+  * admission = bucketed prefill: same-bucket admission bursts batch into
+    ONE forward (a fresh G-row sub-cache, KV/length/logits scattered into
+    the slot rows by traced index vectors); single admissions slice the
+    slot's cache rows out (lax.dynamic_slice), run a bucketed-length jitted
+    prefill (prompt padded up to the bucket; pad K/V rows land at positions
+    ≥ len and are progressively overwritten by decode, never attended
+    before that), and write the rows back.
   * decode = ONE batched single-token step for all live slots per tick;
     finished/empty slots run with pad tokens and are masked host-side.
   * compiled-function reuse: one decode step executable + one prefill

@@ -291,3 +291,35 @@ def test_engine_tensor_parallel_gpt2():
         eng.submit(Request(id=i, prompt=p, max_new_tokens=5))
     got = {r.id: r.out_tokens for r in eng.run()}
     assert got == want, (got, want)
+
+
+def test_engine_tensor_parallel_speculative():
+    """Speculative continuous batching under a TP mesh: target + draft
+    params sharded, both KV caches' heads sharded, greedy output equals
+    the single-device spec engine."""
+    from ggmlsharp_tpu.models import llama
+    from ggmlsharp_tpu.parallel import sharding as shd
+    from ggmlsharp_tpu.serving import Engine, Request
+
+    cfg = llama.TINY_LLAMA
+    tp = llama.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    dp = llama.init_params(jax.random.PRNGKey(9), cfg, dtype=jnp.float32)
+    prompts = [[3, 7, 11], [5, 2, 8, 1]]
+
+    eng0 = Engine(llama.forward, cfg, tp, batch_slots=2,
+                  cache_dtype=jnp.float32, draft_forward=llama.forward,
+                  draft_cfg=cfg, draft_params=dp, spec_k=2)
+    for i, p in enumerate(prompts):
+        eng0.submit(Request(id=i, prompt=p, max_new_tokens=5))
+    want = {r.id: r.out_tokens for r in eng0.run()}
+
+    mesh = make_mesh(data=4, model=2)
+    stp = shd.shard_params(tp, shd.llama_param_specs(), mesh)
+    sdp = shd.shard_params(dp, shd.llama_param_specs(), mesh)
+    eng = Engine(llama.forward, cfg, stp, batch_slots=2,
+                 cache_dtype=jnp.float32, draft_forward=llama.forward,
+                 draft_cfg=cfg, draft_params=sdp, spec_k=2, mesh=mesh)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=5))
+    got = {r.id: r.out_tokens for r in eng.run()}
+    assert got == want, (got, want)
