@@ -110,8 +110,10 @@ def save_checkpoint_sharded(path: str, tree, step: int | None = None):
 
     os.makedirs(path, exist_ok=True)
     flat, meta = _flatten_tree(tree, materialize=False)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"meta": meta, "step": step, "orbax": True}, f)
+    if jax.process_index() == 0:  # orbax coordinates the array save; the
+        # sidecar file must not be written concurrently by every host
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"meta": meta, "step": step, "orbax": True}, f)
     ckptr = ocp.StandardCheckpointer()
     target = os.path.join(os.path.abspath(path), "arrays")
     ckptr.save(target, flat, force=True)

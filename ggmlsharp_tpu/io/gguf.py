@@ -584,6 +584,11 @@ def load_gguf_llama(path: str):
 def _np_of(x):
     """Host copies for the writer (QTensor planes included)."""
     if isinstance(x, QTensor):
+        if any(k.endswith("_t") for k in x.planes):
+            raise ValueError(
+                "GGUF export needs (N, .)-row-layout planes; this QTensor "
+                "is in the SWAR transposed kernel layout — quantize with "
+                "swar=False for export (quantize_params(..., swar=False))")
         return QTensor(x.gtype, x.shape,
                        {k: np.asarray(v) for k, v in x.planes.items()})
     return np.asarray(x, np.float32)

@@ -170,7 +170,8 @@ def load_hf_gptj(path: str, config: dict | None = None):
 
     emb = g("wte.weight")
     n_layer = config.get("n_layer") or max(
-        int(k.split("h.")[1].split(".")[0]) for k in t if ".h." in k
+        int(k.split("h.")[1].split(".")[0]) for k in t
+        if ".h." in k or k.startswith("h.")
     ) + 1
     cfg = GPTJConfig(
         n_vocab=emb.shape[0],

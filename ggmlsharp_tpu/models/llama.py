@@ -39,6 +39,10 @@ class LlamaConfig:
     def head_dim(self):
         return self.n_embd // self.n_head
 
+    @property
+    def supports_flat_kv(self):  # forward handles the flat [B,T,E] cache
+        return True
+
 
 LLAMA_7B = LlamaConfig()
 LLAMA_13B = LlamaConfig(n_embd=5120, n_head=40, n_head_kv=40, n_layer=40, n_ff=13824)

@@ -148,9 +148,12 @@ def speculative_generate(t_forward, t_cfg, t_params,
         tv = jnp.full((B,), temperature, jnp.float32)
         kv_ = jnp.full((B,), top_k, jnp.int32)
         pv = jnp.full((B,), top_p, jnp.float32)
+        # independent streams: a0's key must not correlate with any
+        # round's key (both would otherwise derive from the same split)
+        rng, rng_loop = jax.random.split(rng)
 
         def spec_round(tp, dp, tc, dc, seed, t_eff=None, d_eff=None,
-                       _r=[rng]):
+                       _r=[rng_loop]):
             _r[0], sub = jax.random.split(_r[0])
             return spec_round_s(tp, dp, tc, dc, seed, sub, tv, kv_, pv,
                                 t_eff=t_eff, d_eff=d_eff)
@@ -163,7 +166,9 @@ def speculative_generate(t_forward, t_cfg, t_params,
         rng, sub = jax.random.split(rng)
         from .sampling import sample_token
 
-        a0 = sample_token(logits, sub, temperature, top_k, top_p)
+        # one jitted dispatch (CLAUDE.md: no eager primitives on TPU)
+        a0 = jax.jit(lambda l, r: sample_token(
+            l, r, temperature, top_k, top_p))(logits, sub)
     else:
         a0 = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
     if S > 1:  # draft holds history[0:S-1]; prompt[-1] rides the seed

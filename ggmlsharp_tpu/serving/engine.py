@@ -92,7 +92,8 @@ class Engine:
         # lengths (kernels.attn_decode); INT8 KV dequantizes in-kernel
         flat = (mesh is None
                 and (n_head_kv * cfg.head_dim) % 128 == 0
-                and hasattr(cfg, "n_head_kv")  # llama-family forward only
+                # only forwards that handle the flat [B,T,E] layout (llama)
+                and getattr(cfg, "supports_flat_kv", False)
                 and os.environ.get("GGML_TPU_FLASH_DECODE", "1") == "1")
         self.cache = kvc.init_cache(
             cfg.n_layer, batch_slots, n_head_kv, self.max_len, cfg.head_dim,
@@ -134,7 +135,7 @@ class Engine:
             d_hkv = getattr(self.d_cfg, "n_head_kv", self.d_cfg.n_head)
             d_flat = (mesh is None
                       and (d_hkv * self.d_cfg.head_dim) % 128 == 0
-                      and hasattr(self.d_cfg, "n_head_kv")
+                      and getattr(self.d_cfg, "supports_flat_kv", False)
                       and os.environ.get("GGML_TPU_FLASH_DECODE", "1") == "1")
             self.d_cache = kvc.init_cache(
                 self.d_cfg.n_layer, batch_slots, d_hkv, self.max_len,

@@ -759,3 +759,44 @@ def test_engine_logprobs():
         p = jnp.asarray([[len(prompt) + j]], jnp.int32)
         logits, cache = gpt2.forward(params, CFG, nxt, cache, p)
         cur = logits[:, -1, :]
+
+
+def test_gptj_engine_stays_head_major():
+    """Regression: GPT-J configs whose KV width is a multiple of 128 must
+    NOT get the flat cache (gptj.forward is head-major only; the flat gate
+    keys on supports_flat_kv, not on hasattr(n_head_kv))."""
+    from ggmlsharp_tpu.models import gptj
+
+    cfg = gptj.GPTJConfig(n_vocab=128, n_ctx=64, n_embd=128, n_head=4,
+                          n_layer=2, rotary_dim=8)
+    assert (cfg.n_head_kv * cfg.head_dim) % 128 == 0  # the trap condition
+    params = gptj.init_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    eng = Engine(gptj.forward, cfg, params, batch_slots=2,
+                 cache_dtype=jnp.float32)
+    assert eng.cache.k[0].ndim == 4  # head-major
+    for i, p in enumerate([[5, 17, 99], [7, 1]]):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=4))
+    results = eng.run()
+    for req in results:
+        cache = gptj.new_cache(cfg, 1, dtype=jnp.float32)
+        want, _ = sampling.generate(gptj.forward, cfg, params,
+                                    jnp.asarray([req.prompt], jnp.int32),
+                                    cache, 4)
+        assert req.out_tokens == np.asarray(want)[0].tolist(), req.id
+
+
+def test_gguf_export_rejects_swar_layout():
+    """SWAR-layout QTensors cannot ride the GGUF wire; the export API must
+    say so clearly instead of KeyError'ing."""
+    import pytest
+
+    from ggmlsharp_tpu import GType
+    from ggmlsharp_tpu.io.gguf import save_gguf_gptj
+    from ggmlsharp_tpu.models import gptj
+
+    cfg = gptj.GPTJConfig(n_vocab=128, n_ctx=64, n_embd=256, n_head=4,
+                          n_layer=1, rotary_dim=8)
+    params = gptj.init_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    q = gptj.quantize_params(params, GType.Q4_0, swar=True)
+    with pytest.raises(ValueError, match="swar=False"):
+        save_gguf_gptj("/tmp/never-written.gguf", cfg, q)
