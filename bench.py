@@ -300,6 +300,7 @@ def run_workload():
         "gpt2-124m": (gpt2, gpt2.GPT2_124M),
         "gpt2-355m": (gpt2, gpt2.GPT2_355M),
         "gpt2-774m": (gpt2, gpt2.GPT2_774M),
+        "gpt2-tiny": (gpt2, gpt2.GPT2_TINY),
         "llama-tiny": (llama, llama.TINY_LLAMA),
         "llama-7b": (llama, llama.LLAMA_7B),
         "gptj-6b": (gptj, gptj.GPTJ_6B),

@@ -37,6 +37,8 @@ class GPT2Config:
 GPT2_124M = GPT2Config()
 GPT2_355M = GPT2Config(n_embd=1024, n_head=16, n_layer=24)
 GPT2_774M = GPT2Config(n_embd=1280, n_head=20, n_layer=36)
+GPT2_TINY = GPT2Config(  # test-scale config
+    n_vocab=256, n_ctx=128, n_embd=128, n_head=4, n_layer=2)
 GPT2_1558M = GPT2Config(n_embd=1600, n_head=25, n_layer=48)
 
 

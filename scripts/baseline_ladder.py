@@ -1,0 +1,163 @@
+"""BASELINE measurement-ladder runner (BASELINE.md configs 0-4).
+
+    python scripts/baseline_ladder.py [--scale tiny|full] [--configs 0,1,2]
+
+Prints ONE JSON line per config. --scale tiny (default) runs every config
+at test scale on the local backend (CPU-safe, minutes); --scale full runs
+the real workloads (7B/774M) — TPU required, hours on a cold cache.
+
+Config map (BASELINE.md "measurement ladder"):
+  0  FP32 graph forward smoke (Test0-style shape/value checks)
+  1  Q8_0 GPT-2 decode tokens/sec (124M at full scale)
+  2  Q4_0/Q4_1 GPT-2 perplexity delta vs FP32 (774M at full scale)
+  3  Q4_K/Q6_K llama decode + INT8 KV (7B at full scale)
+  4  tensor-sharded decode with continuous batching — emulated multi-host
+     here (scaling_bench); run scaling_bench --serve --real per pod host
+     for the >=85% 2-host measurement
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/repo/.jax_cache_tpu")
+
+
+def _emit(cfg_id, name, **kw):
+    print(json.dumps({"config": cfg_id, "name": name, **kw}), flush=True)
+
+
+def _bench_child(env):
+    e = dict(os.environ, BENCH_CHILD="1", **env)
+    proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                          env=e, stdout=subprocess.PIPE, timeout=2400)
+    for line in reversed(proc.stdout.decode().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    return None
+
+
+def config0():
+    """FP32 graph forward smoke — the reference's Test0 through the graph
+    layer (shape/stride invariants + a computed expression)."""
+    import jax.numpy as jnp
+
+    from ggmlsharp_tpu.graph import (build_forward, leaf, set_f32,
+                                     get_f32_1d)
+    from ggmlsharp_tpu.graph import builders as B
+
+    t0 = time.perf_counter()
+    x = leaf(jnp.zeros((3, 4), jnp.float32))
+    y = leaf(jnp.zeros((3, 4), jnp.float32))
+    f = B.sum(B.mul(B.add(x, y), x))
+    g = build_forward(f)
+    set_f32(x, 2.0)
+    set_f32(y, 1.0)
+    g.compute()
+    val = get_f32_1d(f, 0)
+    import math
+
+    ok = (abs(val - (2.0 + 1.0) * 2.0 * 12) < 1e-5
+          and tuple(x.shape) == (3, 4)
+          and math.prod(f.shape) == 1)  # ggml sum → scalar tensor
+    _emit(0, "fp32 graph forward smoke", ok=bool(ok), value=float(val),
+          seconds=round(time.perf_counter() - t0, 2))
+    return ok
+
+
+def config1(scale):
+    model = "gpt2-124m" if scale == "full" else "gpt2-tiny"
+    steps = "24" if scale == "full" else "8"
+    r = _bench_child({"BENCH_MODEL": model, "BENCH_FORMAT": "q8_0",
+                      "BENCH_STEPS": steps})
+    _emit(1, "Q8_0 GPT-2 decode", **(r or {"error": "bench failed"}))
+    return r is not None
+
+
+def config2(scale):
+    """Quantization-quality delta vs FP32 (ppl + KL over self-generated
+    text — no external data in this sandbox; the DELTA is the metric)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggmlsharp_tpu.dtypes import GType
+    from ggmlsharp_tpu.eval.perplexity import quantization_quality
+    from ggmlsharp_tpu.models import gpt2
+
+    t0 = time.perf_counter()
+    cfg = gpt2.GPT2_774M if scale == "full" else gpt2.GPT2_TINY
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg,
+                              dtype=jnp.float32)
+    out = {}
+    ok = True
+    for fmt in (GType.Q4_0, GType.Q4_1):
+        q = jax.jit(lambda p, f=fmt: gpt2.quantize_params(p, f))(params)
+        m = quantization_quality(
+            gpt2.forward, cfg, params, q,
+            n_tokens=256 if scale == "full" else 96,
+            chunk_len=128 if scale == "full" else 48)
+        out[fmt.name] = {k: round(float(v), 4) for k, v in m.items()}
+        ok = ok and abs(m["delta_ppl"]) < (0.1 if scale == "full" else 5.0)
+    _emit(2, "Q4_0/Q4_1 GPT-2 ppl delta vs FP32", ok=bool(ok), **out,
+          seconds=round(time.perf_counter() - t0, 1))
+    return ok
+
+
+def config3(scale):
+    model = "llama-7b" if scale == "full" else "llama-tiny"
+    ok = True
+    for fmt in ("q4_k", "q6_k"):
+        r = _bench_child({"BENCH_MODEL": model, "BENCH_FORMAT": fmt,
+                          "BENCH_INT8_KV": "1",
+                          "BENCH_STEPS": "24" if scale == "full" else "6"})
+        _emit(3, f"{fmt} {model} decode + INT8 KV",
+              **(r or {"error": "bench failed"}))
+        ok = ok and r is not None
+    return ok
+
+
+def config4(scale):
+    """Tensor-sharded decode + continuous batching. Emulated multi-host
+    here; --scale full prints the real-pod command instead of pretending."""
+    if scale == "full":
+        _emit(4, "2-host sharded serving",
+              note="run on each pod host: python scripts/scaling_bench.py "
+                   "--serve --real (and --real for the SPMD decode path); "
+                   "BASELINE bar: >=85% 1->2 host scaling")
+        return True
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/scaling_bench.py"),
+         "--serve", "--hosts", "2", "--devices-per-host", "4",
+         "--batch-per-host", "2", "--steps", "6"],
+        stdout=subprocess.PIPE, timeout=900)
+    line = next((ln for ln in proc.stdout.decode().splitlines()
+                 if ln.startswith("{")), None)
+    r = json.loads(line) if line else {"error": "scaling_bench failed"}
+    _emit(4, "emulated 2-host TP serving", **r)
+    return line is not None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=("tiny", "full"), default="tiny")
+    ap.add_argument("--configs", default="0,1,2,3,4")
+    args = ap.parse_args()
+
+    runners = {0: lambda: config0(), 1: lambda: config1(args.scale),
+               2: lambda: config2(args.scale),
+               3: lambda: config3(args.scale),
+               4: lambda: config4(args.scale)}
+    ok = True
+    for c in (int(x) for x in args.configs.split(",")):
+        ok = runners[c]() and ok
+    print(json.dumps({"ladder": "done", "all_ok": bool(ok)}), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
