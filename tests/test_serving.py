@@ -800,3 +800,55 @@ def test_gguf_export_rejects_swar_layout():
     q = gptj.quantize_params(params, GType.Q4_0, swar=True)
     with pytest.raises(ValueError, match="swar=False"):
         save_gguf_gptj("/tmp/never-written.gguf", cfg, q)
+
+
+def test_http_server_concurrent_mixed_load():
+    """Stress the threading model: 12 concurrent clients mixing blocking,
+    streaming, sampled, and logprob requests; every response is complete
+    and greedy ones match sequential decode."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from ggmlsharp_tpu.serving import EngineServer
+
+    params = _params()
+    srv = EngineServer(Engine(gpt2.forward, CFG, params, batch_slots=3),
+                       port=0).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    out = [None] * 12
+
+    def hit(i):
+        body = {"prompt": [1 + i % 5, 17], "max_new_tokens": 4 + i % 3}
+        if i % 4 == 1:
+            body["stream"] = True
+        if i % 4 == 2:
+            body.update(temperature=0.8, top_p=0.9)
+        if i % 4 == 3:
+            body["logprobs"] = True
+        req = urllib.request.Request(base + "/v1/generate",
+                                     data=_json.dumps(body).encode())
+        with urllib.request.urlopen(req, timeout=300) as r:
+            raw = r.read()
+        if body.get("stream"):
+            lines = [_json.loads(ln) for ln in raw.splitlines() if ln]
+            out[i] = lines[-1]
+        else:
+            out[i] = _json.loads(raw)
+
+    try:
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(12)]
+        [t.start() for t in threads]
+        [t.join(timeout=300) for t in threads]
+        assert all(o is not None and o["error"] is None for o in out), out
+        for i, o in enumerate(out):
+            want_n = 4 + i % 3
+            assert len(o["tokens"]) == want_n, (i, o)
+            if i % 4 == 0:  # plain greedy: deterministic
+                assert o["tokens"] == _sequential_greedy(
+                    params, [1 + i % 5, 17], want_n)
+            if i % 4 == 3:
+                assert len(o["logprobs"]) == want_n
+    finally:
+        srv.stop()
