@@ -5,10 +5,11 @@
 
 --draft: speculative continuous batching — a second (here: differently
 seeded) model drafts k tokens per tick, the target verifies them in one
-forward; output is bit-identical to plain greedy. --prefix: register a
-shared system prompt once and reuse its KV across requests. --top-p /
---penalty exercise the nucleus / repetition-penalty sampler stack;
---stream prints tokens from the per-token callback as they land.
+forward; greedy requests are bit-identical to plain greedy, sampled ones
+ride rejection sampling (distributed exactly as the target alone).
+--prefix: register a shared system prompt once and reuse its KV across
+requests. --top-p / --penalty exercise the nucleus / repetition-penalty
+sampler stack; --stream prints per-token callback output as it lands.
 """
 import argparse
 import os
@@ -63,9 +64,9 @@ def main():
             prompt=(([50, 51, 52, 53, 54, 55] if pid is not None else [])
                     + list(range(1, 2 + i % 7))),
             max_new_tokens=16 + 8 * (i % 3),
-            temperature=0.0 if args.draft else (0.7 if i % 2 else 0.0),
-            top_k=0 if args.draft else 40,
-            top_p=1.0 if args.draft else args.top_p,
+            temperature=0.7 if i % 2 else 0.0,
+            top_k=40 if i % 2 else 0,
+            top_p=args.top_p,
             repeat_penalty=1.0 if args.draft else args.penalty,
             prefix_id=pid,
             on_token=(lambda r, t: print(f"  [stream] req {r.id} -> {t}"))
