@@ -477,19 +477,9 @@ class Engine:
                 return
             self._seed[slot] = (req.prompt[-1], a0)
             return
-        self._prefill_slot(req, slot)
-        a0 = int(np.asarray(self._argmax(self._last_logits))[slot])
-        self._emit(req, a0)
-        if (req.eos_id is not None and a0 == req.eos_id) or \
-                len(req.out_tokens) >= req.max_new_tokens:
-            req.done = True
-            self.finished.append(req)
-            self.slots[slot] = None
-            self._free_slot(slot)
-            return
-        if len(req.prompt) > 1:
-            self._prefill_slot(req, slot, tokens=req.prompt[:-1], draft=True)
-        self._seed[slot] = (req.prompt[-1], a0)
+        # plain (no-prefix) spec admissions never reach here — _admit
+        # batches them through _admit_spec_batch
+        raise AssertionError("unreachable: plain spec admission")
 
     def _spec_tick(self) -> bool:
         """One speculative engine tick: ONE draft-chain + verify round for
