@@ -44,6 +44,7 @@ class Request:
     repeat_penalty: float = 1.0
     repeat_last_n: int = 64
     eos_id: int | None = None
+    stop: list | None = None  # stop sequences: list of token-id lists
     prefix_id: int | None = None  # Engine.register_prefix handle
     on_token: object = None  # streaming callback: on_token(req, token)
     want_logprobs: bool = False  # fill out_logprobs (plain engine only)
@@ -51,6 +52,19 @@ class Request:
     out_logprobs: list = field(default_factory=list)
     done: bool = False
     error: str | None = None
+
+
+def _stopped(req: Request) -> bool:
+    """True when the output ends with eos or any stop sequence."""
+    if req.out_tokens and req.eos_id is not None \
+            and req.out_tokens[-1] == req.eos_id:
+        return True
+    for seq in req.stop or ():
+        n = len(seq)
+        if n and len(req.out_tokens) >= n \
+                and req.out_tokens[-n:] == list(seq):
+            return True
+    return False
 
 
 def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048)) -> int:
@@ -468,7 +482,7 @@ class Engine:
                 self._prefill_slot(req, slot, tokens=suffix[:-1],
                                    start=plen, draft=True)
             self._emit(req, a0)
-            if (req.eos_id is not None and a0 == req.eos_id) or \
+            if _stopped(req) or \
                     len(req.out_tokens) >= req.max_new_tokens:
                 req.done = True
                 self.finished.append(req)
@@ -534,7 +548,7 @@ class Engine:
             for j in range(int(ne[i])):
                 tok = int(em[i, j])
                 self._emit(req, tok)
-                if (req.eos_id is not None and tok == req.eos_id) or \
+                if _stopped(req) or \
                         len(req.out_tokens) >= req.max_new_tokens:
                     req.done = True
                     break
@@ -708,7 +722,7 @@ class Engine:
             else:
                 a0 = int(gtoks[slot])
             self._emit(req, a0)
-            if (req.eos_id is not None and a0 == req.eos_id) or \
+            if _stopped(req) or \
                     len(req.out_tokens) >= req.max_new_tokens:
                 req.done = True
                 self.finished.append(req)
@@ -826,8 +840,7 @@ class Engine:
                         self._last_logits, jnp.int32(i), keys[i])))
             self._emit(req, tok)
             toks[i, 0] = tok
-            if (req.eos_id is not None and tok == req.eos_id) or \
-                    len(req.out_tokens) >= req.max_new_tokens:
+            if _stopped(req) or len(req.out_tokens) >= req.max_new_tokens:
                 req.done = True
         if any(s_ is not None and s_.want_logprobs for s_ in self.slots):
             lps = np.asarray(self._logprob_of(

@@ -100,6 +100,7 @@ class EngineServer:
                 repeat_penalty=float(body.get("repeat_penalty", 1.0)),
                 repeat_last_n=int(body.get("repeat_last_n", 64)),
                 eos_id=body.get("eos_id"),
+                stop=body.get("stop"),
                 prefix_id=body.get("prefix_id"),
                 on_token=on_token,
                 want_logprobs=bool(body.get("logprobs", False)),

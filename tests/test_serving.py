@@ -852,3 +852,38 @@ def test_http_server_concurrent_mixed_load():
                 assert len(o["logprobs"]) == want_n
     finally:
         srv.stop()
+
+
+def test_stop_sequences():
+    """Multi-token stop sequences end generation at the matching suffix,
+    in both the plain and speculative engines."""
+    params = _params()
+    base = _sequential_greedy(params, [5, 17, 99], 8)
+    stop = [base[2], base[3]]
+
+    def cut(seq, stops):  # expected output: truncate at first suffix hit
+        out = []
+        for t in seq:
+            out.append(t)
+            if any(len(out) >= len(x) and out[-len(x):] == x
+                   for x in stops):
+                return out
+        return out
+
+    want = cut(base, [stop])
+    assert len(want) < len(base)  # the stop actually fires
+
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=1)
+    eng.submit(Request(id=0, prompt=[5, 17, 99], max_new_tokens=8,
+                       stop=[stop]))
+    got = eng.run()[0].out_tokens
+    assert got == want, (got, want)
+
+    draft = gpt2.init_params(jax.random.PRNGKey(7), CFG, dtype=jnp.float32)
+    eng2 = Engine(gpt2.forward, CFG, params, batch_slots=1,
+                  draft_forward=gpt2.forward, draft_cfg=CFG,
+                  draft_params=draft, spec_k=3)
+    eng2.submit(Request(id=0, prompt=[5, 17, 99], max_new_tokens=8,
+                        stop=[stop]))
+    got2 = eng2.run()[0].out_tokens
+    assert got2 == want, (got2, want)
