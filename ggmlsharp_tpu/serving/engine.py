@@ -23,6 +23,7 @@ jax.distributed initialized (each host feeds its data-shard slots).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -100,7 +101,6 @@ class Engine:
         n_head_kv = getattr(cfg, "n_head_kv", cfg.n_head)
         self.max_len = max_len or cfg.n_ctx
         self.mesh = mesh
-        import os
 
         # flat cache → batched flash-decode kernel with per-slot prefix
         # lengths (kernels.attn_decode); INT8 KV dequantizes in-kernel
@@ -167,7 +167,7 @@ class Engine:
         """Shard a head-major KV cache's KV heads over the mesh "model"
         axis (slots stay host-addressable: batch axis replicated so the
         per-slot scatters in prefill/install never cross hosts)."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
         from ..parallel.sharding import shard_cache
 
@@ -423,11 +423,9 @@ class Engine:
         leave none."""
         cap = self.max_len - len(req.prompt) - self.spec_k - 2
         if cap <= 0:
-            req.done = True
-            req.error = (f"prompt length {len(req.prompt)} leaves no "
+            self._reject(req, f"prompt length {len(req.prompt)} leaves no "
                          f"speculative headroom (k={self.spec_k}, "
                          f"max_len={self.max_len})")
-            self.finished.append(req)
             return False
         req.max_new_tokens = min(req.max_new_tokens, cap)
         return True
@@ -439,28 +437,21 @@ class Engine:
         registered prefix, both models' stored rows are installed and only
         the suffix is prefilled (the draft one token short)."""
         if req.repeat_penalty != 1.0 or req.want_logprobs:
-            req.done = True
-            req.error = ("speculative engine supports temperature/top_k/"
-                         "top_p but not repeat_penalty/want_logprobs")
-            self.finished.append(req)
+            self._reject(req, "speculative engine supports temperature/"
+                         "top_k/top_p but not repeat_penalty/want_logprobs")
             return
         if req.temperature > 0 and req.prefix_id is not None:
-            req.done = True
-            req.error = "sampled speculative + prefix caching not supported"
-            self.finished.append(req)
+            self._reject(req,
+                         "sampled speculative + prefix caching not supported")
             return
         pfx = None
         if req.prefix_id is not None:
             pfx = self._prefixes.get(req.prefix_id)
             if pfx is None:
-                req.done = True
-                req.error = f"unknown prefix_id {req.prefix_id}"
-                self.finished.append(req)
+                self._reject(req, f"unknown prefix_id {req.prefix_id}")
                 return
             if req.prompt[: pfx["plen"]] != pfx["tokens"]:
-                req.done = True
-                req.error = "prompt does not start with prefix"
-                self.finished.append(req)
+                self._reject(req, "prompt does not start with prefix")
                 return
         if not self._validate_spec_cap(req):
             return
@@ -484,10 +475,7 @@ class Engine:
             self._emit(req, a0)
             if _stopped(req) or \
                     len(req.out_tokens) >= req.max_new_tokens:
-                req.done = True
-                self.finished.append(req)
-                self.slots[slot] = None
-                self._free_slot(slot)
+                self._finish_slot(req, slot)
                 return
             self._seed[slot] = (req.prompt[-1], a0)
             return
@@ -502,9 +490,7 @@ class Engine:
 
         for i, req in enumerate(self.slots):  # externally-cancelled slots
             if req is not None and req.done:
-                self.finished.append(req)
-                self.slots[i] = None
-                self._free_slot(i)
+                self._finish_slot(req, i)
         live = [r for r in self.slots if r is not None]
         if not live:
             return False
@@ -553,9 +539,7 @@ class Engine:
                     req.done = True
                     break
             if req.done:
-                self.finished.append(req)
-                self.slots[i] = None
-                self._free_slot(i)
+                self._finish_slot(req, i)
         return True
 
     # --- host loop -------------------------------------------------------
@@ -568,6 +552,17 @@ class Engine:
         self._n_emitted += 1
         if req.on_token is not None:
             req.on_token(req, tok)
+
+    def _reject(self, req: Request, error: str):
+        req.done, req.error = True, error
+        self.finished.append(req)
+
+    def _finish_slot(self, req: Request, slot: int):
+        """Retire a done request and free its slot (cache length reset)."""
+        req.done = True
+        self.finished.append(req)
+        self.slots[slot] = None
+        self._free_slot(slot)
 
     def cancel(self, request_id: int) -> bool:
         """Cancel a pending or live request (error='cancelled'); its slot
@@ -724,10 +719,7 @@ class Engine:
             self._emit(req, a0)
             if _stopped(req) or \
                     len(req.out_tokens) >= req.max_new_tokens:
-                req.done = True
-                self.finished.append(req)
-                self.slots[slot] = None
-                self._free_slot(slot)
+                self._finish_slot(req, slot)
                 continue
             self._seed[slot] = (req.prompt[-1], a0)
             if len(req.prompt) > 1:
@@ -744,12 +736,8 @@ class Engine:
                 if len(req.prompt) >= self.max_len:
                     # would overflow the cache inside the jitted prefill —
                     # reject up front (caller sees done=True, no tokens)
-                    req.done = True
-                    req.error = (
-                        f"prompt length {len(req.prompt)} >= max_len "
-                        f"{self.max_len}"
-                    )
-                    self.finished.append(req)
+                    self._reject(req, f"prompt length {len(req.prompt)} "
+                                 f">= max_len {self.max_len}")
                     continue
                 if len(req.prompt) + req.max_new_tokens > self.max_len:
                     req.max_new_tokens = self.max_len - len(req.prompt)
@@ -766,15 +754,12 @@ class Engine:
                 if req.prefix_id is not None:
                     pfx = self._prefixes.get(req.prefix_id)
                     if pfx is None:
-                        req.done = True
-                        req.error = f"unknown prefix_id {req.prefix_id}"
-                        self.finished.append(req)
+                        self._reject(req,
+                                     f"unknown prefix_id {req.prefix_id}")
                         continue
                     plen = pfx["plen"]
                     if req.prompt[:plen] != pfx["tokens"]:
-                        req.done = True
-                        req.error = "prompt does not start with prefix"
-                        self.finished.append(req)
+                        self._reject(req, "prompt does not start with prefix")
                         continue
                     self.slots[i] = req
                     self._install_prefix(pfx["t"], plen, i, plen)
@@ -868,13 +853,7 @@ class Engine:
 
         for i, req in enumerate(self.slots):
             if req is not None and req.done:
-                self.finished.append(req)
-                self.slots[i] = None
-                # slot length stays — next prefill overwrites it
-                self.cache = kvc.KVCache(
-                    self.cache.k, self.cache.v, self.cache.k_scale,
-                    self.cache.v_scale, self.cache.length.at[i].set(0),
-                )
+                self._finish_slot(req, i)
         return True
 
     def run(self):
