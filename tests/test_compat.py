@@ -110,3 +110,42 @@ def test_quant_registry_complete():
     assert reg[G.Q4_3].quantize_row is not None  # empty in the reference
     assert reg[G.Q8_1].dequantize_row is not None  # null TODO in the reference
     assert reg[G.Q4_K].vec_dot_type == G.Q8_K
+
+
+def test_graph_api_transformer_decodes():
+    """The ggml-style graph API expresses a full transformer (the ops the
+    reference stubbed are first-class): build once, re-set leaf data,
+    recompute — greedy decode is deterministic across rebuilds."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graph_transformer",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "graph_transformer.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import numpy as np
+    import jax
+    from ggmlsharp_tpu.graph import set_data
+
+    def decode(seed):
+        tok, graph, logits = mod.build_model(jax.random.PRNGKey(seed), S=16)
+        toks = [5, 17, 33]
+        for _ in range(4):
+            padded = np.zeros((16,), np.int32)
+            padded[: len(toks)] = toks[-16:]
+            set_data(tok, padded)
+            graph.compute()
+            row = np.asarray(logits.data)[len(toks) - 1]
+            assert np.isfinite(row).all()
+            toks.append(int(row.argmax()))
+        return toks[3:]
+
+    a = decode(0)
+    b = decode(0)  # fresh graph, same weights → same decode
+    c = decode(1)  # different weights → (almost surely) different path
+    assert a == b
+    assert len(a) == 4 and all(0 <= t < 96 for t in a)
+    assert a != c or True  # c only sanity-executes
