@@ -440,10 +440,6 @@ class Engine:
             self._reject(req, "speculative engine supports temperature/"
                          "top_k/top_p but not repeat_penalty/want_logprobs")
             return
-        if req.temperature > 0 and req.prefix_id is not None:
-            self._reject(req,
-                         "sampled speculative + prefix caching not supported")
-            return
         pfx = None
         if req.prefix_id is not None:
             pfx = self._prefixes.get(req.prefix_id)
@@ -462,9 +458,16 @@ class Engine:
             self._install_prefix(pfx["t"], plen, slot, plen)
             if suffix:
                 self._prefill_slot(req, slot, tokens=suffix, start=plen)
-                a0 = int(np.asarray(self._argmax(self._last_logits))[slot])
+            else:  # prompt == prefix: stored last logits are the sampler row
+                self._last_logits = self._last_logits.at[slot].set(
+                    pfx["t"]["last"])
+            if req.temperature > 0:
+                fn, _ = self._slot_sampler(req)
+                self._rng, sub = jax.random.split(self._rng)
+                a0 = int(np.asarray(fn(
+                    self._last_logits, jnp.int32(slot), sub)))
             else:
-                a0 = int(np.asarray(pfx["t"]["last"]).argmax())
+                a0 = int(np.asarray(self._argmax(self._last_logits))[slot])
             # draft holds history[0:P-1]: prefix rows, minus the last
             # token when the prompt IS the prefix
             self._install_prefix(pfx["d"], plen, slot,

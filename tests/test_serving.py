@@ -887,3 +887,28 @@ def test_stop_sequences():
                         stop=[stop]))
     got2 = eng2.run()[0].out_tokens
     assert got2 == want, (got2, want)
+
+
+def test_spec_sampled_with_prefix_caching():
+    """Sampled speculative requests over a registered prefix: top_k=1
+    collapses to greedy, so output must equal the plain prefix-cached
+    engine — including prompt == prefix."""
+    params = _params()
+    draft = gpt2.init_params(jax.random.PRNGKey(7), CFG, dtype=jnp.float32)
+    prefix = [9, 42, 17, 5, 60]
+    prompts = [prefix + [7, 1], prefix, prefix + [3]]
+    n_new = 5
+
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2,
+                 draft_forward=gpt2.forward, draft_cfg=CFG,
+                 draft_params=draft, spec_k=2)
+    pid = eng.register_prefix(prefix)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=n_new,
+                           prefix_id=pid, temperature=0.9, top_k=1))
+    got = {r.id: r for r in eng.run()}
+
+    for i, p in enumerate(prompts):
+        assert got[i].error is None, got[i].error
+        want = _sequential_greedy(params, p, n_new)
+        assert got[i].out_tokens == want, (i, got[i].out_tokens, want)
