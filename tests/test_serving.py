@@ -912,3 +912,30 @@ def test_spec_sampled_with_prefix_caching():
         assert got[i].error is None, got[i].error
         want = _sequential_greedy(params, p, n_new)
         assert got[i].out_tokens == want, (i, got[i].out_tokens, want)
+
+
+def test_prefix_caching_int8_kv():
+    """Prefix rows install into INT8 KV caches (quantized values + scale
+    planes both scattered); decode matches the no-prefix INT8 engine."""
+    from ggmlsharp_tpu.models import llama
+
+    lcfg = llama.LlamaConfig(n_vocab=128, n_ctx=96, n_embd=256, n_head=4,
+                             n_head_kv=2, n_layer=2, n_ff=512)
+    params = llama.init_params(jax.random.PRNGKey(2), lcfg,
+                               dtype=jnp.float32)
+    prefix = [9, 42, 17, 5, 60]
+    prompts = [prefix + [7, 1], prefix + [3, 3, 3]]
+    n_new = 5
+
+    def run(use_prefix):
+        eng = Engine(llama.forward, lcfg, params, batch_slots=2,
+                     cache_dtype=jnp.float32, int8_kv=True)
+        pid = eng.register_prefix(prefix) if use_prefix else None
+        for i, p in enumerate(prompts):
+            eng.submit(Request(id=i, prompt=p, max_new_tokens=n_new,
+                               prefix_id=pid))
+        return {r.id: r.out_tokens for r in eng.run()}
+
+    plain = run(False)
+    cached = run(True)
+    assert cached == plain, (cached, plain)
