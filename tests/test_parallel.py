@@ -323,3 +323,32 @@ def test_engine_tensor_parallel_speculative():
         eng.submit(Request(id=i, prompt=p, max_new_tokens=5))
     got = {r.id: r.out_tokens for r in eng.run()}
     assert got == want, (got, want)
+
+
+def test_engine_tp_prefix_caching():
+    """Prefix rows install into the model-axis-sharded KV cache; decode
+    parity with the unsharded prefix-cached engine."""
+    from ggmlsharp_tpu.models import llama
+    from ggmlsharp_tpu.parallel import sharding as shd
+    from ggmlsharp_tpu.serving import Engine, Request
+
+    cfg = llama.TINY_LLAMA
+    params = llama.init_params(jax.random.PRNGKey(0), cfg,
+                               dtype=jnp.float32)
+    prefix = [3, 7, 11, 2]
+    prompts = [prefix + [5], prefix]
+
+    def run(mesh, p):
+        eng = Engine(llama.forward, cfg, p, batch_slots=2,
+                     cache_dtype=jnp.float32, mesh=mesh)
+        pid = eng.register_prefix(prefix)
+        for i, pr in enumerate(prompts):
+            eng.submit(Request(id=i, prompt=pr, max_new_tokens=4,
+                               prefix_id=pid))
+        return {r.id: r.out_tokens for r in eng.run()}
+
+    want = run(None, params)
+    mesh = make_mesh(data=4, model=2)
+    sp = shd.shard_params(params, shd.llama_param_specs(), mesh)
+    got = run(mesh, sp)
+    assert got == want, (got, want)
