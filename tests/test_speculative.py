@@ -245,3 +245,22 @@ def test_sampled_spec_preserves_target_distribution(target_params,
                                  tv, kv_, pv))[0]
     tvd = 0.5 * np.abs(counts - want).sum()
     assert tvd < 0.12, tvd
+
+
+def test_spec_gptj_family():
+    """Speculative decoding over the GPT-J family (head-major cache,
+    parallel-residual forward): greedy-exact vs target-only decode."""
+    from ggmlsharp_tpu.models import gptj
+
+    cfg = gptj.TINY_GPTJ
+    tp = gptj.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    dp = gptj.init_params(jax.random.PRNGKey(9), cfg, dtype=jnp.float32)
+    prompt = jnp.asarray([[5, 17, 99]], jnp.int32)
+    n = 10
+    ref = _greedy_reference(gptj, cfg, tp, prompt, n)
+    toks, rate = speculative_generate(
+        gptj.forward, cfg, tp, gptj.forward, cfg, dp, prompt,
+        gptj.new_cache(cfg, 1, dtype=jnp.float32),
+        gptj.new_cache(cfg, 1, dtype=jnp.float32), n, k=3)
+    assert np.asarray(toks).tolist() == np.asarray(ref).tolist()
+    assert 1.0 <= rate <= 4.0
