@@ -80,7 +80,8 @@ class Engine:
                  max_len: int | None = None, cache_dtype=jnp.float32,
                  int8_kv: bool = False, rng_seed: int = 0,
                  draft_forward=None, draft_cfg=None, draft_params=None,
-                 spec_k: int = 4, mesh=None):
+                 spec_k: int = 4, mesh=None,
+                 prefill_chunk: int | None = None):
         """draft_forward/draft_cfg/draft_params: enable SPECULATIVE
         continuous batching — every tick runs one draft-propose/target-verify
         round across all live slots (models.speculative), emitting 1..k+1
@@ -93,7 +94,13 @@ class Engine:
         .shard_params); the engine shards its KV cache's heads over the
         axis and GSPMD partitions every prefill/decode executable. Forces
         the head-major cache layout (the flat-cache pallas flash-decode
-        kernel is single-chip; XLA attention partitions cleanly)."""
+        kernel is single-chip; XLA attention partitions cleanly).
+
+        prefill_chunk: split prompts longer than this into per-tick chunks
+        so one long admission cannot head-of-line-block decode for live
+        slots (chunked prefill; plain engine only — spec mode prefills
+        whole prompts). Chunks ride the suffix-prefill machinery (traced
+        start offset, cached-prefix attention)."""
         self.forward = forward
         self.cfg = cfg
         self.params = params
@@ -124,6 +131,8 @@ class Engine:
         self._prefixes: dict[int, dict] = {}
         self._compiled_install: dict[int, object] = {}
         self._next_prefix_id = 0
+        self.prefill_chunk = prefill_chunk
+        self._chunking: dict[int, int] = {}  # slot → next prompt offset
         self._n_ticks = self._n_emitted = self._n_prefills = 0
         self._t_first = None
         self._step = self._make_step()
@@ -774,12 +783,32 @@ class Engine:
                             pfx["t"]["last"])
                     continue
                 self.slots[i] = req
-                plain.append((req, i))
+                if (self.prefill_chunk
+                        and len(req.prompt) > self.prefill_chunk):
+                    self._chunking[i] = 0  # chunked prefill, one per tick
+                else:
+                    plain.append((req, i))
                 break  # slot filled; prefill happens batched below
         if plain:
             self._prefill_group(plain)
         if spec_plain:
             self._admit_spec_batch(spec_plain)
+
+    def _advance_chunks(self):
+        """Prefill ONE chunk per chunking slot per tick; a slot joins
+        decode the tick after its last chunk lands."""
+        for i, pos in list(self._chunking.items()):
+            req = self.slots[i]
+            if req is None or req.done:  # cancelled mid-prefill
+                del self._chunking[i]
+                continue
+            chunk = req.prompt[pos : pos + self.prefill_chunk]
+            self._prefill_slot(req, i, tokens=chunk, start=pos)
+            pos += len(chunk)
+            if pos >= len(req.prompt):
+                del self._chunking[i]  # _last_logits[i] now holds the end
+            else:
+                self._chunking[i] = pos
 
     def step_once(self):
         """One engine tick: admit, sample per live slot, batched decode.
@@ -792,23 +821,29 @@ class Engine:
         self._admit()
         if self.spec:
             return self._spec_tick()
+        if self._chunking:
+            self._advance_chunks()
         if all(s is None for s in self.slots):
             return False
+        if all(i in self._chunking
+               for i, s_ in enumerate(self.slots) if s_ is not None):
+            return True  # everything still prefilling; nothing to decode
 
         self._rng, sub = jax.random.split(self._rng)
         toks = np.zeros((self.B, 1), np.int32)
         # greedy penalty-free slots sample in ONE fused argmax dispatch
         # (a B-int fetch); only slots with sampling params fetch their
         # [V] logits row and sample host-side
-        greedy = [s is not None and s.temperature <= 0.0
-                  and s.repeat_penalty == 1.0 for s in self.slots]
-        fancy = [s is not None and not g
-                 for s, g in zip(self.slots, greedy)]
+        ready = [s is not None and i not in self._chunking
+                  for i, s in enumerate(self.slots)]
+        greedy = [r and s.temperature <= 0.0 and s.repeat_penalty == 1.0
+                  for r, s in zip(ready, self.slots)]
+        fancy = [r and not g for r, g in zip(ready, greedy)]
         gtoks = np.asarray(self._argmax(self._last_logits)) \
             if any(greedy) else None
         keys = jax.random.split(sub, self.B) if any(fancy) else None
         for i, req in enumerate(self.slots):
-            if req is None:
+            if req is None or not ready[i]:
                 continue
             if req.done:  # cancelled externally: no further tokens
                 continue
@@ -839,7 +874,8 @@ class Engine:
                     req.out_logprobs.append(float(lps[i]))
 
         active = jnp.asarray(
-            [[s is not None and not s.done] for s in self.slots], bool
+            [[s is not None and not s.done and i not in self._chunking]
+             for i, s in enumerate(self.slots)], bool
         )[:, 0]
         # host-side length bucket: attention reads only the live prefix;
         # one decode executable per bucket

@@ -939,3 +939,47 @@ def test_prefix_caching_int8_kv():
     plain = run(False)
     cached = run(True)
     assert cached == plain, (cached, plain)
+
+
+def test_chunked_prefill_matches_full():
+    """prefill_chunk splits long admissions across ticks (decode for live
+    slots keeps progressing); outputs equal the unchunked engine."""
+    params = _params()
+    prompts = [[(i % 90) + 1 for i in range(11)], [5, 17],
+               [(i % 80) + 2 for i in range(9)], [7]]
+    n_new = 5
+
+    eng0 = Engine(gpt2.forward, CFG, params, batch_slots=2)
+    for i, p in enumerate(prompts):
+        eng0.submit(Request(id=i, prompt=p, max_new_tokens=n_new))
+    want = {r.id: r.out_tokens for r in eng0.run()}
+
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2, prefill_chunk=4)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(id=i, prompt=p, max_new_tokens=n_new))
+    got = {r.id: r.out_tokens for r in eng.run()}
+    assert got == want, (got, want)
+    # long prompts took multiple prefill dispatches
+    assert eng.stats()["prefill_dispatches"] > eng0.stats(
+    )["prefill_dispatches"]
+
+
+def test_chunked_prefill_interleaves_decode():
+    """While slot A chunks a long prompt, slot B must keep emitting —
+    the whole point of chunked prefill."""
+    params = _params()
+    order = []
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=2, prefill_chunk=2)
+    eng.submit(Request(id=0, prompt=[5, 17], max_new_tokens=6,
+                       on_token=lambda r, t: order.append(("short", t))))
+    eng.submit(Request(
+        id=1, prompt=[(i % 90) + 1 for i in range(12)], max_new_tokens=3,
+        on_token=lambda r, t: order.append(("long", t))))
+    got = {r.id: r for r in eng.run()}
+    assert got[0].error is None and got[1].error is None
+    # the short request emitted at least one token BEFORE the long one's
+    # first token (its 6-chunk prefill spans ~6 ticks)
+    kinds = [k for k, _ in order]
+    assert "short" in kinds[: kinds.index("long")], order
+    want1 = _sequential_greedy(params, got[1].prompt, 3)
+    assert got[1].out_tokens == want1
