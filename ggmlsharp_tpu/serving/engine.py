@@ -53,6 +53,10 @@ class Request:
     out_logprobs: list = field(default_factory=list)
     done: bool = False
     error: str | None = None
+    # latency instrumentation (engine-stamped, perf_counter seconds)
+    t_submit: float | None = None
+    t_first_token: float | None = None
+    t_done: float | None = None
 
 
 def _stopped(req: Request) -> bool:
@@ -556,23 +560,36 @@ class Engine:
 
     # --- host loop -------------------------------------------------------
     def submit(self, req: Request):
+        import time as _time
+
+        req.t_submit = _time.perf_counter()
         self.pending.append(req)
 
     def _emit(self, req: Request, tok: int):
         """Record one generated token and fire the streaming callback."""
+        if req.t_first_token is None:
+            import time as _time
+
+            req.t_first_token = _time.perf_counter()
         req.out_tokens.append(tok)
         self._n_emitted += 1
         if req.on_token is not None:
             req.on_token(req, tok)
 
+    def _finished(self, req: Request):
+        import time as _time
+
+        req.t_done = _time.perf_counter()
+        self.finished.append(req)
+
     def _reject(self, req: Request, error: str):
         req.done, req.error = True, error
-        self.finished.append(req)
+        self._finished(req)
 
     def _finish_slot(self, req: Request, slot: int):
         """Retire a done request and free its slot (cache length reset)."""
         req.done = True
-        self.finished.append(req)
+        self._finished(req)
         self.slots[slot] = None
         self._free_slot(slot)
 
@@ -582,12 +599,12 @@ class Engine:
         for j, r in enumerate(self.pending):
             if r.id == request_id:
                 r.done, r.error = True, "cancelled"
-                self.finished.append(self.pending.pop(j))
+                self._finished(self.pending.pop(j))
                 return True
         for i, r in enumerate(self.slots):
             if r is not None and r.id == request_id:
                 r.done, r.error = True, "cancelled"
-                self.finished.append(r)
+                self._finished(r)
                 self.slots[i] = None
                 self._free_slot(i)
                 return True
@@ -600,6 +617,10 @@ class Engine:
 
         dt = (_time.perf_counter() - self._t_first) \
             if self._t_first is not None else 0.0
+        done = [r for r in self.finished
+                if r.t_submit is not None and r.t_done is not None]
+        ttft = [r.t_first_token - r.t_submit for r in done
+                if r.t_first_token is not None]
         return {
             "ticks": self._n_ticks,
             "tokens_emitted": self._n_emitted,
@@ -608,6 +629,9 @@ class Engine:
             "live_slots": sum(s is not None for s in self.slots),
             "finished": len(self.finished),
             "tokens_per_s": (self._n_emitted / dt) if dt > 0 else 0.0,
+            "mean_ttft_s": (sum(ttft) / len(ttft)) if ttft else None,
+            "mean_latency_s": (sum(r.t_done - r.t_submit for r in done)
+                               / len(done)) if done else None,
         }
 
     def _make_prefill_many(self, bucket: int, G: int, draft: bool = False):

@@ -125,7 +125,7 @@ class EngineServer:
                 if r.id == rid:
                     r.done, r.error = True, "cancelled"
                     self.engine.pending.remove(r)
-                    self.engine.finished.append(r)
+                    self.engine._finished(r)
                     return True
             for r in self.engine.slots:
                 if r is not None and r.id == rid and not r.done:

@@ -983,3 +983,18 @@ def test_chunked_prefill_interleaves_decode():
     assert "short" in kinds[: kinds.index("long")], order
     want1 = _sequential_greedy(params, got[1].prompt, 3)
     assert got[1].out_tokens == want1
+
+
+def test_latency_stamps():
+    """Requests carry submit/first-token/done timestamps; stats reports
+    mean TTFT and latency over UNDRAINED finished requests."""
+    params = _params()
+    eng = Engine(gpt2.forward, CFG, params, batch_slots=1)
+    eng.submit(Request(id=0, prompt=[5, 17], max_new_tokens=3))
+    while eng.step_once():
+        pass
+    st = eng.stats()
+    assert st["mean_ttft_s"] is not None and st["mean_ttft_s"] > 0
+    assert st["mean_latency_s"] >= st["mean_ttft_s"]
+    r = eng.run()[0]  # drains finished
+    assert r.t_submit < r.t_first_token <= r.t_done
