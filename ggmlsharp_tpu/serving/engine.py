@@ -138,6 +138,8 @@ class Engine:
         self.prefill_chunk = prefill_chunk
         self._chunking: dict[int, int] = {}  # slot → next prompt offset
         self._n_ticks = self._n_emitted = self._n_prefills = 0
+        self._lat_sum = self._ttft_sum = 0.0
+        self._lat_n = self._ttft_n = 0
         self._t_first = None
         self._step = self._make_step()
         self._argmax = jax.jit(
@@ -580,6 +582,12 @@ class Engine:
         import time as _time
 
         req.t_done = _time.perf_counter()
+        if req.t_submit is not None:
+            self._lat_sum += req.t_done - req.t_submit
+            self._lat_n += 1
+            if req.t_first_token is not None:
+                self._ttft_sum += req.t_first_token - req.t_submit
+                self._ttft_n += 1
         self.finished.append(req)
 
     def _reject(self, req: Request, error: str):
@@ -617,10 +625,6 @@ class Engine:
 
         dt = (_time.perf_counter() - self._t_first) \
             if self._t_first is not None else 0.0
-        done = [r for r in self.finished
-                if r.t_submit is not None and r.t_done is not None]
-        ttft = [r.t_first_token - r.t_submit for r in done
-                if r.t_first_token is not None]
         return {
             "ticks": self._n_ticks,
             "tokens_emitted": self._n_emitted,
@@ -629,9 +633,10 @@ class Engine:
             "live_slots": sum(s is not None for s in self.slots),
             "finished": len(self.finished),
             "tokens_per_s": (self._n_emitted / dt) if dt > 0 else 0.0,
-            "mean_ttft_s": (sum(ttft) / len(ttft)) if ttft else None,
-            "mean_latency_s": (sum(r.t_done - r.t_submit for r in done)
-                               / len(done)) if done else None,
+            "mean_ttft_s": (self._ttft_sum / self._ttft_n)
+            if self._ttft_n else None,
+            "mean_latency_s": (self._lat_sum / self._lat_n)
+            if self._lat_n else None,
         }
 
     def _make_prefill_many(self, bucket: int, G: int, draft: bool = False):

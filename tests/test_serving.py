@@ -986,15 +986,16 @@ def test_chunked_prefill_interleaves_decode():
 
 
 def test_latency_stamps():
-    """Requests carry submit/first-token/done timestamps; stats reports
-    mean TTFT and latency over UNDRAINED finished requests."""
+    """Requests carry submit/first-token/done timestamps; stats
+    accumulates mean TTFT and latency across completed requests (drain-
+    independent)."""
     params = _params()
     eng = Engine(gpt2.forward, CFG, params, batch_slots=1)
     eng.submit(Request(id=0, prompt=[5, 17], max_new_tokens=3))
     while eng.step_once():
         pass
+    r = eng.run()[0]  # drains finished; stats must survive the drain
     st = eng.stats()
     assert st["mean_ttft_s"] is not None and st["mean_ttft_s"] > 0
     assert st["mean_latency_s"] >= st["mean_ttft_s"]
-    r = eng.run()[0]  # drains finished
     assert r.t_submit < r.t_first_token <= r.t_done
