@@ -805,7 +805,10 @@ class Engine:
                     self.slots[i] = req
                     self._install_prefix(pfx["t"], plen, i, plen)
                     suffix = req.prompt[plen:]
-                    if suffix:
+                    if (suffix and self.prefill_chunk
+                            and len(suffix) > self.prefill_chunk):
+                        self._chunking[i] = plen  # chunk the suffix
+                    elif suffix:
                         self._prefill_slot(req, i, tokens=suffix, start=plen)
                     else:  # prompt == prefix: reuse its stored last logits
                         self._last_logits = self._last_logits.at[i].set(

@@ -999,3 +999,27 @@ def test_latency_stamps():
     assert st["mean_ttft_s"] is not None and st["mean_ttft_s"] > 0
     assert st["mean_latency_s"] >= st["mean_ttft_s"]
     assert r.t_submit < r.t_first_token <= r.t_done
+
+
+def test_chunked_prefill_with_prefix():
+    """Long suffixes over a registered prefix chunk across ticks; parity
+    with the unchunked prefix-cached engine."""
+    params = _params()
+    prefix = [9, 42, 17, 5, 60]
+    prompts = [prefix + [(i % 80) + 1 for i in range(11)], prefix + [7]]
+    n_new = 4
+
+    def run(chunk):
+        eng = Engine(gpt2.forward, CFG, params, batch_slots=2,
+                     prefill_chunk=chunk)
+        pid = eng.register_prefix(prefix)
+        for i, p in enumerate(prompts):
+            eng.submit(Request(id=i, prompt=p, max_new_tokens=n_new,
+                               prefix_id=pid))
+        return {r.id: r.out_tokens for r in eng.run()}
+
+    want = run(None)
+    got = run(4)
+    assert got == want, (got, want)
+    for i, p in enumerate(prompts):  # and vs plain full prefill
+        assert want[i] == _sequential_greedy(params, p, n_new)
