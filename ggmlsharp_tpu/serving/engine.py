@@ -137,6 +137,9 @@ class Engine:
         self._next_prefix_id = 0
         self.prefill_chunk = prefill_chunk
         self._chunking: dict[int, int] = {}  # slot → next prompt offset
+        # spec chunking: slot → (phase "t"|"d", next offset); target chunks
+        # first, then draft chunks of prompt[:-1], then finalize (a0+seed)
+        self._spec_chunking: dict[int, tuple] = {}
         self._n_ticks = self._n_emitted = self._n_prefills = 0
         self._lat_sum = self._ttft_sum = 0.0
         self._lat_n = self._ttft_n = 0
@@ -501,17 +504,74 @@ class Engine:
         # batches them through _admit_spec_batch
         raise AssertionError("unreachable: plain spec admission")
 
+    def _advance_spec_chunks(self):
+        """One chunk per chunking spec slot per tick: target chunks, then
+        draft chunks of prompt[:-1], then finalize (first token + seed —
+        the round invariants from _admit_spec_batch)."""
+        for i, (phase, pos) in list(self._spec_chunking.items()):
+            req = self.slots[i]
+            if req is None or req.done:  # cancelled mid-prefill
+                del self._spec_chunking[i]
+                continue
+            if phase == "t":
+                chunk = req.prompt[pos : pos + self.prefill_chunk]
+                self._prefill_slot(req, i, tokens=chunk, start=pos)
+                pos += len(chunk)
+                if pos < len(req.prompt):
+                    self._spec_chunking[i] = ("t", pos)
+                    continue
+                phase, pos = ("d", 0) if len(req.prompt) > 1 else ("f", 0)
+            if phase == "d":
+                dtoks = req.prompt[:-1]
+                chunk = dtoks[pos : pos + self.prefill_chunk]
+                self._prefill_slot(req, i, tokens=chunk, start=pos,
+                                   draft=True)
+                pos += len(chunk)
+                if pos < len(dtoks):
+                    self._spec_chunking[i] = ("d", pos)
+                    continue
+            # finalize: draft prefills never touch _last_logits, so the
+            # slot row still holds the last TARGET chunk's logits. Re-pin
+            # both cache lengths absolutely: rounds that ran during the
+            # draft phase drift the (garbage) lengths of chunking slots
+            P = len(req.prompt)
+            self.cache = kvc.KVCache(
+                self.cache.k, self.cache.v, self.cache.k_scale,
+                self.cache.v_scale, self.cache.length.at[i].set(P))
+            self.d_cache = kvc.KVCache(
+                self.d_cache.k, self.d_cache.v, self.d_cache.k_scale,
+                self.d_cache.v_scale, self.d_cache.length.at[i].set(P - 1))
+            del self._spec_chunking[i]
+            if req.temperature > 0:
+                fn, _ = self._slot_sampler(req)
+                self._rng, sub = jax.random.split(self._rng)
+                a0 = int(np.asarray(fn(
+                    self._last_logits, jnp.int32(i), sub)))
+            else:
+                a0 = int(np.asarray(self._argmax(self._last_logits))[i])
+            self._emit(req, a0)
+            if _stopped(req) or len(req.out_tokens) >= req.max_new_tokens:
+                self._finish_slot(req, i)
+                continue
+            self._seed[i] = (req.prompt[-1], a0)
+
     def _spec_tick(self) -> bool:
         """One speculative engine tick: ONE draft-chain + verify round for
-        all live slots; each emits 1..k+1 tokens (per-slot accept counts)."""
+        all live slots; each emits 1..k+1 tokens (per-slot accept counts).
+        Chunking slots advance one prefill chunk instead and sit out the
+        round (their cache rows past the chunk boundary are garbage the
+        next chunk/round overwrites — the length-masking design)."""
         from ..models.sampling import length_bucket
 
         for i, req in enumerate(self.slots):  # externally-cancelled slots
             if req is not None and req.done:
                 self._finish_slot(req, i)
-        live = [r for r in self.slots if r is not None]
+        if self._spec_chunking:
+            self._advance_spec_chunks()
+        live = [r for i, r in enumerate(self.slots)
+                if r is not None and i not in self._spec_chunking]
         if not live:
-            return False
+            return bool(self._spec_chunking)
         hmax = max(len(r.prompt) + len(r.out_tokens) for r in live)
         t_eff = length_bucket(min(hmax + self.spec_k + 2, self.max_len),
                               self.max_len)
@@ -547,7 +607,7 @@ class Engine:
         em, ne = np.asarray(emitted), np.asarray(n_emit)
         self._seed = np.array(seed)  # writable copy — admits update rows
         for i, req in enumerate(self.slots):
-            if req is None:
+            if req is None or i in self._spec_chunking:
                 continue
             for j in range(int(ne[i])):
                 tok = int(em[i, j])
@@ -790,7 +850,11 @@ class Engine:
                         self._admit_spec(req, i)
                     elif self._validate_spec_cap(req):
                         self.slots[i] = req
-                        spec_plain.append((req, i))
+                        if (self.prefill_chunk
+                                and len(req.prompt) > self.prefill_chunk):
+                            self._spec_chunking[i] = ("t", 0)
+                        else:
+                            spec_plain.append((req, i))
                     continue
                 if req.prefix_id is not None:
                     pfx = self._prefixes.get(req.prefix_id)

@@ -1023,3 +1023,28 @@ def test_chunked_prefill_with_prefix():
     assert got == want, (got, want)
     for i, p in enumerate(prompts):  # and vs plain full prefill
         assert want[i] == _sequential_greedy(params, p, n_new)
+
+
+def test_spec_chunked_prefill():
+    """Speculative engine with prefill_chunk: long prompts chunk (target
+    then draft) while other slots keep speculating; greedy output equals
+    the unchunked spec engine AND plain greedy."""
+    params = _params()
+    draft = gpt2.init_params(jax.random.PRNGKey(7), CFG, dtype=jnp.float32)
+    prompts = [[(i % 90) + 1 for i in range(13)], [5, 17],
+               [(i % 70) + 3 for i in range(9)]]
+    n_new = 5
+
+    def run(chunk):
+        eng = Engine(gpt2.forward, CFG, params, batch_slots=2,
+                     draft_forward=gpt2.forward, draft_cfg=CFG,
+                     draft_params=draft, spec_k=3, prefill_chunk=chunk)
+        for i, p in enumerate(prompts):
+            eng.submit(Request(id=i, prompt=p, max_new_tokens=n_new))
+        return {r.id: r.out_tokens for r in eng.run()}
+
+    want = run(None)
+    got = run(4)
+    assert got == want, (got, want)
+    for i, p in enumerate(prompts):
+        assert want[i] == _sequential_greedy(params, p, n_new), i
