@@ -76,11 +76,16 @@ def _onehot(E, H, D, shape, head_axis, layout="heads"):
     jax.jit, static_argnames=("H", "D", "n_rep", "Tc", "layout"))
 def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
                        layout="heads", ks=None, vs=None):
-    """q: (B·n_rep, E_kv) f32 PRE-SCALED sub-queries; kn/vn: (B, E_kv)
+    """q: (B, n_rep, E_kv) f32 PRE-SCALED sub-queries; kn/vn: (B, 1, E_kv)
     fresh rows; kc/vc: (B, T, E_kv) flat cache (row npast[b] stale per
     slot); npast: (B,) int32. ks/vs: optional (B, T, H) f32 per-(token,
     head) scales for INT8 caches — expanded to lanes in-kernel with one
-    one-hot MXU dot per chunk. Returns (B·n_rep, E_kv)."""
+    one-hot MXU dot per chunk. Returns (B, n_rep, E_kv).
+
+    All per-slot operands ride a leading slot axis blocked at 1 so the
+    LAST TWO block dims equal the array dims — real Mosaic rejects 2-D
+    blocks like (1, E) over (B, E) (sublane dim neither a multiple of 8
+    nor the full axis); interpret mode never checks this."""
     E = q.shape[-1]
     B, T = kc.shape[0], kc.shape[1]
     nch = T // Tc
@@ -104,14 +109,16 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
 
+        q2 = q_ref[0]
+
         @pl.when(jc == 0)
         def _init():
-            knf = kn_ref[:].astype(jnp.float32)
+            knf = kn_ref[0].astype(jnp.float32)
             for r in range(n_rep):
                 # fresh token seeds the recurrence: weight exp(0) = 1
-                m_s[r : r + 1] = dot(knf * q_ref[r : r + 1], OH)
+                m_s[r : r + 1] = dot(knf * q2[r : r + 1], OH)
                 l_s[r : r + 1] = jnp.ones((1, H), jnp.float32)
-                a_s[r : r + 1] = vn_ref[:].astype(jnp.float32)
+                a_s[r : r + 1] = vn_ref[0].astype(jnp.float32)
 
         kf = kc_ref[0].astype(jnp.float32)
         vf = vc_ref[0].astype(jnp.float32)
@@ -121,7 +128,7 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
         idx = jc * Tc + jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0)
         live = (idx <= npast) & (idx != npast)  # stale fresh row excluded
         for r in range(n_rep):
-            S = dot(kf * q_ref[r : r + 1], OH)
+            S = dot(kf * q2[r : r + 1], OH)
             S = jnp.where(live, S, _NEG)
             m_old = m_s[r : r + 1]
             m_new = jnp.maximum(m_old, jnp.max(S, axis=0, keepdims=True))
@@ -136,19 +143,20 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
         @pl.when(jc == nch - 1)
         def _final():
             for r in range(n_rep):
-                o_ref[r : r + 1] = a_s[r : r + 1] / dot(
+                o_ref[0, r : r + 1] = a_s[r : r + 1] / dot(
                     l_s[r : r + 1], OHT)
 
     vspec = lambda shp, im: pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        vspec((n_rep, E), lambda jb, jc: (jb, 0)),
-        vspec((1, E), lambda jb, jc: (jb, 0)),
-        vspec((1, E), lambda jb, jc: (jb, 0)),
+        vspec((1, n_rep, E), lambda jb, jc: (jb, 0, 0)),
+        vspec((1, 1, E), lambda jb, jc: (jb, 0, 0)),
+        vspec((1, 1, E), lambda jb, jc: (jb, 0, 0)),
         vspec((1, Tc, E), lambda jb, jc: (jb, jc, 0)),
         vspec((1, Tc, E), lambda jb, jc: (jb, jc, 0)),
     ]
-    args = [npast, q, kn, vn, kc, vc]
+    args = [npast, q.reshape(B, n_rep, E), kn.reshape(B, 1, E),
+            vn.reshape(B, 1, E), kc, vc]
     if int8:
         in_specs += [vspec((1, Tc, H), lambda jb, jc: (jb, jc, 0)),
                      vspec((1, Tc, H), lambda jb, jc: (jb, jc, 0))]
@@ -157,8 +165,8 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
         kernel,
         grid=(B, nch),
         in_specs=in_specs,
-        out_specs=vspec((n_rep, E), lambda jb, jc: (jb, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * n_rep, E), jnp.float32),
+        out_specs=vspec((1, n_rep, E), lambda jb, jc: (jb, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n_rep, E), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((n_rep, H), jnp.float32),
             pltpu.VMEM((n_rep, H), jnp.float32),
