@@ -104,10 +104,16 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
         OHT = _onehot(E, H, D, (H, E), 0, layout)
 
         def dot(a, w):
+            # HIGHEST, not DEFAULT: every dot here has a one-hot operand
+            # (score reductions / head->lane broadcasts), so the MXU work is
+            # trivial next to the cache-read bandwidth — but DEFAULT rounds
+            # the f32 q·k products to bf16 before summing, and softmax
+            # amplifies that 2^-9 score noise past what XLA's own decode
+            # einsum produces (smoke: 1.67e-3 vs its 1e-3 bar on real v5e).
             return jax.lax.dot_general(
                 a, w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
+                precision=jax.lax.Precision.HIGHEST)
 
         q2 = q_ref[0]
 

@@ -447,7 +447,7 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
 
         acc = dot(xlo_ref[:], wlo) + dot(xhi_ref[:], whi)
         if caff is not None:
-            acc = acc + dot(xs_ref[:], caff)
+            acc = acc + dot(xs_ref[0], caff)
         o_ref[:] = o_ref[:] + acc
 
     grid = (n // tile, b // tile_b, nc)
@@ -456,7 +456,12 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_b, kc // 2), lambda i, jb, jc: (jb, jc),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_b, cc), lambda i, jb, jc: (jb, jc),
+        # xs rides as (nc, b, cc) with the k-chunk on a leading block-1 axis:
+        # real Mosaic requires the LAST TWO block dims divisible by (8, 128)
+        # or equal to the array dims — a 2-D (tile_b, cc) block over
+        # (b, nc*cc) violates the lane rule whenever K chunks (cc < 128),
+        # which interpret mode never checks (first seen on 7B shapes).
+        pl.BlockSpec((1, tile_b, cc), lambda i, jb, jc: (jc, jb, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((kc // 8, tile), lambda i, jb, jc: (jc, i),
                      memory_space=pltpu.VMEM),
@@ -616,7 +621,9 @@ def mul_mat_swar(a: QTensor, bx, quantize_acts: bool = True):
         # per-quant-block activation sums for the in-kernel affine fold
         # (offset/min terms ride one small MXU dot instead of per-element
         # VPU work) — block order matches the decoded scale rows
-        xs = x2.reshape(b, kp // block, block).sum(axis=-1)
+        kc_ = kp // nc
+        xs = x2.reshape(b, nc, kc_ // block, block).sum(axis=-1).transpose(
+            1, 0, 2)  # (nc, b, cc): chunk-major for the kernel's block-1 axis
         out = _call_kernel_swar(xlo, xhi, xs, dict(a.planes), a.gtype, n, kp,
                                 tile, nc, tile_b)
     if rpad:

@@ -486,3 +486,78 @@ def new_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16, int8=False,
     return kvc.init_cache(cfg.n_layer, batch, cfg.n_head_kv,
                           max_len or cfg.n_ctx, cfg.head_dim,
                           dtype=dtype, int8=int8, flat=flat)
+
+
+def _apply_block(blk, h_in, cfg: LlamaConfig):
+    """One llama block over a fresh sequence (positions 0..S-1, no cache):
+    the stage function for pipeline-parallel scoring/prefill. Math matches
+    the cached `forward` loop exactly (rms -> qkv -> rope -> causal
+    attention -> wo residual -> rms -> SwiGLU residual)."""
+    B, S = h_in.shape[0], h_in.shape[1]
+    positions = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    n_rep = cfg.n_head // cfg.n_head_kv
+    hd = cfg.head_dim
+    nq, nkv = cfg.n_head * hd, cfg.n_head_kv * hd
+    h = _rms(h_in, blk["attn_norm"], cfg.rms_eps)
+    if "wqkv" in blk:
+        qkv = linear(blk["wqkv"], h)
+        q = split_heads(qkv[..., :nq], cfg.n_head)
+        k = split_heads(qkv[..., nq : nq + nkv], cfg.n_head_kv)
+        v = split_heads(qkv[..., nq + nkv :], cfg.n_head_kv)
+    else:
+        q = split_heads(linear(blk["wq"], h), cfg.n_head)
+        k = split_heads(linear(blk["wk"], h), cfg.n_head_kv)
+        v = split_heads(linear(blk["wv"], h), cfg.n_head_kv)
+    rope = lambda t: jax.vmap(
+        lambda tb, pb: ops.rope(tb, pb, mode=cfg.rope_mode,
+                                base=cfg.rope_base),
+        in_axes=(0, 0))(t, positions)
+    q, k = rope(q), rope(k)
+    from .common import _einsum_attention
+
+    a = _einsum_attention(q, k, v, positions, n_rep, 0.0)
+    x = h_in + linear(blk["wo"], merge_heads(a).astype(q.dtype))
+    h = _rms(x, blk["ffn_norm"], cfg.rms_eps)
+    if "w_gate_up" in blk:
+        gu = linear(blk["w_gate_up"], h)
+        gate, up = gu[..., : cfg.n_ff], gu[..., cfg.n_ff :]
+        x = x + linear(blk["w_down"], ops.silu(gate) * up)
+    else:
+        gate = ops.silu(linear(blk["w_gate"], h))
+        x = x + linear(blk["w_down"], gate * linear(blk["w_up"], h))
+    return x
+
+
+def forward_pp(params, cfg: LlamaConfig, tokens, mesh, axis: str = "pipe",
+               n_micro: int | None = None):
+    """Pipeline-parallel scoring/prefill forward: the L blocks split into
+    mesh.shape[axis] contiguous stages, the batch into microbatches, and
+    activations flow stage-to-stage over the ICI ppermute ring
+    (parallel.pipeline.pipeline_forward — GPipe schedule; the 1F1B training
+    schedule over the same stage layout is pipeline_train_step). No KV
+    cache: every row attends its own fresh sequence from position 0, which
+    is the scoring/throughput-prefill regime PP targets — latency-bound
+    decode composes better with TP (parallel.sharding). Returns logits
+    f32 [B, S, n_vocab], identical to the sequential `forward`.
+
+    Requires uniform block structure (all-dense or all-fused layouts stack
+    along a leading L axis; cfg.n_layer divisible by the stage count, B by
+    n_micro)."""
+    from ..parallel.pipeline import pipeline_forward
+
+    x = ops.get_rows(params["tok_embd"], tokens)
+    x = x.astype(params["norm"].dtype)
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *params["blocks"])
+    x = pipeline_forward(
+        lambda blk, h: _apply_block(blk, h, cfg), stacked, x, mesh,
+        axis=axis, n_micro=n_micro)
+    x = _rms(x, params["norm"], cfg.rms_eps)
+    w_out = params["output"] if params["output"] is not None else \
+        params["tok_embd"]
+    if isinstance(w_out, QTensor):
+        logits = ops.mul_mat(w_out, x.astype(jnp.float32),
+                             quantize_acts=False)
+    else:
+        logits = ops.mul_mat_f(w_out, x)
+    return logits[..., : cfg.n_vocab].astype(jnp.float32)

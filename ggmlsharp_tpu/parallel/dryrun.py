@@ -120,6 +120,23 @@ def run(n_devices: int) -> None:
         assert float(lpp) == float(lpp), "1F1B loss is NaN"
         print(f"[dryrun] 1F1B pipeline train step ok: loss={float(lpp):.4f}")
 
+    # --- model-level pipeline-parallel scoring forward (llama blocks
+    # staged over a dedicated pipe mesh, GPipe microbatching) -------------
+    from jax.sharding import Mesh
+    import numpy as np
+
+    pipe_mesh = Mesh(np.array(devices).reshape(n_devices), ("pipe",))
+    pp_cfg = llama.LlamaConfig(
+        n_vocab=512, n_ctx=64, n_embd=256, n_head=8, n_head_kv=4,
+        n_layer=n_devices, n_ff=512)
+    fp = llama.init_params(jax.random.PRNGKey(8), pp_cfg, dtype=jnp.float32)
+    pp_toks = jax.random.randint(jax.random.PRNGKey(9), (4, 16), 0,
+                                 pp_cfg.n_vocab).astype(jnp.int32)
+    pp_logits = llama.forward_pp(fp, pp_cfg, pp_toks, pipe_mesh, n_micro=2)
+    jax.block_until_ready(pp_logits)
+    print(f"[dryrun] PP llama forward ok: logits {pp_logits.shape} "
+          f"over {n_devices} stages")
+
     # --- TP continuous-batching serving over the same mesh ---------------
     _run_serving(mesh, cfg)
 

@@ -103,6 +103,24 @@ def main():
         )(x)
         check(f"swar mm {g.name}", got, want, rtol=5e-2, atol=2e-1)
 
+    # --- SWAR chunked-K layout (nc > 1): k=11008 pads to 11264 and chunks
+    # kc=1024 (the 7B w_down/w_gate_up layout). Exercises the k-chunked
+    # BlockSpecs — notably the (nc, b, cc) affine-fold xs ride, whose 2-D
+    # form real Mosaic rejects (cc=32 lanes) while interpret mode passes.
+    w_ck = jnp.asarray(
+        rng.standard_normal((256, 11008)).astype(np.float32) * 0.5)
+    x_ck = jnp.asarray(rng.standard_normal((8, 11008)).astype(np.float32))
+    for g in (GType.Q4_0, GType.Q4_1):  # voff-only + min-plane affine folds
+        qw = jax.jit(lambda a, g=g: quantize(a, g))(w_ck)
+        qs = jax.jit(to_swar)(qw)
+        got = jax.jit(
+            lambda v, qs=qs: mul_mat_q_fused(qs, v, quantize_acts=False)
+        )(x_ck)
+        want = jax.jit(
+            lambda v, qw=qw: mul_mat_q(qw, v, quantize_acts=False)
+        )(x_ck)
+        check(f"swar chunked-K {g.name}", got, want, rtol=5e-2, atol=2e-1)
+
     # --- fused GELU-MLP megakernel (kernels.mlp_fused) ------------------
     from ggmlsharp_tpu.kernels.mlp_fused import (
         flash_ff_q8, fuse_mlp_q8, mlp_fuse_supported,

@@ -234,6 +234,40 @@ def test_pipeline_1f1b_train_step_matches_sequential():
                 rtol=1e-4, atol=1e-5, err_msg=f"{k} M={M}")
 
 
+def test_pipeline_llama_forward_matches_sequential():
+    """Model-level PP integration: llama.forward_pp (blocks staged over a
+    4-way pipe mesh, microbatched GPipe schedule) must match the sequential
+    cached forward's prefill logits."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ggmlsharp_tpu.models import llama
+
+    cfg = llama.LlamaConfig(
+        n_vocab=256, n_ctx=64, n_embd=128, n_head=4, n_head_kv=2,
+        n_layer=4, n_ff=256)
+    params = llama.init_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    B, S = 4, 16
+    toks = jax.random.randint(jax.random.PRNGKey(6), (B, S), 0,
+                              cfg.n_vocab).astype(jnp.int32)
+
+    cache = llama.new_cache(cfg, B, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    want, _ = llama.forward(params, cfg, toks, cache, pos)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("pipe",))
+    got = llama.forward_pp(params, cfg, toks, mesh, n_micro=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # fused-qkv layout stacks and pipelines too (2-stage split)
+    fused = llama.fuse_params(params)
+    mesh2 = Mesh(np.array(jax.devices()[:2]).reshape(2), ("pipe",))
+    got2 = llama.forward_pp(fused, cfg, toks, mesh2, n_micro=4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_engine_tensor_parallel_serving():
     """Engine(mesh=...): TP-sharded params + KV heads sharded over the
     model axis produce bit-identical outputs to the single-device engine,
