@@ -85,7 +85,8 @@ class Engine:
                  int8_kv: bool = False, rng_seed: int = 0,
                  draft_forward=None, draft_cfg=None, draft_params=None,
                  spec_k: int = 4, mesh=None,
-                 prefill_chunk: int | None = None):
+                 prefill_chunk: int | None = None,
+                 multi_step: int | None = None):
         """draft_forward/draft_cfg/draft_params: enable SPECULATIVE
         continuous batching — every tick runs one draft-propose/target-verify
         round across all live slots (models.speculative), emitting 1..k+1
@@ -104,7 +105,17 @@ class Engine:
         so one long admission cannot head-of-line-block decode for live
         slots (chunked prefill; plain engine only — spec mode prefills
         whole prompts). Chunks ride the suffix-prefill machinery (traced
-        start offset, cached-prefix attention)."""
+        start offset, cached-prefix attention).
+
+        multi_step: decode-window length W (default GGML_TPU_SERVE_MULTISTEP,
+        8; 1 disables). When every live slot is greedy and penalty-free and
+        nothing is pending/prefilling, the engine runs W decode steps in ONE
+        jit-resident while_loop dispatch and fetches a [B, W] token block —
+        amortizing the fixed host dispatch+fetch latency (the dominant tick
+        cost for small models) over W tokens per slot. Host-side stop
+        sequences / budgets truncate within the window (extra speculative
+        rows in a freed slot's cache are dead — the next admission's prefill
+        resets them); streaming callbacks fire in window-sized bursts."""
         self.forward = forward
         self.cfg = cfg
         self.params = params
@@ -144,6 +155,10 @@ class Engine:
         self._lat_sum = self._ttft_sum = 0.0
         self._lat_n = self._ttft_n = 0
         self._t_first = None
+        self.multi_step = (multi_step if multi_step is not None
+                           else int(os.environ.get(
+                               "GGML_TPU_SERVE_MULTISTEP", "8")))
+        self._multi = None  # built on first all-greedy window
         self._step = self._make_step()
         self._argmax = jax.jit(
             lambda l: jnp.argmax(l, axis=-1).astype(jnp.int32))
@@ -242,6 +257,109 @@ class Engine:
             return logits[:, -1, :], cache2
 
         return step
+
+    def _make_multi_step(self):
+        """W greedy decode steps in one dispatch (lax.while_loop — strict
+        carry aliasing keeps the KV cache in place, models.sampling
+        .generate_scan's formulation). Returns (last_logits, cache,
+        tokens [B, W], chosen-token logprobs [B, W])."""
+        fwd, cfg = self.forward, self.cfg
+        B = self.B
+
+        @partial(jax.jit, donate_argnums=(1,),
+                 static_argnames=("k", "t_eff"))
+        def multi(params, cache, last_logits, active, k, t_eff=None):
+            toks0 = jnp.zeros((B, k), jnp.int32)
+            lps0 = jnp.zeros((B, k), jnp.float32)
+
+            def cond(c):
+                return c[0] < k
+
+            def body(c):
+                i, logits, cache, toks, lps = c
+                tok = jnp.argmax(
+                    logits, axis=-1, keepdims=True).astype(jnp.int32)
+                lp = jnp.take_along_axis(
+                    jax.nn.log_softmax(logits, axis=-1), tok, axis=-1)
+                toks = jax.lax.dynamic_update_slice(toks, tok, (0, i))
+                lps = jax.lax.dynamic_update_slice(lps, lp, (0, i))
+                positions = cache.length[:, None]
+                lg, cache2 = fwd(params, cfg, tok, cache, positions,
+                                 prefix_bound=t_eff)
+                cache2 = kvc.KVCache(
+                    cache2.k, cache2.v, cache2.k_scale, cache2.v_scale,
+                    jnp.where(active, cache2.length, cache2.length - 1),
+                )
+                return i + 1, lg[:, -1, :], cache2, toks, lps
+
+            _, logits, cache, toks, lps = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), last_logits, cache, toks0, lps0))
+            return logits, cache, toks, lps
+
+        return multi
+
+    def _window_k(self, ready, greedy) -> int:
+        """Decode-window length for this tick: the configured multi_step
+        when EVERY live slot is greedy/penalty-free, nothing is pending or
+        prefilling, and the window fits both the cache headroom and at
+        least one slot's remaining budget — else 1 (single-token path).
+        All-or-nothing keeps the executable count at one per t_eff bucket."""
+        W = self.multi_step
+        if W <= 1 or self.pending or self._chunking:
+            return 1
+        if not any(ready) or ready != greedy:
+            return 1
+        occupied = [s for s in self.slots if s is not None]
+        if any(s.done for s in occupied):
+            return 1
+        L = max(len(s.prompt) + len(s.out_tokens) for s in occupied)
+        rem = max(s.max_new_tokens - len(s.out_tokens) for s in occupied)
+        if L + W > self.max_len or rem < W:
+            return 1
+        return W
+
+    def _multi_tick(self, k: int) -> bool:
+        """One W-token decode window across all live slots: single device
+        dispatch, single [B, W] host fetch; host-side emit/stop/budget
+        truncation per slot."""
+        import numpy as np
+
+        from ..models.sampling import length_bucket
+
+        if self._multi is None:
+            self._multi = self._make_multi_step()
+        active = jnp.asarray(
+            [s is not None and not s.done for s in self.slots], bool)
+        live = [len(s.prompt) + len(s.out_tokens)
+                for s in self.slots if s is not None]
+        t_eff = length_bucket(min(max(live) + k, self.max_len),
+                              self.max_len)
+        logits, self.cache, toks, lps = self._multi(
+            self.params, self.cache, self._last_logits, active, k=k,
+            t_eff=t_eff)
+        self._last_logits = logits
+        toks = np.asarray(toks)  # ONE fetch for the whole window
+        lps_np = None
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            for j in range(k):
+                if req.done:
+                    break
+                tok = int(toks[i, j])
+                self._emit(req, tok)
+                if req.want_logprobs:
+                    if lps_np is None:
+                        lps_np = np.asarray(lps)
+                    req.out_logprobs.append(float(lps_np[i, j]))
+                if _stopped(req) or \
+                        len(req.out_tokens) >= req.max_new_tokens:
+                    req.done = True
+        for i, req in enumerate(self.slots):
+            if req is not None and req.done:
+                self._finish_slot(req, i)
+        return True
 
     def _prefill_slot(self, req: Request, slot: int, tokens=None,
                       start: int = 0, draft: bool = False):
@@ -925,8 +1043,6 @@ class Engine:
                for i, s_ in enumerate(self.slots) if s_ is not None):
             return True  # everything still prefilling; nothing to decode
 
-        self._rng, sub = jax.random.split(self._rng)
-        toks = np.zeros((self.B, 1), np.int32)
         # greedy penalty-free slots sample in ONE fused argmax dispatch
         # (a B-int fetch); only slots with sampling params fetch their
         # [V] logits row and sample host-side
@@ -934,6 +1050,11 @@ class Engine:
                   for i, s in enumerate(self.slots)]
         greedy = [r and s.temperature <= 0.0 and s.repeat_penalty == 1.0
                   for r, s in zip(ready, self.slots)]
+        k = self._window_k(ready, greedy)
+        if k > 1:  # all-greedy W-token window: one dispatch, one fetch
+            return self._multi_tick(k)
+        self._rng, sub = jax.random.split(self._rng)
+        toks = np.zeros((self.B, 1), np.int32)
         fancy = [r and not g for r, g in zip(ready, greedy)]
         gtoks = np.asarray(self._argmax(self._last_logits)) \
             if any(greedy) else None
