@@ -86,7 +86,8 @@ class Engine:
                  draft_forward=None, draft_cfg=None, draft_params=None,
                  spec_k: int = 4, mesh=None,
                  prefill_chunk: int | None = None,
-                 multi_step: int | None = None):
+                 multi_step: int | None = None,
+                 stream_bursts: bool = False):
         """draft_forward/draft_cfg/draft_params: enable SPECULATIVE
         continuous batching — every tick runs one draft-propose/target-verify
         round across all live slots (models.speculative), emitting 1..k+1
@@ -109,13 +110,22 @@ class Engine:
 
         multi_step: decode-window length W (default GGML_TPU_SERVE_MULTISTEP,
         8; 1 disables). When every live slot is greedy and penalty-free and
-        nothing is pending/prefilling, the engine runs W decode steps in ONE
-        jit-resident while_loop dispatch and fetches a [B, W] token block —
-        amortizing the fixed host dispatch+fetch latency (the dominant tick
-        cost for small models) over W tokens per slot. Host-side stop
-        sequences / budgets truncate within the window (extra speculative
-        rows in a freed slot's cache are dead — the next admission's prefill
-        resets them); streaming callbacks fire in window-sized bursts."""
+        nothing is pending/prefilling, the engine runs up to W decode steps
+        in ONE jit-resident while_loop dispatch and fetches a [B, W] token
+        block — amortizing the fixed host dispatch+fetch latency (the
+        dominant tick cost for small models) over the window. The actual
+        window length is TRACED (one executable regardless): it clamps to
+        the SMALLEST remaining budget across live slots, so mixed-budget
+        batches never burn device steps a slot can't use. Host-side stop
+        sequences / eos still truncate within the window (extra rows in a
+        freed slot's cache are dead — the next admission's prefill resets
+        them).
+
+        stream_bursts: slots with an on_token streaming callback force the
+        single-step path by default, keeping per-token latency and cancel()
+        responsiveness for streaming clients (serving.server); pass True to
+        let streaming requests ride the window too (callbacks then fire in
+        window-sized bursts after each fetch)."""
         self.forward = forward
         self.cfg = cfg
         self.params = params
@@ -158,6 +168,7 @@ class Engine:
         self.multi_step = (multi_step if multi_step is not None
                            else int(os.environ.get(
                                "GGML_TPU_SERVE_MULTISTEP", "8")))
+        self.stream_bursts = stream_bursts
         self._multi = None  # built on first all-greedy window
         self._step = self._make_step()
         self._argmax = jax.jit(
@@ -259,21 +270,24 @@ class Engine:
         return step
 
     def _make_multi_step(self):
-        """W greedy decode steps in one dispatch (lax.while_loop — strict
-        carry aliasing keeps the KV cache in place, models.sampling
-        .generate_scan's formulation). Returns (last_logits, cache,
-        tokens [B, W], chosen-token logprobs [B, W])."""
+        """Up to W greedy decode steps in one dispatch (lax.while_loop —
+        strict carry aliasing keeps the KV cache in place, models.sampling
+        .generate_scan's formulation). The token/logprob buffers are sized
+        statically at W = self.multi_step; the trip count `n_steps` is
+        TRACED, so shorter windows (clamped to the smallest remaining
+        per-slot budget) reuse the SAME executable. Returns (last_logits,
+        cache, tokens [B, W], chosen-token logprobs [B, W]) — only the
+        first n_steps columns are meaningful."""
         fwd, cfg = self.forward, self.cfg
-        B = self.B
+        B, W = self.B, self.multi_step
 
-        @partial(jax.jit, donate_argnums=(1,),
-                 static_argnames=("k", "t_eff"))
-        def multi(params, cache, last_logits, active, k, t_eff=None):
-            toks0 = jnp.zeros((B, k), jnp.int32)
-            lps0 = jnp.zeros((B, k), jnp.float32)
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("t_eff",))
+        def multi(params, cache, last_logits, active, n_steps, t_eff=None):
+            toks0 = jnp.zeros((B, W), jnp.int32)
+            lps0 = jnp.zeros((B, W), jnp.float32)
 
             def cond(c):
-                return c[0] < k
+                return c[0] < n_steps
 
             def body(c):
                 i, logits, cache, toks, lps = c
@@ -300,11 +314,13 @@ class Engine:
         return multi
 
     def _window_k(self, ready, greedy) -> int:
-        """Decode-window length for this tick: the configured multi_step
-        when EVERY live slot is greedy/penalty-free, nothing is pending or
-        prefilling, and the window fits both the cache headroom and at
-        least one slot's remaining budget — else 1 (single-token path).
-        All-or-nothing keeps the executable count at one per t_eff bucket."""
+        """Decode-window length for this tick: up to the configured
+        multi_step when EVERY live slot is greedy/penalty-free, nothing is
+        pending or prefilling, and (unless stream_bursts) no live slot
+        streams — clamped to the SMALLEST remaining per-slot budget and the
+        cache headroom, so no slot ever oversteps its budget inside the
+        window. The clamp is a traced argument of one shared executable.
+        Returns 1 for the single-token path."""
         W = self.multi_step
         if W <= 1 or self.pending or self._chunking:
             return 1
@@ -313,11 +329,12 @@ class Engine:
         occupied = [s for s in self.slots if s is not None]
         if any(s.done for s in occupied):
             return 1
+        if not self.stream_bursts and \
+                any(s.on_token is not None for s in occupied):
+            return 1  # streaming wants per-token latency (ADVICE r2)
         L = max(len(s.prompt) + len(s.out_tokens) for s in occupied)
-        rem = max(s.max_new_tokens - len(s.out_tokens) for s in occupied)
-        if L + W > self.max_len or rem < W:
-            return 1
-        return W
+        rem = min(s.max_new_tokens - len(s.out_tokens) for s in occupied)
+        return max(1, min(W, rem, self.max_len - L))
 
     def _multi_tick(self, k: int) -> bool:
         """One W-token decode window across all live slots: single device
@@ -336,8 +353,8 @@ class Engine:
         t_eff = length_bucket(min(max(live) + k, self.max_len),
                               self.max_len)
         logits, self.cache, toks, lps = self._multi(
-            self.params, self.cache, self._last_logits, active, k=k,
-            t_eff=t_eff)
+            self.params, self.cache, self._last_logits, active,
+            jnp.int32(k), t_eff=t_eff)
         self._last_logits = logits
         toks = np.asarray(toks)  # ONE fetch for the whole window
         lps_np = None
