@@ -704,67 +704,112 @@ def _call_kernel(x_storage, planes, gtype, n, k, plane_keys, mode):
     )(x_storage, *plane_vals)
 
 
+_INT_DOT_VOFF = {GType.Q4_0: 8.0, GType.Q5_0: 16.0}
+_INT_DOT_Q5 = (GType.Q5_0, GType.Q5_1)
+_INT_DOT_M = (GType.Q4_1, GType.Q5_1)  # Q8_1 activations + m·s correction
+
+
 @functools.partial(
     jax.jit, static_argnames=("gtype", "n", "k", "qs_key")
 )
-def _call_int_dot_kernel(xq, da, planes, gtype, n, k, qs_key):
+def _call_int_dot_kernel(xq, da, xs, planes, gtype, n, k, qs_key):
     """Exact ggml integer-dot decode kernel (batch 1).
 
-    Implements vec_dot_q semantics natively (Ggml.cs:1125-1161, 1352-1381):
+    Implements vec_dot_q semantics natively (Ggml.cs:1125-1381):
     int8×int8 MACs accumulated in int32 per 32-block, then Σ_c dw·da·S_c in
     f32 — bit-faithful to llama.cpp's quantized dot up to f32 summation
     order. Works on storage-order chunks: S[n,c] = Σ_t w[n,tC+c]·x[tC+c] is
-    32 lane-wise integer FMAs; the Q4_0 −8 offset folds into the activation
-    block sums (the reference's Q8_1 `s` trick, Ggml.cs:805-821).
+    32 lane-wise integer FMAs; the Q4_0/Q5_0 value offsets (−8/−16) fold
+    into the activation block sums (the reference's Q8_1 `s` trick,
+    Ggml.cs:805-821). Q4_1/Q5_1 use Q8_1 activations: the min term rides as
+    Σ_c m_c·s_c with s = d8·Σq8 (`xs`, the reference's s0+s1); Q5_x
+    reinsert the per-element high bit from the qh mask plane (bit l = elem
+    l, so storage chunk t's high bits are (qh >> t) & 1).
     """
     C = k // 32
+    voff = _INT_DOT_VOFF.get(gtype, 0.0)
+    is_q5 = gtype in _INT_DOT_Q5
+    has_m = gtype in _INT_DOT_M
+    is_nib = gtype != GType.Q8_0
     # the pre-broadcast x tile (tile, k) int8 dominates VMEM; shrink for
     # long rows (k=11008 at tile 256 is ~770KB over the 16MB budget)
     tile = TILE_N if k <= 8192 else min(TILE_N, 128)
 
-    def kernel(xq_ref, da_ref, qs_ref, dp_ref, o_ref):
+    def kernel(xq_ref, da_ref, *refs):
         # x/da arrive PRE-BROADCAST to (TN, ·): Mosaic rejects the
         # (1,C)→(TN,C) sublane broadcast ("Invalid input layout").
         # Weights unpack CHUNK-WISE: storage chunk t lives in nibble plane
         # t//4, word range [(t%4)·C, (t%4+1)·C) — one shift+mask per chunk,
         # so no (TN, K) int32 intermediate ever materializes (a full unpack
         # blows VMEM at K=11008).
+        rest = list(refs)
+        xs_ref = rest.pop(0) if has_m else None
+        qs_ref = rest.pop(0)
+        qh_ref = rest.pop(0) if is_q5 else None
+        dp_ref = rest.pop(0)
+        mp_ref = rest.pop(0) if has_m else None
+        (o_ref,) = rest
         q_all = qs_ref[:]
+        qh_all = qh_ref[:] if is_q5 else None
         x_all = xq_ref[:]
         acc = jnp.zeros((tile, C), jnp.int32)
         xsum = jnp.zeros((tile, C), jnp.int32)
         for t in range(32):
             xc = x_all[:, t * C : (t + 1) * C].astype(jnp.int32)
-            if gtype == GType.Q4_0:
+            if is_nib:
                 word = q_all[:, (t % 4) * C : (t % 4 + 1) * C]
                 wc = ((word >> jnp.uint32(4 * (t // 4)))
                       & jnp.uint32(0xF)).astype(jnp.int32)
+                if is_q5:
+                    hb = ((qh_all >> jnp.uint32(t))
+                          & jnp.uint32(1)).astype(jnp.int32)
+                    wc = wc | (hb << 4)
             else:
                 wc = q_all[:, t * C : (t + 1) * C].astype(jnp.int32)
             acc = acc + wc * xc
-            if gtype == GType.Q4_0:
+            if voff:
                 xsum = xsum + xc
         eff = _decode_f16x2(dp_ref) * da_ref[:]  # (TN,C)*(TN,C) f32
         s = acc.astype(jnp.float32)
-        if gtype == GType.Q4_0:
-            s = s - 8.0 * xsum.astype(jnp.float32)
-        o_ref[:] = jnp.sum(eff * s, axis=1, keepdims=True)
+        if voff:
+            s = s - jnp.float32(voff) * xsum.astype(jnp.float32)
+        o = jnp.sum(eff * s, axis=1, keepdims=True)
+        if has_m:
+            o = o + jnp.sum(_decode_f16x2(mp_ref) * xs_ref[:],
+                            axis=1, keepdims=True)
+        o_ref[:] = o
 
     grid = (n // tile,)
     qs = planes[qs_key]
     xq = jnp.broadcast_to(xq, (tile, k))
     da = jnp.broadcast_to(da, (tile, C))
+    in_specs = [
+        pl.BlockSpec((tile, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [xq, da]
+    if has_m:  # Q8_1 activation block sums s = d8·Σq8 (pre-broadcast)
+        in_specs.append(pl.BlockSpec((tile, C), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.broadcast_to(xs, (tile, C)))
+    in_specs.append(pl.BlockSpec((tile, qs.shape[1]), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(qs)
+    if is_q5:
+        in_specs.append(pl.BlockSpec((tile, C), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(planes["qh"])
+    in_specs.append(pl.BlockSpec((tile, C // 2), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(planes["d_p"])
+    if has_m:
+        in_specs.append(pl.BlockSpec((tile, C // 2), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(planes["m_p"])
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, qs.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, C // 2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
@@ -774,31 +819,41 @@ def _call_int_dot_kernel(xq, da, planes, gtype, n, k, qs_key):
             bytes_accessed=qs.size * qs.dtype.itemsize + k + n * 4,
             transcendentals=0,
         ),
-    )(xq, da, qs, planes["d_p"])
+    )(*args)
 
 
 def int_dot_supported(a: QTensor, batch: int) -> bool:
-    if batch != 1 or a.gtype not in (GType.Q8_0, GType.Q4_0):
+    if batch != 1 or a.gtype not in (GType.Q8_0, GType.Q4_0, GType.Q4_1,
+                                     GType.Q5_0, GType.Q5_1):
         return False
     n, k = a.shape
     tile = TILE_N if k <= 8192 else min(TILE_N, 128)
+    if a.gtype in _INT_DOT_M and "m_p" not in a.planes:
+        return False
     return (n % tile == 0 and k % 64 == 0 and "d_p" in a.planes
             and k <= MAX_K_F32)
 
 
 def mul_mat_q_int_dot(a: QTensor, bx):
-    """Exact-ggml quantized matvec: activations quantized to Q8_0 (the
-    INIT-phase analog), integer block dots in-kernel."""
+    """Exact-ggml quantized matvec: activations quantized to Q8_0 — or
+    Q8_1 for the min-bearing formats (Q4_1/Q5_1), whose vec_dot needs the
+    block-sum correction s = d8·Σq8 (Ggml.cs:1165-1246) — integer block
+    dots in-kernel."""
     from ..quant.quantize import quantize
 
     n, k = a.shape
     x = jnp.asarray(bx, jnp.float32)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k)
-    aq = quantize(x2, GType.Q8_0)  # qs already storage-order int8
+    if a.gtype in _INT_DOT_M:
+        aq = quantize(x2, GType.Q8_1)
+        xs = aq["s"].astype(jnp.float32)
+    else:
+        aq = quantize(x2, GType.Q8_0)  # qs already storage-order int8
+        xs = None
     da = aq["d"].astype(jnp.float32)
     out = _call_int_dot_kernel(
-        aq["qs"], da, dict(a.planes), a.gtype, n, k,
+        aq["qs"], da, xs, dict(a.planes), a.gtype, n, k,
         "qs",
     )
     return out.reshape(n)[None].reshape(*lead, n)

@@ -340,6 +340,118 @@ static void dot_q4_0_q8_0(const uint8_t *wire_w, const float *xact,
     }
 }
 
+/* Q8_1 activation quantization: f32 d (no f16 round-trip) plus the stored
+ * block-sum correction s = d * Σq (the reference keeps s0/s1 halves whose
+ * sum is the same quantity). */
+static void quant_q8_1(const float *xact, int8_t *q8, float *dx, float *sx) {
+    for (int i = 0; i < K / QK; i++) {
+        float amax = 0.0f;
+        for (int j = 0; j < QK; j++)
+            if (fabsf(xact[i * QK + j]) > amax) amax = fabsf(xact[i * QK + j]);
+        float d = amax / 127.0f;
+        float id = d ? 1.0f / d : 0.0f;
+        dx[i] = d;
+        int sum = 0;
+        for (int j = 0; j < QK; j++) {
+            int v = (int)roundf(xact[i * QK + j] * id);
+            q8[i * QK + j] = (int8_t)v;
+            sum += v;
+        }
+        sx[i] = d * (float)sum;
+    }
+}
+
+static void dot_q4_1_q8_1(const uint8_t *wire_w, const float *xact,
+                          float *y) {
+    /* per block: d4·d8·Σ(q4·q8) + m4·s8  (q4 unsigned 0..15) */
+    int8_t q8[K];
+    float dx[K / QK], sx[K / QK];
+    quant_q8_1(xact, q8, dx, sx);
+    for (int r = 0; r < ROWS; r++) {
+        float sumf = 0.0f;
+        for (int i = 0; i < K / QK; i++) {
+            const uint8_t *w = wire_w + (r * K / QK + i) * 20;
+            uint16_t dh, mh;
+            memcpy(&dh, w, 2);
+            memcpy(&mh, w + 2, 2);
+            int sumi = 0;
+            for (int j = 0; j < QK / 2; j++) {
+                int v0 = w[4 + j] & 0xF;
+                int v1 = w[4 + j] >> 4;
+                sumi += v0 * q8[i * QK + j] + v1 * q8[i * QK + j + 16];
+            }
+            sumf += f16_to_f32(dh) * dx[i] * (float)sumi
+                    + f16_to_f32(mh) * sx[i];
+        }
+        y[r] = sumf;
+    }
+}
+
+static void dot_q5_0_q8_0(const uint8_t *wire_w, const float *xact,
+                          float *y) {
+    /* per block: d5·d8·Σ((nib|hbit<<4) − 16)·q8, qh bit l = elem l */
+    int8_t q8[K];
+    float dx[K / QK];
+    for (int i = 0; i < K / QK; i++) {
+        float amax = 0.0f;
+        for (int j = 0; j < QK; j++)
+            if (fabsf(xact[i * QK + j]) > amax) amax = fabsf(xact[i * QK + j]);
+        float d = amax / 127.0f;
+        float id = d ? 1.0f / d : 0.0f;
+        dx[i] = f16_to_f32(f32_to_f16(d));
+        for (int j = 0; j < QK; j++)
+            q8[i * QK + j] = (int8_t)roundf(xact[i * QK + j] * id);
+    }
+    for (int r = 0; r < ROWS; r++) {
+        float sumf = 0.0f;
+        for (int i = 0; i < K / QK; i++) {
+            const uint8_t *w = wire_w + (r * K / QK + i) * 22;
+            uint16_t dh;
+            uint32_t qh;
+            memcpy(&dh, w, 2);
+            memcpy(&qh, w + 2, 4);
+            int sumi = 0;
+            for (int j = 0; j < QK / 2; j++) {
+                int v0 = (int)((w[6 + j] & 0xF) | (((qh >> j) & 1) << 4)) - 16;
+                int v1 = (int)((w[6 + j] >> 4)
+                               | (((qh >> (j + 16)) & 1) << 4)) - 16;
+                sumi += v0 * q8[i * QK + j] + v1 * q8[i * QK + j + 16];
+            }
+            sumf += f16_to_f32(dh) * dx[i] * (float)sumi;
+        }
+        y[r] = sumf;
+    }
+}
+
+static void dot_q5_1_q8_1(const uint8_t *wire_w, const float *xact,
+                          float *y) {
+    /* per block: d5·d8·Σ(nib|hbit<<4)·q8 + m5·s8 */
+    int8_t q8[K];
+    float dx[K / QK], sx[K / QK];
+    quant_q8_1(xact, q8, dx, sx);
+    for (int r = 0; r < ROWS; r++) {
+        float sumf = 0.0f;
+        for (int i = 0; i < K / QK; i++) {
+            const uint8_t *w = wire_w + (r * K / QK + i) * 24;
+            uint16_t dh, mh;
+            uint32_t qh;
+            memcpy(&dh, w, 2);
+            memcpy(&mh, w + 2, 2);
+            memcpy(&qh, w + 4, 4);
+            int sumi = 0;
+            for (int j = 0; j < QK / 2; j++) {
+                int v0 = (int)((w[8 + j] & 0xF) | (((qh >> j) & 1) << 4));
+                int v1 = (int)((w[8 + j] >> 4)
+                               | (((qh >> (j + 16)) & 1) << 4));
+                sumi += v0 * q8[i * QK + j] + v1 * q8[i * QK + j + 16];
+            }
+            sumf += f16_to_f32(dh) * dx[i] * (float)sumi
+                    + f16_to_f32(mh) * sx[i];
+        }
+        y[r] = sumf;
+    }
+}
+
 static void dot_q8_0_q8_0(const uint8_t *wire_w, const float *xact,
                           float *y) {
     int8_t q8[K];
@@ -389,6 +501,9 @@ int main(int argc, char **argv) {
         {"q8_0", 34, do_q8_0},
     };
     static uint8_t q4_0_wire[ROWS * K / QK * 18];
+    static uint8_t q4_1_wire[ROWS * K / QK * 20];
+    static uint8_t q5_0_wire[ROWS * K / QK * 22];
+    static uint8_t q5_1_wire[ROWS * K / QK * 24];
     static uint8_t q8_0_wire[ROWS * K / QK * 34];
     char buf[64];
     for (size_t f = 0; f < sizeof(legacy) / sizeof(legacy[0]); f++) {
@@ -403,6 +518,12 @@ int main(int argc, char **argv) {
         emit(buf, deq, sizeof deq);
         if (!strcmp(legacy[f].name, "q4_0"))
             memcpy(q4_0_wire, wire, sizeof q4_0_wire);
+        if (!strcmp(legacy[f].name, "q4_1"))
+            memcpy(q4_1_wire, wire, sizeof q4_1_wire);
+        if (!strcmp(legacy[f].name, "q5_0"))
+            memcpy(q5_0_wire, wire, sizeof q5_0_wire);
+        if (!strcmp(legacy[f].name, "q5_1"))
+            memcpy(q5_1_wire, wire, sizeof q5_1_wire);
         if (!strcmp(legacy[f].name, "q8_0"))
             memcpy(q8_0_wire, wire, sizeof q8_0_wire);
     }
@@ -423,6 +544,12 @@ int main(int argc, char **argv) {
     emit("dot_q4_0_q8_0.y", ydot, sizeof ydot);
     dot_q8_0_q8_0(q8_0_wire, xact, ydot);
     emit("dot_q8_0_q8_0.y", ydot, sizeof ydot);
+    dot_q4_1_q8_1(q4_1_wire, xact, ydot);
+    emit("dot_q4_1_q8_1.y", ydot, sizeof ydot);
+    dot_q5_0_q8_0(q5_0_wire, xact, ydot);
+    emit("dot_q5_0_q8_0.y", ydot, sizeof ydot);
+    dot_q5_1_q8_1(q5_1_wire, xact, ydot);
+    emit("dot_q5_1_q8_1.y", ydot, sizeof ydot);
 
     fclose(out);
     fprintf(stderr, "wrote %s\n", path);

@@ -76,16 +76,21 @@ def test_kquant_wire_dequant_bit_exact(gold, name, g):
 
 
 @pytest.mark.parametrize("name,g", [("dot_q4_0_q8_0", GType.Q4_0),
-                                    ("dot_q8_0_q8_0", GType.Q8_0)])
+                                    ("dot_q8_0_q8_0", GType.Q8_0),
+                                    ("dot_q4_1_q8_1", GType.Q4_1),
+                                    ("dot_q5_0_q8_0", GType.Q5_0),
+                                    ("dot_q5_1_q8_1", GType.Q5_1)])
 def test_integer_dot_vs_c_oracle(gold, name, g, monkeypatch):
-    """ggml vec_dot semantics (int8 MACs × block-scale products). The C
-    oracle accumulates blocks in f32 serially; the kernel sums per-block
-    f32 terms in a different order — tolerance covers exactly that."""
+    """ggml vec_dot semantics (int8 MACs × block-scale products; Q8_1
+    s-corrections for the min-bearing formats, Q5 high-bit reinsertion —
+    the classic parity-drift sites, Ggml.cs:1165-1381). The C oracle
+    accumulates blocks in f32 serially; the kernel sums per-block f32
+    terms in a different order — tolerance covers exactly that."""
     import ggmlsharp_tpu.kernels.matmul_q as mq
     from ggmlsharp_tpu.kernels.matmul_q import mul_mat_q_int_dot
 
     monkeypatch.setattr(mq, "TILE_N", ROWS)  # 4-row fixture < default tile
-    wire_name = "q4_0.wire" if g == GType.Q4_0 else "q8_0.wire"
+    wire_name = name[4:].rsplit("_q8", 1)[0] + ".wire"  # dot_q4_1_… → q4_1
     qt = qtensor_from_wire(g, gold[wire_name], (ROWS, K))
     qt = jax.tree.map(jnp.asarray, qt)
     x = jnp.asarray(np.frombuffer(gold["dot.x"], np.float32))
