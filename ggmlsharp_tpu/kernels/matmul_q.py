@@ -395,12 +395,18 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
         qh_ref = rest.pop(0) if (is_q6 or is_q5) else None
         d_ref = rest.pop(0)
         m_ref = rest.pop(0) if has_m else None
-        (o_ref,) = rest
+        o_ref, acc_ref = rest
         jc = pl.program_id(2)
 
+        # accumulate across k-chunks in VMEM SCRATCH, writing o_ref ONCE on
+        # the last chunk (the flash.py pattern): revisit-accumulating the
+        # OUTPUT block (o_ref[:] += …) computes garbage on real Mosaic —
+        # the output block is double-buffered across grid steps, so the
+        # read-modify-write sees the stale other buffer (interpret mode
+        # never shows this; first seen as the r2 chunked-K smoke failures)
         @pl.when(jc == 0)
         def _init():
-            o_ref[:] = jnp.zeros_like(o_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
         p = qs_ref[:]
         mask = jnp.uint32(0x0F0F0F0F)
@@ -448,7 +454,11 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
         acc = dot(xlo_ref[:], wlo) + dot(xhi_ref[:], whi)
         if caff is not None:
             acc = acc + dot(xs_ref[0], caff)
-        o_ref[:] = o_ref[:] + acc
+        acc_ref[:] = acc_ref[:] + acc
+
+        @pl.when(jc == nc - 1)
+        def _done():
+            o_ref[:] = acc_ref[:]
 
     grid = (n // tile, b // tile_b, nc)
     in_specs = [
@@ -493,6 +503,7 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
         out_specs=pl.BlockSpec((tile_b, tile), lambda i, jb, jc: (jb, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_b, tile), jnp.float32)],
         interpret=interpret_mode(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -517,20 +528,26 @@ def _call_kernel_swar_q8(x, planes, n, k, tile, nc, tile_b):
     kc = k // nc
     cc = kc // 32
 
-    def kernel(x_ref, qs_ref, d_ref, o_ref):
+    def kernel(x_ref, qs_ref, d_ref, o_ref, acc_ref):
         jc = pl.program_id(2)
 
+        # scratch accumulation across k-chunks (see _call_kernel_swar: the
+        # o_ref revisit read-modify-write miscompiles on real Mosaic)
         @pl.when(jc == 0)
         def _init():
-            o_ref[:] = jnp.zeros_like(o_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
         v = pltpu.bitcast(qs_ref[:], jnp.int8)  # (kc, tile) signed
         d16 = pltpu.repeat(_decode_f16x2_rows(d_ref), 32, axis=0)
         w = v.astype(jnp.float32) * d16
-        o_ref[:] = o_ref[:] + jax.lax.dot_general(
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
             x_ref[:], w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT)
+
+        @pl.when(jc == nc - 1)
+        def _done():
+            o_ref[:] = acc_ref[:]
 
     return pl.pallas_call(
         kernel,
@@ -546,6 +563,7 @@ def _call_kernel_swar_q8(x, planes, n, k, tile, nc, tile_b):
         out_specs=pl.BlockSpec((tile_b, tile), lambda i, jb, jc: (jb, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_b, tile), jnp.float32)],
         interpret=interpret_mode(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),

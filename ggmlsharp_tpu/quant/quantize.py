@@ -350,6 +350,35 @@ def _qkx2_search(sb, nmax: int, rmin=-1.0, rdelta=0.1, nstep=20):
     return best[0], best[1]
 
 
+def _qx_search(sb, nmax: int, nsteps: int = 9):
+    """Vectorized make_qx_quants-style SIGNED scale search (llama.cpp's
+    Q6_K quality path, rmse_type=1): per sub-block, try 2·nsteps+1
+    candidate inverse scales −(nmax + 0.1·s)/maxv around the absmax fit,
+    refit the scale by weighted least squares scale = Σw·x·l / Σw·l²
+    (w = x²), keep the candidate maximizing (Σw·x·l)²/Σw·l². Returns the
+    refit scale per sub-block (signed; 0 for all-zero blocks)."""
+    x = sb
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    maxv = _signed_absmax(x)
+    safe = amax > 0
+    den = jnp.where(safe, maxv, 1.0)
+    w = x * x
+    best_scale = jnp.zeros_like(amax)
+    best_obj = jnp.full_like(amax, -jnp.inf)
+    for s in range(-nsteps, nsteps + 1):
+        isc = jnp.where(safe, -(nmax + 0.1 * s) / den, 0.0)
+        l = jnp.clip(jnp.round(isc[..., None] * x), -nmax, nmax - 1)
+        sumlx = jnp.sum(w * x * l, axis=-1)
+        suml2 = jnp.sum(w * l * l, axis=-1)
+        ok = suml2 > 0
+        sl2 = jnp.where(ok, suml2, 1.0)
+        obj = jnp.where(ok, sumlx * sumlx / sl2, -jnp.inf)
+        better = ok & (obj > best_obj)
+        best_scale = jnp.where(better, sumlx / sl2, best_scale)
+        best_obj = jnp.where(better, obj, best_obj)
+    return jnp.where(safe, best_scale, 0.0)
+
+
 def quantize_row_q4_k(x, search: bool = False) -> QTensor:
     """Q4_K: 256-elem superblocks, 8 sub-blocks of 32 with 6-bit quantized
     scale/min against per-superblock f16 d/dmin; w = d*sc*q - dmin*m.
@@ -402,15 +431,22 @@ def dequantize_row_q4_k(qt: QTensor):
     return w.reshape(qt.shape)
 
 
-def quantize_row_q6_k(x) -> QTensor:
+def quantize_row_q6_k(x, search: bool = False) -> QTensor:
     """Q6_K: 256-elem superblocks, 16 sub-blocks of 16; signed 6-bit values
-    with per-sub-block int8 scale against superblock f16 d; w = d*sc*q."""
+    with per-sub-block int8 scale against superblock f16 d; w = d*sc*q.
+
+    search=True runs the make_qx_quants-style weighted scale search
+    (llama.cpp quantizes Q6_K through it too — offline path; default stays
+    the fast absmax fit)."""
     check_last_axis(x, GType.Q6_K)
     b = _blocks(x, 256)
     *lead, nsb, _ = b.shape
     sb = b.reshape(*lead, nsb, 16, 16)
-    maxv = _signed_absmax(sb)
-    scales = maxv / -32.0
+    if search:
+        scales = _qx_search(sb, 32)
+    else:
+        maxv = _signed_absmax(sb)
+        scales = maxv / -32.0
     d = _signed_absmax(scales) / -127.0
     sc = jnp.clip(_round_half_away(scales * _safe_inv(d)[..., None]), -128, 127)
     eff = d[..., None] * sc
@@ -514,14 +550,17 @@ def add_scale_pair_planes(qt: QTensor) -> QTensor:
 def quantize(x, gtype: GType, search: bool = False) -> QTensor:
     """ggml_quantize_* analog: quantize along the last axis.
 
-    search=True enables the k-quant quality search (Q4_K only; ignored for
-    formats without a search path) — slower, for offline model
+    search=True enables the k-quant quality search (Q4_K qkx2-style
+    scale/min grid search, Q6_K make_qx-style signed scale search; ignored
+    for formats without a search path) — slower, for offline model
     quantization."""
     gtype = GType(gtype)
     if gtype not in _QUANTIZE:
         raise ValueError(f"{gtype.name} is not a quantized format")
     if search and gtype == GType.Q4_K:
         return add_scale_pair_planes(quantize_row_q4_k(x, search=True))
+    if search and gtype == GType.Q6_K:
+        return add_scale_pair_planes(quantize_row_q6_k(x, search=True))
     return add_scale_pair_planes(_QUANTIZE[gtype](x))
 
 

@@ -274,6 +274,35 @@ def main():
             qd_, knr, vnr, kr, vr, npd)
         check_vs_oracle(label, got, exact, base)
 
+        if Hq != Hkv:
+            continue
+        # INT8 KV: per-(token, head) scales expanded to lanes in-kernel via
+        # the one-hot MXU dot — the BASELINE config-3 decode path
+        rh = np.asarray(kr).reshape(2, Tt, Hkv, Dd)
+        ks_np = np.abs(rh).max(-1) / 127.0 + 1e-8
+        kq = np.clip(np.round(rh / ks_np[..., None]), -127, 127)
+        rhv = np.asarray(vr).reshape(2, Tt, Hkv, Dd)
+        vs_np = np.abs(rhv).max(-1) / 127.0 + 1e-8
+        vq = np.clip(np.round(rhv / vs_np[..., None]), -127, 127)
+        got8 = jax.jit(lambda a, b, c, d, e, f, g, h: flash_decode_flat(
+            a, b, c, d, e, f, Hkv, Dd, k_scale=g, v_scale=h))(
+            qd_, knr, vnr,
+            jnp.asarray(kq.reshape(2, Tt, E), jnp.int8),
+            jnp.asarray(vq.reshape(2, Tt, E), jnp.int8),
+            npd, jnp.asarray(ks_np, jnp.float32),
+            jnp.asarray(vs_np, jnp.float32))
+        kdq = jnp.asarray((kq * ks_np[..., None]).reshape(2, Tt, E),
+                          jnp.float32)
+        vdq = jnp.asarray((vq * vs_np[..., None]).reshape(2, Tt, E),
+                          jnp.float32)
+        exact8 = jax.jit(functools.partial(
+            fd_ref, precision=jax.lax.Precision.HIGHEST))(
+            qd_, knr, vnr, kdq, vdq, npd)
+        base8 = jax.jit(functools.partial(
+            fd_ref, precision=jax.lax.Precision.DEFAULT))(
+            qd_, knr, vnr, kdq, vdq, npd)
+        check_vs_oracle("flash-decode flat INT8 KV", got8, exact8, base8)
+
     # --- GPT-2 whole-layer megakernel (kernels.gpt2_layer) --------------
     from ggmlsharp_tpu.kernels.gpt2_layer import (
         fuse_gpt2_layer, gpt2_layer_step,

@@ -11,6 +11,8 @@ from ggmlsharp_tpu.kernels.attn_decode import flash_decode_flat
 from ggmlsharp_tpu.models import llama, sampling
 from ggmlsharp_tpu.dtypes import GType
 
+pytestmark = pytest.mark.slow  # full engine/kernel flows; fast loop skips
+
 
 def _ref(q_heads, k_rows, v_rows, npast, Hkv, D):
     """Explicit attention: q (Hq, D); k/v_rows (T, E_kv) with row npast

@@ -1,4 +1,5 @@
 """Eval harness tests: perplexity chunking, quantization-quality deltas."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,7 @@ def test_perplexity_deterministic():
     assert p1 == p2
 
 
+@pytest.mark.slow
 def test_quantization_quality_q8_small_delta():
     params = gpt2.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
     qparams = jax.jit(lambda p: gpt2.quantize_params(p, GType.Q8_0))(params)

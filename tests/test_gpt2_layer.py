@@ -13,6 +13,8 @@ from ggmlsharp_tpu.kernels.gpt2_layer import (
 from ggmlsharp_tpu.kernels.mlp_fused import q8_korder_perm
 from ggmlsharp_tpu.models import gpt2, kv_cache as kvc, sampling
 
+pytestmark = pytest.mark.slow  # full engine/kernel flows; fast loop skips
+
 E, H, F, T = 256, 4, 1024, 64
 EPS = 1e-5
 

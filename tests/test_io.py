@@ -299,6 +299,7 @@ def test_bpe_native_matches_python_fuzz():
             assert tok.decode(got) == tok2.decode(want)
 
 
+@pytest.mark.slow
 def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
     """save_checkpoint_sharded writes sharded jax.Arrays per-shard via
     orbax and restores them WITH the `like` tree's shardings; QTensor
@@ -336,6 +337,7 @@ def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
                                       np.asarray(tree["q"].planes[k]))
 
 
+@pytest.mark.slow
 def test_gguf_gptj_roundtrip(tmp_path):
     """gptj-arch GGUF export → import round trip: quantized planes ride the
     wire bit-exactly and the reloaded model's logits match."""

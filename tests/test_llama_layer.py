@@ -14,6 +14,8 @@ from ggmlsharp_tpu.kernels.llama_layer import (
 from ggmlsharp_tpu.kernels.mlp_fused import q4_korder_perm
 from ggmlsharp_tpu.models import llama, sampling
 
+pytestmark = pytest.mark.slow  # full engine/kernel flows; fast loop skips
+
 E, H, D, F = 256, 4, 64, 704  # F pads to kp=1024 (exercises the pad mask)
 EPS = 1e-6
 

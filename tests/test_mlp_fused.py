@@ -12,6 +12,8 @@ from ggmlsharp_tpu.kernels.mlp_fused import (
 from ggmlsharp_tpu.ops.basic import gelu
 from ggmlsharp_tpu.quant.quantize import dequantize, quantize
 
+pytestmark = pytest.mark.slow  # full engine/kernel flows; fast loop skips
+
 
 def _pair(rng, k1=256, n1=512, n2=256):
     w1 = jnp.asarray(rng.standard_normal((n1, k1)).astype(np.float32) * 0.1)

@@ -73,6 +73,7 @@ def test_llama_incremental_matches_full(llama_setup):
 
 
 @pytest.mark.parametrize("impl", ["auto", "einsum", "flash"])
+@pytest.mark.slow
 def test_cached_attention_impls_match_legacy(impl, monkeypatch):
     """Flash-prefill / chunked-einsum / forced-flash paths must match the
     round-1 legacy full-cache materialized-scores path, across bucket
@@ -226,6 +227,7 @@ def test_generate_scan_sampled(gpt2_setup):
     assert int(np.asarray(a).max()) < cfg.n_vocab
 
 
+@pytest.mark.slow
 def test_gptj_incremental_matches_full():
     """GPT-J (parallel residual + partial rotary): token-by-token decode
     over the KV cache equals the all-at-once forward."""
@@ -251,6 +253,7 @@ def test_gptj_incremental_matches_full():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_gptj_quantized_decode_and_engine():
     """Quantized GPT-J decodes close to fp32 and runs through the serving
     engine (engine output == sequential greedy)."""

@@ -12,6 +12,9 @@ import jax.numpy as jnp
 
 from ggmlsharp_tpu.models import gpt2
 from ggmlsharp_tpu.serving import Engine, Request
+import pytest
+
+pytestmark = pytest.mark.slow  # full engine/kernel flows; fast loop skips
 
 CFG = gpt2.GPT2Config(n_vocab=128, n_ctx=96, n_embd=64, n_head=4, n_layer=2)
 

@@ -15,6 +15,8 @@ from jax.sharding import Mesh
 from ggmlsharp_tpu import GType, quantize
 from ggmlsharp_tpu.parallel.overlap import row_parallel_mul_mat_overlapped
 
+pytestmark = pytest.mark.slow  # full engine/kernel flows; fast loop skips
+
 N, K = 512, 1024
 
 

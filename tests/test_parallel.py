@@ -66,6 +66,7 @@ def test_ring_attention_non_causal():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
@@ -177,6 +178,7 @@ def test_ring_attention_model_integration():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_1f1b_train_step_matches_sequential():
     """1F1B pipelined (loss, grads) == sequential value_and_grad, for
     M == S and M > S microbatches."""
@@ -234,6 +236,7 @@ def test_pipeline_1f1b_train_step_matches_sequential():
                 rtol=1e-4, atol=1e-5, err_msg=f"{k} M={M}")
 
 
+@pytest.mark.slow
 def test_pipeline_llama_forward_matches_sequential():
     """Model-level PP integration: llama.forward_pp (blocks staged over a
     4-way pipe mesh, microbatched GPipe schedule) must match the sequential
@@ -268,6 +271,7 @@ def test_pipeline_llama_forward_matches_sequential():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_engine_tensor_parallel_serving():
     """Engine(mesh=...): TP-sharded params + KV heads sharded over the
     model axis produce bit-identical outputs to the single-device engine,
@@ -299,6 +303,7 @@ def test_engine_tensor_parallel_serving():
     assert got == want, (got, want)
 
 
+@pytest.mark.slow
 def test_engine_tensor_parallel_gpt2():
     """GPT-2 TP serving: vocab-sharded embedding/lm-head + fused argmax
     over sharded logits matches the single-device engine."""
@@ -327,6 +332,7 @@ def test_engine_tensor_parallel_gpt2():
     assert got == want, (got, want)
 
 
+@pytest.mark.slow
 def test_engine_tensor_parallel_speculative():
     """Speculative continuous batching under a TP mesh: target + draft
     params sharded, both KV caches' heads sharded, greedy output equals
@@ -359,6 +365,7 @@ def test_engine_tensor_parallel_speculative():
     assert got == want, (got, want)
 
 
+@pytest.mark.slow
 def test_engine_tp_prefix_caching():
     """Prefix rows install into the model-axis-sharded KV cache; decode
     parity with the unsharded prefix-cached engine."""

@@ -242,6 +242,28 @@ def test_q4_k_search_improves_reconstruction():
     assert errs[True][1] < errs[False][1] * 0.97, errs
 
 
+def test_q6_k_search_improves_reconstruction():
+    """make_qx-style signed scale search for Q6_K (quantize(...,
+    search=True)) must beat the fast absmax fit on x²-weighted
+    reconstruction error (the search's own objective) for outlier-bearing
+    weights, and must stay wire-compatible (round-trips dequantize)."""
+    import jax
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((32, 1024)).astype(np.float32) * 0.05
+    base[:, ::41] *= 5.0
+    x = jnp.asarray(base)
+    errs = {}
+    for search in (False, True):
+        qt = jax.jit(
+            lambda a, s=search: quantize(a, GType.Q6_K, search=s))(x)
+        d = np.asarray(jax.jit(dequantize)(qt))
+        w = base ** 2  # rmse_type-1 weighting (make_qx_quants)
+        errs[search] = ((d - base) ** 2).mean(), (w * (d - base) ** 2).mean()
+    assert errs[True][1] < errs[False][1] * 0.98, errs
+
+
+@pytest.mark.slow
 def test_q4_k_search_improves_model_kl():
     """Model-level evidence (eval.compare_quantizers): the search quantizer
     lowers logits-KL vs fp32 on a small GPT-2."""

@@ -10,6 +10,8 @@ import pytest
 from ggmlsharp_tpu.models import gpt2, llama, sampling
 from ggmlsharp_tpu.models.speculative import speculative_generate
 
+pytestmark = pytest.mark.slow  # full engine/kernel flows; fast loop skips
+
 CFG = gpt2.GPT2Config(n_vocab=128, n_ctx=128, n_embd=64, n_head=4, n_layer=2)
 
 

@@ -172,6 +172,7 @@ def test_swar_chunked_kernel_parity():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_gpt2_quantize_params_swar_forward_parity(monkeypatch):
     from ggmlsharp_tpu.models import gpt2
 
@@ -198,6 +199,7 @@ def test_gpt2_quantize_params_swar_forward_parity(monkeypatch):
         np.asarray(la), np.asarray(lb), rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_quantize_params_swar_forward_parity():
     from ggmlsharp_tpu.models import llama
 
@@ -221,6 +223,7 @@ def test_quantize_params_swar_forward_parity():
         np.asarray(la), np.asarray(lb), rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_swar_k_padding_parity():
     """K with no 512-divisible chunking (4544) pads to 4608 so the layout
     rides lane tile 512 (the 7B w_down k=11008 → 11264 case, shrunk);
@@ -265,6 +268,7 @@ def test_swar_layout_tune_table(tmp_path, monkeypatch):
     tune._load.cache_clear()
 
 
+@pytest.mark.slow
 def test_swar_non_pow2_chunks_parity():
     """k=5632 admits only nc=11 (kc=512) at tile 512 — the non-power-of-two
     chunk count the 7B w_down padded layout (11264 → nc=11·2) rides."""
