@@ -367,9 +367,20 @@ def _decode_f16x2_arr(p):
 )
 def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
     """xlo/xhi: (b, K/2) f32 in swar k-order (swar_permute_x); xs: (b, C)
-    per-quant-block activation sums in block order. Grid (N-tiles, b-tiles,
-    k-chunks) with the chunk axis innermost sequential: the output tile
-    accumulates across chunks in VMEM.
+    per-quant-block activation sums in block order.
+
+    Grid is (N-tiles, b-tiles) ONLY — every grid step owns a disjoint
+    output block, written exactly once. K arrives as FULL-length blocks and
+    the k-chunk loop runs INSIDE the kernel over static ref slices: the
+    previous chunk-swept third grid dimension (k-chunk BlockSpecs feeding
+    an accumulated output) computed garbage on this real-Mosaic toolchain
+    with SESSION-DEPENDENT reproducibility (scripts/diag_chunked*.py:
+    identical HLO correct in one client session, wrong in the next, stable
+    within a session — interpret mode and nc==1 never affected), so the
+    construct is banned here. Chunking still exists, but only to bound the
+    f32 unpack intermediates to kt_bytes·kc·tile (swar_layout); the packed
+    planes themselves sit whole in VMEM (they are 6-16x smaller than their
+    f32 expansion, and swar_layout budgets for their double-buffering).
 
     Affine fold: the per-element value offsets (−8 Q4_0, −16 Q5_0, −32
     Q6_K) and min planes (±m for Q4_1/Q5_1/Q4_K) never touch the VPU's
@@ -382,12 +393,15 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
     kc = k // nc
     is_q6 = gtype == GType.Q6_K
     is_q5 = gtype in (GType.Q5_0, GType.Q5_1)
-    cc = kc // 16 if is_q6 else kc // 32  # scale blocks per chunk
+    bs = 16 if is_q6 else 32
+    cc = kc // bs        # scale blocks per chunk
+    C = k // bs          # total scale blocks
     rep = kc // 2 // cc  # sublane scale expansion (8 for Q6_K, else 16)
     has_m = gtype in (GType.Q4_1, GType.Q4_K, GType.Q5_1)
     msign = -1.0 if gtype == GType.Q4_K else 1.0
     voff = {GType.Q4_0: -8.0, GType.Q5_0: -16.0, GType.Q6_K: -32.0}.get(
         gtype, 0.0)
+    qh_rows = (kc // 16 if is_q6 else kc // 32) if (is_q6 or is_q5) else 0
 
     def kernel(xlo_ref, xhi_ref, xs_ref, *refs):
         rest = list(refs)
@@ -395,55 +409,7 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
         qh_ref = rest.pop(0) if (is_q6 or is_q5) else None
         d_ref = rest.pop(0)
         m_ref = rest.pop(0) if has_m else None
-        o_ref, acc_ref = rest
-        jc = pl.program_id(2)
-
-        # accumulate across k-chunks in VMEM SCRATCH, writing o_ref ONCE on
-        # the last chunk (the flash.py pattern): revisit-accumulating the
-        # OUTPUT block (o_ref[:] += …) computes garbage on real Mosaic —
-        # the output block is double-buffered across grid steps, so the
-        # read-modify-write sees the stale other buffer (interpret mode
-        # never shows this; first seen as the r2 chunked-K smoke failures)
-        @pl.when(jc == 0)
-        def _init():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        p = qs_ref[:]
-        mask = jnp.uint32(0x0F0F0F0F)
-        vlo = pltpu.bitcast(p & mask, jnp.int8)
-        vhi = pltpu.bitcast((p >> jnp.uint32(4)) & mask, jnp.int8)
-        d_dec = _decode_f16x2_rows(d_ref)  # (cc, tile) f32, row c ← block c
-        d16 = pltpu.repeat(d_dec, rep, axis=0)
-        flo = vlo.astype(jnp.float32)
-        fhi = vhi.astype(jnp.float32)
-        if is_q6:
-            # 2-bit high plane: 4 dense masks + bitcasts; concat rows land
-            # in [lo-plane; hi-plane] order (formats.swar_pack_qh2)
-            q = qh_ref[:]
-            m2 = jnp.uint32(0x03030303)
-            hcat = jnp.concatenate(
-                [pltpu.bitcast((q >> jnp.uint32(2 * s)) & m2, jnp.int8)
-                 for s in range(4)], axis=0)  # (kc, tile)
-            flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0
-            fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0
-        elif is_q5:
-            # 1-bit high plane: 8 dense masks + bitcasts; same combined-row
-            # contract as qh2 (formats.swar_pack_qh1)
-            q = qh_ref[:]
-            m1 = jnp.uint32(0x01010101)
-            hcat = jnp.concatenate(
-                [pltpu.bitcast((q >> jnp.uint32(s)) & m1, jnp.int8)
-                 for s in range(8)], axis=0)  # (kc, tile)
-            flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0
-            fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0
-        wlo = flo * d16
-        whi = fhi * d16
-        # per-block affine coefficients (cc, tile): off·d and/or ±m
-        caff = d_dec * jnp.float32(voff) if voff else None
-        if m_ref is not None:
-            m_dec = _decode_f16x2_rows(m_ref)
-            maff = jnp.float32(msign) * m_dec
-            caff = maff if caff is None else caff + maff
+        (o_ref,) = rest
 
         def dot(a, w):
             return jax.lax.dot_general(
@@ -451,48 +417,82 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
 
-        acc = dot(xlo_ref[:], wlo) + dot(xhi_ref[:], whi)
-        if caff is not None:
-            acc = acc + dot(xs_ref[0], caff)
-        acc_ref[:] = acc_ref[:] + acc
+        acc = None
+        mask = jnp.uint32(0x0F0F0F0F)
+        for t in range(nc):  # static unroll: per-chunk f32 intermediates
+            p = qs_ref[t * (kc // 8) : (t + 1) * (kc // 8), :]
+            vlo = pltpu.bitcast(p & mask, jnp.int8)
+            vhi = pltpu.bitcast((p >> jnp.uint32(4)) & mask, jnp.int8)
+            # chunk-major scale rows; pair packing is per-chunk planar
+            d_dec = _decode_f16x2_arr(
+                d_ref[t * (cc // 2) : (t + 1) * (cc // 2), :])
+            d16 = pltpu.repeat(d_dec, rep, axis=0)
+            flo = vlo.astype(jnp.float32)
+            fhi = vhi.astype(jnp.float32)
+            if is_q6:
+                # 2-bit high plane: 4 dense masks + bitcasts; concat rows
+                # land in [lo-plane; hi-plane] order (formats.swar_pack_qh2)
+                q = qh_ref[t * qh_rows : (t + 1) * qh_rows, :]
+                m2 = jnp.uint32(0x03030303)
+                hcat = jnp.concatenate(
+                    [pltpu.bitcast((q >> jnp.uint32(2 * s)) & m2, jnp.int8)
+                     for s in range(4)], axis=0)  # (kc, tile)
+                flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0
+                fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0
+            elif is_q5:
+                # 1-bit high plane: 8 dense masks + bitcasts; same
+                # combined-row contract as qh2 (formats.swar_pack_qh1)
+                q = qh_ref[t * qh_rows : (t + 1) * qh_rows, :]
+                m1 = jnp.uint32(0x01010101)
+                hcat = jnp.concatenate(
+                    [pltpu.bitcast((q >> jnp.uint32(s)) & m1, jnp.int8)
+                     for s in range(8)], axis=0)  # (kc, tile)
+                flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0
+                fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0
+            wlo = flo * d16
+            whi = fhi * d16
+            # per-block affine coefficients (cc, tile): off·d and/or ±m
+            caff = d_dec * jnp.float32(voff) if voff else None
+            if m_ref is not None:
+                m_dec = _decode_f16x2_arr(
+                    m_ref[t * (cc // 2) : (t + 1) * (cc // 2), :])
+                maff = jnp.float32(msign) * m_dec
+                caff = maff if caff is None else caff + maff
+            part = (dot(xlo_ref[:, t * (kc // 2) : (t + 1) * (kc // 2)], wlo)
+                    + dot(xhi_ref[:, t * (kc // 2) : (t + 1) * (kc // 2)],
+                          whi))
+            if caff is not None:
+                part = part + dot(xs_ref[:, t * cc : (t + 1) * cc], caff)
+            acc = part if acc is None else acc + part
+        o_ref[:] = acc
 
-        @pl.when(jc == nc - 1)
-        def _done():
-            o_ref[:] = acc_ref[:]
-
-    grid = (n // tile, b // tile_b, nc)
+    grid = (n // tile, b // tile_b)
     in_specs = [
-        pl.BlockSpec((tile_b, kc // 2), lambda i, jb, jc: (jb, jc),
+        pl.BlockSpec((tile_b, k // 2), lambda i, jb: (jb, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_b, kc // 2), lambda i, jb, jc: (jb, jc),
+        pl.BlockSpec((tile_b, k // 2), lambda i, jb: (jb, 0),
                      memory_space=pltpu.VMEM),
-        # xs rides as (nc, b, cc) with the k-chunk on a leading block-1 axis:
-        # real Mosaic requires the LAST TWO block dims divisible by (8, 128)
-        # or equal to the array dims — a 2-D (tile_b, cc) block over
-        # (b, nc*cc) violates the lane rule whenever K chunks (cc < 128),
-        # which interpret mode never checks (first seen on 7B shapes).
-        pl.BlockSpec((1, tile_b, cc), lambda i, jb, jc: (jc, jb, 0),
+        pl.BlockSpec((tile_b, C), lambda i, jb: (jb, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((kc // 8, tile), lambda i, jb, jc: (jc, i),
+        pl.BlockSpec((k // 8, tile), lambda i, jb: (0, i),
                      memory_space=pltpu.VMEM),
     ]
     d_key = "kd_t" if gtype in (GType.Q4_K, GType.Q6_K) else "d_t"
     args = [xlo, xhi, xs, planes["qs_t"]]
     if is_q6 or is_q5:
-        qh_rows = kc // 16 if is_q6 else kc // 32
         in_specs.append(
-            pl.BlockSpec((qh_rows, tile), lambda i, jb, jc: (jc, i),
+            pl.BlockSpec((nc * qh_rows, tile), lambda i, jb: (0, i),
                          memory_space=pltpu.VMEM)
         )
         args.append(planes["qh_t"])
     in_specs.append(
-        pl.BlockSpec((cc // 2, tile), lambda i, jb, jc: (jc, i),
+        pl.BlockSpec((C // 2, tile), lambda i, jb: (0, i),
                      memory_space=pltpu.VMEM)
     )
     args.append(planes[d_key])
     if has_m:
         in_specs.append(
-            pl.BlockSpec((cc // 2, tile), lambda i, jb, jc: (jc, i),
+            pl.BlockSpec((C // 2, tile), lambda i, jb: (0, i),
                          memory_space=pltpu.VMEM)
         )
         args.append(planes["km_t" if gtype == GType.Q4_K else "m_t"])
@@ -500,13 +500,12 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile_b, tile), lambda i, jb, jc: (jb, i),
+        out_specs=pl.BlockSpec((tile_b, tile), lambda i, jb: (jb, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_b, tile), jnp.float32)],
         interpret=interpret_mode(),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * k,
@@ -523,50 +522,45 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
 def _call_kernel_swar_q8(x, planes, n, k, tile, nc, tile_b):
     """Q8_0 variant: one full-width plane, no nibble masks — a single 32→8
     sublane bitcast IS the unpack (~1.3 VPU ops/element). x: (b, K) f32 in
-    the q8 swar k-order (swar_permute_x_q8)."""
+    the q8 swar k-order (swar_permute_x_q8). Same in-kernel chunk loop as
+    _call_kernel_swar (chunk-swept grid dims are banned — see there)."""
     b = x.shape[0]
     kc = k // nc
     cc = kc // 32
+    C = k // 32
 
-    def kernel(x_ref, qs_ref, d_ref, o_ref, acc_ref):
-        jc = pl.program_id(2)
-
-        # scratch accumulation across k-chunks (see _call_kernel_swar: the
-        # o_ref revisit read-modify-write miscompiles on real Mosaic)
-        @pl.when(jc == 0)
-        def _init():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        v = pltpu.bitcast(qs_ref[:], jnp.int8)  # (kc, tile) signed
-        d16 = pltpu.repeat(_decode_f16x2_rows(d_ref), 32, axis=0)
-        w = v.astype(jnp.float32) * d16
-        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-            x_ref[:], w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)
-
-        @pl.when(jc == nc - 1)
-        def _done():
-            o_ref[:] = acc_ref[:]
+    def kernel(x_ref, qs_ref, d_ref, o_ref):
+        acc = None
+        for t in range(nc):
+            v = pltpu.bitcast(
+                qs_ref[t * (kc // 4) : (t + 1) * (kc // 4), :], jnp.int8)
+            d16 = pltpu.repeat(_decode_f16x2_arr(
+                d_ref[t * (cc // 2) : (t + 1) * (cc // 2), :]), 32, axis=0)
+            w = v.astype(jnp.float32) * d16
+            part = jax.lax.dot_general(
+                x_ref[:, t * kc : (t + 1) * kc], w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            acc = part if acc is None else acc + part
+        o_ref[:] = acc
 
     return pl.pallas_call(
         kernel,
-        grid=(n // tile, b // tile_b, nc),
+        grid=(n // tile, b // tile_b),
         in_specs=[
-            pl.BlockSpec((tile_b, kc), lambda i, jb, jc: (jb, jc),
+            pl.BlockSpec((tile_b, k), lambda i, jb: (jb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc // 4, tile), lambda i, jb, jc: (jc, i),
+            pl.BlockSpec((k // 4, tile), lambda i, jb: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cc // 2, tile), lambda i, jb, jc: (jc, i),
+            pl.BlockSpec((C // 2, tile), lambda i, jb: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_b, tile), lambda i, jb, jc: (jb, i),
+        out_specs=pl.BlockSpec((tile_b, tile), lambda i, jb: (jb, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_b, tile), jnp.float32)],
         interpret=interpret_mode(),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * k,
@@ -638,10 +632,10 @@ def mul_mat_swar(a: QTensor, bx, quantize_acts: bool = True):
         xlo, xhi = swar_permute_x(x2, kp, nc, block=block)
         # per-quant-block activation sums for the in-kernel affine fold
         # (offset/min terms ride one small MXU dot instead of per-element
-        # VPU work) — block order matches the decoded scale rows
-        kc_ = kp // nc
-        xs = x2.reshape(b, nc, kc_ // block, block).sum(axis=-1).transpose(
-            1, 0, 2)  # (nc, b, cc): chunk-major for the kernel's block-1 axis
+        # VPU work) — natural block order IS chunk-major (chunk t covers
+        # blocks [t·cc, (t+1)·cc)), matching the per-chunk scale rows; the
+        # full-lane (b, C) block is legal (lanes == array dim)
+        xs = x2.reshape(b, kp // block, block).sum(axis=-1)
         out = _call_kernel_swar(xlo, xhi, xs, dict(a.planes), a.gtype, n, kp,
                                 tile, nc, tile_b)
     if rpad:

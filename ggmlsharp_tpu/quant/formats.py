@@ -502,14 +502,17 @@ def swar_layout(n: int, k: int, budget: int = 13 * 1024 * 1024,
                 kt_bytes: int = 6) -> tuple[int, int, int]:
     """Pick (tile, n_chunks, k_padded) jointly for a (N, K) weight.
 
-    Legality (Pallas requires the last two block dims be (8, 128)-divisible
-    or equal to the full array dims):
-      * nc == 1: every k-axis block IS the full array — always legal;
-      * nc > 1: kc = kp/nc must be % 512 == 0 so the xlo (kc/2 lanes), qs_t
-        (kc/8 sublanes) and scale (kc/64 sublanes) chunk blocks all tile.
-    VMEM: the f32 kernel intermediates are kt_bytes·kc·tile bytes —
-    4-bit formats 6 (wlo + whi + d16, each (kc/2)·tile·4 B), Q8_0 8
-    (w + d16, each kc·tile·4 B).
+    Legality: kernels always take FULL-K blocks (the k-chunk loop runs
+    inside the kernel over static ref slices — chunk-swept grid dims
+    miscompile on this toolchain, kernels.matmul_q._call_kernel_swar); for
+    nc > 1, kc = kp/nc must be % 512 == 0 so every in-kernel chunk slice
+    lands on (8, 128)-aligned sublane offsets.
+    VMEM: the f32 per-chunk unpack intermediates are kt_bytes·kc·tile
+    bytes — 4-bit formats 6 (wlo + whi + d16, each (kc/2)·tile·4 B), Q8_0 8
+    (w + d16, each kc·tile·4 B) — plus the RESIDENT packed planes
+    (≈ kt_bytes/4 · k/2 bytes per tile column: qs dominates at k/2 (4-bit)
+    or k (Q8/Q5x's extra planes), double-buffered across N-tile grid
+    steps.
     Prefers the largest tile with the fewest chunks. When K itself admits
     only a small tile (k=11008 — 7B w_down — has no 512-divisible chunking,
     so unpadded it lands on tile=128 at 477-555 GB/s vs 617-660 for
@@ -531,10 +534,17 @@ def swar_layout(n: int, k: int, budget: int = 13 * 1024 * 1024,
         # nc candidates: 1, plus every divisor of kx with a 512-multiple kc
         cands = [1] + [d for d in range(2, kx // 512 + 1)
                        if kx % d == 0 and (kx // d) % 512 == 0]
+        # resident packed planes per tile column (double-buffered across
+        # N-tile grid steps): qs dominates — ~k/2 B for 4-bit (kt 6),
+        # ~k B for Q8_0 / Q5x+qh / Q6_K (kt 8); + decode-sized x blocks
+        wire_pc = (0.625 if kt_bytes == 6 else 1.0625) * kx
+        xbytes = 2 * 8 * kx * 4
         for tile in tiles:
             for nc in cands:
                 kc = kx // nc
-                if kc % 64 == 0 and kt_bytes * kc * tile <= budget:
+                if kc % 64 == 0 and (kt_bytes * kc * tile
+                                     + 2 * wire_pc * tile
+                                     + xbytes) <= budget:
                     return tile, nc
         return None
 

@@ -60,7 +60,7 @@ def loop_q4(qs_t, d_t, g, n, kp, tile, nc):
     planes = {"qs_t": qs_t, "d_t": d_t}
     x0 = jnp.ones((8, kp // 2), jnp.float32) * 0.01
     # (nc, b, cc) chunk-major ride (matmul_q.mul_mat_swar's layout)
-    xs0 = jnp.ones((nc, 8, kp // nc // 32), jnp.float32) * 0.32
+    xs0 = jnp.ones((8, kp // 32), jnp.float32) * 0.32
 
     def body(i, xlo):
         y = mq._call_kernel_swar(xlo, xlo, xs0, planes, g, n, kp,

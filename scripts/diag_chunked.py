@@ -88,7 +88,7 @@ def main():
     @jax.jit
     def linear_part(x2):
         xlo, xhi = swar_permute_x(x2, kp, nc, block=32)
-        xs0 = jnp.zeros((nc, b, (kp // nc) // 32), jnp.float32)
+        xs0 = jnp.zeros((b, kp // 32), jnp.float32)
         return _call_kernel_swar(xlo, xhi, xs0, dict(qs.planes),
                                  GType.Q4_0, N, kp, tile, nc, tile_b)
 
@@ -106,7 +106,7 @@ def main():
     @jax.jit
     def ones_part(x2):
         xlo, xhi = swar_permute_x(x2, kp, nc, block=32)
-        xs1 = jnp.ones((nc, b, (kp // nc) // 32), jnp.float32)
+        xs1 = jnp.ones((b, kp // 32), jnp.float32)
         return _call_kernel_swar(xlo, xhi, xs1, dict(qs.planes),
                                  GType.Q4_0, N, kp, tile, nc, tile_b)
 

@@ -96,7 +96,7 @@ def loop_kernel_swar(qs_t, d_t, n, k, b):
     planes = {"qs_t": qs_t, "d_t": d_t}
     x0 = jnp.ones((b, kp // 2), jnp.float32) * 0.01
     # (nc, b, cc) chunk-major ride (matmul_q.mul_mat_swar's layout)
-    xs0 = jnp.ones((nc, b, kp // nc // 32), jnp.float32) * 0.32
+    xs0 = jnp.ones((b, kp // 32), jnp.float32) * 0.32
 
     def body(i, xlo):
         y = mq._call_kernel_swar(xlo, xlo, xs0, planes, GType.Q4_0, n, kp,

@@ -165,7 +165,7 @@ def test_swar_chunked_kernel_parity():
         "d_t": swar_pack_scales(qt.planes["d"], nc),
     }
     xlo, xhi = swar_permute_x(x, k, nc)
-    xs = x.reshape(4, nc, k // nc // 32, 32).sum(axis=-1).transpose(1, 0, 2)
+    xs = x.reshape(4, k // 32, 32).sum(axis=-1)  # (b, C) block order
     got = np.asarray(_call_kernel_swar(
         xlo, xhi, xs, planes, GType.Q4_0, n, k, tile, nc, 4))
     want = np.asarray(mul_mat_q(qt, x, quantize_acts=False))
