@@ -361,26 +361,37 @@ def _decode_f16x2_arr(p):
     return jnp.where(exp == 0, sub, normal)
 
 
+def _swar_hostchunk() -> bool:
+    # one pallas call PER k-chunk (chunk-offset BlockSpecs over the full
+    # planes — no slicing copies), outputs summed in XLA. Workaround for
+    # the real-Mosaic multi-chunk corruption (scripts/diag_chunked*.py):
+    # single-chunk kernels are the only shape observed solid on hardware.
+    return __import__("os").environ.get("GGML_TPU_SWAR_HOSTCHUNK", "0") == "1"
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("gtype", "n", "k", "tile", "nc", "tile_b"),
+    static_argnames=("gtype", "n", "k", "tile", "nc", "tile_b",
+                     "host_chunks", "mode"),
 )
-def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
+def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b,
+                      host_chunks=False, mode="bf16"):
     """xlo/xhi: (b, K/2) f32 in swar k-order (swar_permute_x); xs: (b, C)
     per-quant-block activation sums in block order.
 
-    Grid is (N-tiles, b-tiles) ONLY — every grid step owns a disjoint
-    output block, written exactly once. K arrives as FULL-length blocks and
-    the k-chunk loop runs INSIDE the kernel over static ref slices: the
-    previous chunk-swept third grid dimension (k-chunk BlockSpecs feeding
-    an accumulated output) computed garbage on this real-Mosaic toolchain
-    with SESSION-DEPENDENT reproducibility (scripts/diag_chunked*.py:
-    identical HLO correct in one client session, wrong in the next, stable
-    within a session — interpret mode and nc==1 never affected), so the
-    construct is banned here. Chunking still exists, but only to bound the
-    f32 unpack intermediates to kt_bytes·kc·tile (swar_layout); the packed
-    planes themselves sit whole in VMEM (they are 6-16x smaller than their
-    f32 expansion, and swar_layout budgets for their double-buffering).
+    Grid is (N-tiles, b-tiles): every grid step owns a disjoint output
+    block, written exactly once; the k-chunk loop runs INSIDE the kernel
+    over static ref slices. Chunking exists only to bound the f32 unpack
+    intermediates to kt_bytes·kc·tile (swar_layout); the packed planes sit
+    whole in VMEM (6-16x smaller than their f32 expansion; swar_layout
+    budgets their double-buffering). NOTE the round-3 post-mortem: the
+    multi-session "chunked-K corruption" hunt (scripts/diag_chunked*.py)
+    ended with diag11 proving the kernel outputs match a host bf16-rounding
+    simulation elementwise (error-pattern correlation 1.0000) — the
+    "failures" were DEFAULT-precision bf16 input rounding (sigma ~
+    2^-8·|x·w|·sqrt(K)) tripping fixed test tolerances at K=11008 on
+    unit-scale data, never a miscompile. mode="f32" runs the dots at
+    Precision.HIGHEST for hardware-exact parity checks.
 
     Affine fold: the per-element value offsets (−8 Q4_0, −16 Q5_0, −32
     Q6_K) and min planes (±m for Q4_1/Q5_1/Q4_K) never touch the VPU's
@@ -389,185 +400,217 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b):
     trick, generalized). Removes ~1 VPU op/element plus the m16 sublane
     repeat in a VPU-bound kernel; identical math, different summation
     order (same rounding class as the DEFAULT bf16 dot itself)."""
+    precision = (jax.lax.Precision.DEFAULT if mode == "bf16"
+                 else jax.lax.Precision.HIGHEST)
     b = xlo.shape[0]
     kc = k // nc
     is_q6 = gtype == GType.Q6_K
     is_q5 = gtype in (GType.Q5_0, GType.Q5_1)
     bs = 16 if is_q6 else 32
     cc = kc // bs        # scale blocks per chunk
-    C = k // bs          # total scale blocks
     rep = kc // 2 // cc  # sublane scale expansion (8 for Q6_K, else 16)
     has_m = gtype in (GType.Q4_1, GType.Q4_K, GType.Q5_1)
     msign = -1.0 if gtype == GType.Q4_K else 1.0
     voff = {GType.Q4_0: -8.0, GType.Q5_0: -16.0, GType.Q6_K: -32.0}.get(
         gtype, 0.0)
     qh_rows = (kc // 16 if is_q6 else kc // 32) if (is_q6 or is_q5) else 0
-
-    def kernel(xlo_ref, xhi_ref, xs_ref, *refs):
-        rest = list(refs)
-        qs_ref = rest.pop(0)
-        qh_ref = rest.pop(0) if (is_q6 or is_q5) else None
-        d_ref = rest.pop(0)
-        m_ref = rest.pop(0) if has_m else None
-        (o_ref,) = rest
-
-        def dot(a, w):
-            return jax.lax.dot_general(
-                a, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
-
-        acc = None
-        mask = jnp.uint32(0x0F0F0F0F)
-        for t in range(nc):  # static unroll: per-chunk f32 intermediates
-            p = qs_ref[t * (kc // 8) : (t + 1) * (kc // 8), :]
-            vlo = pltpu.bitcast(p & mask, jnp.int8)
-            vhi = pltpu.bitcast((p >> jnp.uint32(4)) & mask, jnp.int8)
-            # chunk-major scale rows; pair packing is per-chunk planar
-            d_dec = _decode_f16x2_arr(
-                d_ref[t * (cc // 2) : (t + 1) * (cc // 2), :])
-            d16 = pltpu.repeat(d_dec, rep, axis=0)
-            flo = vlo.astype(jnp.float32)
-            fhi = vhi.astype(jnp.float32)
-            if is_q6:
-                # 2-bit high plane: 4 dense masks + bitcasts; concat rows
-                # land in [lo-plane; hi-plane] order (formats.swar_pack_qh2)
-                q = qh_ref[t * qh_rows : (t + 1) * qh_rows, :]
-                m2 = jnp.uint32(0x03030303)
-                hcat = jnp.concatenate(
-                    [pltpu.bitcast((q >> jnp.uint32(2 * s)) & m2, jnp.int8)
-                     for s in range(4)], axis=0)  # (kc, tile)
-                flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0
-                fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0
-            elif is_q5:
-                # 1-bit high plane: 8 dense masks + bitcasts; same
-                # combined-row contract as qh2 (formats.swar_pack_qh1)
-                q = qh_ref[t * qh_rows : (t + 1) * qh_rows, :]
-                m1 = jnp.uint32(0x01010101)
-                hcat = jnp.concatenate(
-                    [pltpu.bitcast((q >> jnp.uint32(s)) & m1, jnp.int8)
-                     for s in range(8)], axis=0)  # (kc, tile)
-                flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0
-                fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0
-            wlo = flo * d16
-            whi = fhi * d16
-            # per-block affine coefficients (cc, tile): off·d and/or ±m
-            caff = d_dec * jnp.float32(voff) if voff else None
-            if m_ref is not None:
-                m_dec = _decode_f16x2_arr(
-                    m_ref[t * (cc // 2) : (t + 1) * (cc // 2), :])
-                maff = jnp.float32(msign) * m_dec
-                caff = maff if caff is None else caff + maff
-            part = (dot(xlo_ref[:, t * (kc // 2) : (t + 1) * (kc // 2)], wlo)
-                    + dot(xhi_ref[:, t * (kc // 2) : (t + 1) * (kc // 2)],
-                          whi))
-            if caff is not None:
-                part = part + dot(xs_ref[:, t * cc : (t + 1) * cc], caff)
-            acc = part if acc is None else acc + part
-        o_ref[:] = acc
-
-    grid = (n // tile, b // tile_b)
-    in_specs = [
-        pl.BlockSpec((tile_b, k // 2), lambda i, jb: (jb, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_b, k // 2), lambda i, jb: (jb, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_b, C), lambda i, jb: (jb, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((k // 8, tile), lambda i, jb: (0, i),
-                     memory_space=pltpu.VMEM),
-    ]
     d_key = "kd_t" if gtype in (GType.Q4_K, GType.Q6_K) else "d_t"
-    args = [xlo, xhi, xs, planes["qs_t"]]
-    if is_q6 or is_q5:
+
+    def build(body_nc: int, t0: int):
+        """One pallas call over chunks [t0, t0 + body_nc) of the planes.
+        BlockSpec blocks are body_nc chunks wide; t0 is the block index, so
+        per-chunk calls read the shared full planes in place (no copies)."""
+
+        def kernel(xlo_ref, xhi_ref, xs_ref, *refs):
+            rest = list(refs)
+            qs_ref = rest.pop(0)
+            qh_ref = rest.pop(0) if (is_q6 or is_q5) else None
+            d_ref = rest.pop(0)
+            m_ref = rest.pop(0) if has_m else None
+            (o_ref,) = rest
+
+            def dot(a, w):
+                return jax.lax.dot_general(
+                    a, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+
+            acc = None
+            mask = jnp.uint32(0x0F0F0F0F)
+            for t in range(body_nc):  # static: per-chunk f32 intermediates
+                p = qs_ref[t * (kc // 8) : (t + 1) * (kc // 8), :]
+                vlo = pltpu.bitcast(p & mask, jnp.int8)
+                vhi = pltpu.bitcast((p >> jnp.uint32(4)) & mask, jnp.int8)
+                # chunk-major scale rows; pair packing is per-chunk planar
+                d_dec = _decode_f16x2_arr(
+                    d_ref[t * (cc // 2) : (t + 1) * (cc // 2), :])
+                d16 = pltpu.repeat(d_dec, rep, axis=0)
+                flo = vlo.astype(jnp.float32)
+                fhi = vhi.astype(jnp.float32)
+                if is_q6:
+                    # 2-bit high plane: 4 dense masks + bitcasts; concat
+                    # rows land in [lo-plane; hi-plane] order
+                    # (formats.swar_pack_qh2)
+                    q = qh_ref[t * qh_rows : (t + 1) * qh_rows, :]
+                    m2 = jnp.uint32(0x03030303)
+                    hcat = jnp.concatenate(
+                        [pltpu.bitcast((q >> jnp.uint32(2 * s)) & m2,
+                                       jnp.int8)
+                         for s in range(4)], axis=0)  # (kc, tile)
+                    flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0
+                    fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0
+                elif is_q5:
+                    # 1-bit high plane: 8 dense masks + bitcasts; same
+                    # combined-row contract as qh2 (formats.swar_pack_qh1)
+                    q = qh_ref[t * qh_rows : (t + 1) * qh_rows, :]
+                    m1 = jnp.uint32(0x01010101)
+                    hcat = jnp.concatenate(
+                        [pltpu.bitcast((q >> jnp.uint32(s)) & m1, jnp.int8)
+                         for s in range(8)], axis=0)  # (kc, tile)
+                    flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0
+                    fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0
+                wlo = flo * d16
+                whi = fhi * d16
+                # per-block affine coefficients (cc, tile): off·d and/or ±m
+                caff = d_dec * jnp.float32(voff) if voff else None
+                if m_ref is not None:
+                    m_dec = _decode_f16x2_arr(
+                        m_ref[t * (cc // 2) : (t + 1) * (cc // 2), :])
+                    maff = jnp.float32(msign) * m_dec
+                    caff = maff if caff is None else caff + maff
+                part = (dot(xlo_ref[:, t * (kc // 2) : (t + 1) * (kc // 2)],
+                            wlo)
+                        + dot(xhi_ref[:, t * (kc // 2) : (t + 1) * (kc // 2)],
+                              whi))
+                if caff is not None:
+                    part = part + dot(xs_ref[:, t * cc : (t + 1) * cc], caff)
+                acc = part if acc is None else acc + part
+            o_ref[:] = acc
+
+        grid = (n // tile, b // tile_b)
+        in_specs = [
+            pl.BlockSpec((tile_b, body_nc * kc // 2),
+                         lambda i, jb: (jb, t0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, body_nc * kc // 2),
+                         lambda i, jb: (jb, t0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, body_nc * cc),
+                         lambda i, jb: (jb, t0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((body_nc * kc // 8, tile),
+                         lambda i, jb: (t0, i), memory_space=pltpu.VMEM),
+        ]
+        args = [xlo, xhi, xs, planes["qs_t"]]
+        if is_q6 or is_q5:
+            in_specs.append(
+                pl.BlockSpec((body_nc * qh_rows, tile),
+                             lambda i, jb: (t0, i), memory_space=pltpu.VMEM)
+            )
+            args.append(planes["qh_t"])
         in_specs.append(
-            pl.BlockSpec((nc * qh_rows, tile), lambda i, jb: (0, i),
-                         memory_space=pltpu.VMEM)
+            pl.BlockSpec((body_nc * cc // 2, tile),
+                         lambda i, jb: (t0, i), memory_space=pltpu.VMEM)
         )
-        args.append(planes["qh_t"])
-    in_specs.append(
-        pl.BlockSpec((C // 2, tile), lambda i, jb: (0, i),
-                     memory_space=pltpu.VMEM)
-    )
-    args.append(planes[d_key])
-    if has_m:
-        in_specs.append(
-            pl.BlockSpec((C // 2, tile), lambda i, jb: (0, i),
-                         memory_space=pltpu.VMEM)
-        )
-        args.append(planes["km_t" if gtype == GType.Q4_K else "m_t"])
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile_b, tile), lambda i, jb: (jb, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
-        interpret=interpret_mode(),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * k,
-            bytes_accessed=planes["qs_t"].size * 4 + b * k * 4 + b * n * 4,
-            transcendentals=0,
-        ),
-    )(*args)
+        args.append(planes[d_key])
+        if has_m:
+            in_specs.append(
+                pl.BlockSpec((body_nc * cc // 2, tile),
+                             lambda i, jb: (t0, i), memory_space=pltpu.VMEM)
+            )
+            args.append(planes["km_t" if gtype == GType.Q4_K else "m_t"])
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tile_b, tile), lambda i, jb: (jb, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+            interpret=interpret_mode(),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * n * body_nc * kc,
+                bytes_accessed=planes["qs_t"].size * 4 // nc * body_nc
+                + b * body_nc * kc * 4 + b * n * 4,
+                transcendentals=0,
+            ),
+        )(*args)
+
+    if host_chunks and nc > 1:
+        out = build(1, 0)
+        for t in range(1, nc):
+            out = out + build(1, t)
+        return out
+    return build(nc, 0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "k", "tile", "nc", "tile_b"),
+    static_argnames=("n", "k", "tile", "nc", "tile_b", "host_chunks",
+                     "mode"),
 )
-def _call_kernel_swar_q8(x, planes, n, k, tile, nc, tile_b):
+def _call_kernel_swar_q8(x, planes, n, k, tile, nc, tile_b,
+                         host_chunks=False, mode="bf16"):
     """Q8_0 variant: one full-width plane, no nibble masks — a single 32→8
     sublane bitcast IS the unpack (~1.3 VPU ops/element). x: (b, K) f32 in
-    the q8 swar k-order (swar_permute_x_q8). Same in-kernel chunk loop as
-    _call_kernel_swar (chunk-swept grid dims are banned — see there)."""
+    the q8 swar k-order (swar_permute_x_q8). Same chunk handling and
+    precision modes as _call_kernel_swar (in-kernel loop, or one call per
+    chunk when host_chunks — see there)."""
     b = x.shape[0]
     kc = k // nc
     cc = kc // 32
-    C = k // 32
+    precision = (jax.lax.Precision.DEFAULT if mode == "bf16"
+                 else jax.lax.Precision.HIGHEST)
 
-    def kernel(x_ref, qs_ref, d_ref, o_ref):
-        acc = None
-        for t in range(nc):
-            v = pltpu.bitcast(
-                qs_ref[t * (kc // 4) : (t + 1) * (kc // 4), :], jnp.int8)
-            d16 = pltpu.repeat(_decode_f16x2_arr(
-                d_ref[t * (cc // 2) : (t + 1) * (cc // 2), :]), 32, axis=0)
-            w = v.astype(jnp.float32) * d16
-            part = jax.lax.dot_general(
-                x_ref[:, t * kc : (t + 1) * kc], w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
-            acc = part if acc is None else acc + part
-        o_ref[:] = acc
+    def build(body_nc: int, t0: int):
+        def kernel(x_ref, qs_ref, d_ref, o_ref):
+            acc = None
+            for t in range(body_nc):
+                v = pltpu.bitcast(
+                    qs_ref[t * (kc // 4) : (t + 1) * (kc // 4), :], jnp.int8)
+                d16 = pltpu.repeat(_decode_f16x2_arr(
+                    d_ref[t * (cc // 2) : (t + 1) * (cc // 2), :]), 32,
+                    axis=0)
+                w = v.astype(jnp.float32) * d16
+                part = jax.lax.dot_general(
+                    x_ref[:, t * kc : (t + 1) * kc], w,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+                acc = part if acc is None else acc + part
+            o_ref[:] = acc
 
-    return pl.pallas_call(
-        kernel,
-        grid=(n // tile, b // tile_b),
-        in_specs=[
-            pl.BlockSpec((tile_b, k), lambda i, jb: (jb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // 4, tile), lambda i, jb: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C // 2, tile), lambda i, jb: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_b, tile), lambda i, jb: (jb, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
-        interpret=interpret_mode(),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * k,
-            bytes_accessed=planes["qs_t"].size * 4 + b * k * 4 + b * n * 4,
-            transcendentals=0,
-        ),
-    )(x, planes["qs_t"], planes["d_t"])
+        return pl.pallas_call(
+            kernel,
+            grid=(n // tile, b // tile_b),
+            in_specs=[
+                pl.BlockSpec((tile_b, body_nc * kc), lambda i, jb: (jb, t0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((body_nc * kc // 4, tile),
+                             lambda i, jb: (t0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((body_nc * cc // 2, tile),
+                             lambda i, jb: (t0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_b, tile), lambda i, jb: (jb, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+            interpret=interpret_mode(),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * n * body_nc * kc,
+                bytes_accessed=planes["qs_t"].size * 4 // nc * body_nc
+                + b * body_nc * kc * 4 + b * n * 4,
+                transcendentals=0,
+            ),
+        )(x, planes["qs_t"], planes["d_t"])
+
+    if host_chunks and nc > 1:
+        out = build(1, 0)
+        for t in range(1, nc):
+            out = out + build(1, t)
+        return out
+    return build(nc, 0)
 
 
 def swar_permute_x_q8(x2, k: int, nc: int):
@@ -623,10 +666,12 @@ def mul_mat_swar(a: QTensor, bx, quantize_acts: bool = True):
     tile_b = b
     while tile_b > cap and tile_b % 2 == 0:
         tile_b //= 2
+    hc = _swar_hostchunk()
     if a.gtype == GType.Q8_0:
         xq = swar_permute_x_q8(x2, kp, nc)
         out = _call_kernel_swar_q8(xq, dict(a.planes), n, kp, tile, nc,
-                                   tile_b)
+                                   tile_b, host_chunks=hc,
+                                   mode=mm_dot_mode())
     else:
         block = 16 if a.gtype == GType.Q6_K else 32
         xlo, xhi = swar_permute_x(x2, kp, nc, block=block)
@@ -637,7 +682,8 @@ def mul_mat_swar(a: QTensor, bx, quantize_acts: bool = True):
         # full-lane (b, C) block is legal (lanes == array dim)
         xs = x2.reshape(b, kp // block, block).sum(axis=-1)
         out = _call_kernel_swar(xlo, xhi, xs, dict(a.planes), a.gtype, n, kp,
-                                tile, nc, tile_b)
+                                tile, nc, tile_b, host_chunks=hc,
+                                mode=mm_dot_mode())
     if rpad:
         out = out[:rows]
     return out.reshape(*lead, n)

@@ -502,9 +502,8 @@ def swar_layout(n: int, k: int, budget: int = 13 * 1024 * 1024,
                 kt_bytes: int = 6) -> tuple[int, int, int]:
     """Pick (tile, n_chunks, k_padded) jointly for a (N, K) weight.
 
-    Legality: kernels always take FULL-K blocks (the k-chunk loop runs
-    inside the kernel over static ref slices — chunk-swept grid dims
-    miscompile on this toolchain, kernels.matmul_q._call_kernel_swar); for
+    Legality: kernels take FULL-K blocks (the k-chunk loop runs inside the
+    kernel over static ref slices, kernels.matmul_q._call_kernel_swar); for
     nc > 1, kc = kp/nc must be % 512 == 0 so every in-kernel chunk slice
     lands on (8, 128)-aligned sublane offsets.
     VMEM: the f32 per-chunk unpack intermediates are kt_bytes·kc·tile

@@ -34,6 +34,31 @@ def check(name, got, want, rtol, atol):
         FAILURES.append(name)
 
 
+def _bf16(a):
+    import jax.numpy as jnp
+    return np.asarray(jnp.asarray(np.asarray(a), jnp.float32)
+                      .astype(jnp.bfloat16).astype(jnp.float32))
+
+
+def check_noise(name, got, x_np, wd):
+    """Bar for DEFAULT-precision (single-pass bf16) kernels: the kernel's
+    deviation from exact must sit within 3x a host bf16-rounding oracle's
+    own deviation (sigma ~ 2^-8·|x·w|·sqrt(K) — grows with K, so NO fixed
+    atol can serve every shape; see scripts/diag_chunked11.py, which proved
+    the kernels match the bf16 oracle elementwise)."""
+    got = np.asarray(got)
+    exact = x_np.astype(np.float64) @ wd.astype(np.float64).T
+    oracle = _bf16(x_np).astype(np.float64) @ _bf16(wd).astype(np.float64).T
+    noise = np.abs(oracle - exact).max()
+    err = np.abs(got - exact).max()
+    bar = 3.0 * noise + 1e-3
+    ok = err <= bar and np.isfinite(got).all()
+    print(f"  {'ok ' if ok else 'FAIL'} {name:28s} dev {err:.2e} "
+          f"(bf16-oracle dev {noise:.2e})", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
 def main():
     t0 = time.time()
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
@@ -95,31 +120,50 @@ def main():
         dq_o = jax.jit(dequantize)(qw)
         check(f"swar dequant {g.name}", dq_s, dq_o, rtol=dtol[0],
               atol=dtol[1])
+        # f32/HIGHEST mode: hardware-exact parity vs the host f64 reference
+        wd = np.asarray(dq_s)
+        x_np = np.asarray(x)
+        kcfg.set_mm_dot("f32")
         got = jax.jit(
             lambda v, qs=qs: mul_mat_q_fused(qs, v, quantize_acts=False)
         )(x)
-        want = jax.jit(
-            lambda v, qw=qw: mul_mat_q(qw, v, quantize_acts=False)
+        check(f"swar mm {g.name} [f32]", got,
+              x_np.astype(np.float64) @ wd.astype(np.float64).T,
+              rtol=1e-4, atol=1e-4)
+        # bf16/DEFAULT mode (the perf path): noise-calibrated bar
+        kcfg.set_mm_dot("bf16")
+        got = jax.jit(
+            lambda v, qs=qs: mul_mat_q_fused(qs, v, quantize_acts=False)
         )(x)
-        check(f"swar mm {g.name}", got, want, rtol=5e-2, atol=2e-1)
+        check_noise(f"swar mm {g.name} [bf16]", got, x_np, wd)
 
     # --- SWAR chunked-K layout (nc > 1): k=11008 pads to 11264 and chunks
-    # kc=1024 (the 7B w_down/w_gate_up layout). Exercises the k-chunked
-    # BlockSpecs — notably the (nc, b, cc) affine-fold xs ride, whose 2-D
-    # form real Mosaic rejects (cc=32 lanes) while interpret mode passes.
+    # (the 7B w_down layout). Exercises the in-kernel k-chunk loop and the
+    # chunk-major affine-fold xs ride. bf16-mode noise at this K is ~0.2
+    # absolute on unit-scale data (2^-8·|x·w|·sqrt(K)) — the f32/HIGHEST
+    # pass is the exactness check; the bf16 pass uses the noise bar
+    # (the round-2/3 "chunked-K corruption" was exactly this noise tripping
+    # a fixed atol — scripts/diag_chunked11.py).
     w_ck = jnp.asarray(
         rng.standard_normal((256, 11008)).astype(np.float32) * 0.5)
     x_ck = jnp.asarray(rng.standard_normal((8, 11008)).astype(np.float32))
+    x_ck_np = np.asarray(x_ck)
     for g in (GType.Q4_0, GType.Q4_1):  # voff-only + min-plane affine folds
         qw = jax.jit(lambda a, g=g: quantize(a, g))(w_ck)
         qs = jax.jit(to_swar)(qw)
+        wd_ck = np.asarray(jax.jit(dequantize)(qs))
+        kcfg.set_mm_dot("f32")
         got = jax.jit(
             lambda v, qs=qs: mul_mat_q_fused(qs, v, quantize_acts=False)
         )(x_ck)
-        want = jax.jit(
-            lambda v, qw=qw: mul_mat_q(qw, v, quantize_acts=False)
+        check(f"swar chunked-K {g.name} [f32]", got,
+              x_ck_np.astype(np.float64) @ wd_ck.astype(np.float64).T,
+              rtol=1e-4, atol=1e-3)
+        kcfg.set_mm_dot("bf16")
+        got = jax.jit(
+            lambda v, qs=qs: mul_mat_q_fused(qs, v, quantize_acts=False)
         )(x_ck)
-        check(f"swar chunked-K {g.name}", got, want, rtol=5e-2, atol=2e-1)
+        check_noise(f"swar chunked-K {g.name} [bf16]", got, x_ck_np, wd_ck)
 
     # --- fused GELU-MLP megakernel (kernels.mlp_fused) ------------------
     from ggmlsharp_tpu.kernels.mlp_fused import (

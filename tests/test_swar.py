@@ -170,6 +170,39 @@ def test_swar_chunked_kernel_parity():
         xlo, xhi, xs, planes, GType.Q4_0, n, k, tile, nc, 4))
     want = np.asarray(mul_mat_q(qt, x, quantize_acts=False))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # host-chunk mode: one pallas call per chunk over the SAME planes
+    # (chunk-offset BlockSpecs), summed in XLA — must match exactly
+    got_hc = np.asarray(_call_kernel_swar(
+        xlo, xhi, xs, planes, GType.Q4_0, n, k, tile, nc, 4,
+        host_chunks=True))
+    np.testing.assert_allclose(got_hc, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "gtype", [GType.Q4_1, GType.Q4_K, GType.Q8_0, GType.Q5_0, GType.Q5_1,
+              GType.Q6_K])
+def test_swar_hostchunk_all_formats(gtype, monkeypatch):
+    """GGML_TPU_SWAR_HOSTCHUNK routes every chunked format through
+    per-chunk kernel calls; parity vs the reference path at a forced
+    2-chunk layout."""
+    from ggmlsharp_tpu.quant import formats as F
+
+    monkeypatch.setenv("GGML_TPU_SWAR_HOSTCHUNK", "1")
+    rng = np.random.default_rng(5)
+    n, k = 256, 1024
+    real_layout = F.swar_layout
+    monkeypatch.setattr(
+        F, "swar_layout",
+        lambda nn, kk, budget=0, kt_bytes=6: (128, 2, kk)
+        if kk == k else real_layout(nn, kk, kt_bytes=kt_bytes))
+    w = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((3, k)).astype(np.float32))
+    qt = quantize(w, gtype)
+    sw = to_swar(qt)
+    assert sw.planes["qs_t"].shape[0] in (k // 8, k // 4)  # 2-chunk pack
+    got = np.asarray(mul_mat_q_fused(sw, x, quantize_acts=False))
+    want = np.asarray(x) @ np.asarray(dequantize(sw)).T
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
 @pytest.mark.slow
