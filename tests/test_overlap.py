@@ -48,12 +48,15 @@ def test_ring_overlap_dense_weights():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_tpu_hlo_schedule_overlaps_permute_with_compute():
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_tpu_hlo_schedule_overlaps_permute_with_compute(use_pallas):
     """AOT-compile for a deviceless 2x4 v5e topology and assert the
     optimized schedule starts each collective-permute asynchronously and
-    runs real compute (fusion/dot with the dequant-matmul) between the
-    start and its matching done — i.e. the hop rides ICI while the
-    MXU/VPU work on the next tile."""
+    runs real compute between the start and its matching done — i.e. the
+    hop rides ICI while the MXU/VPU work on the next tile. use_pallas=True
+    compiles the REAL fused dequant-matmul kernel (the Mosaic custom call)
+    into the schedule — BASELINE's "collectives overlapped with the fused
+    dequant-matmul" verbatim; False covers the jnp-dequant fallback."""
     try:
         from jax.experimental import topologies
 
@@ -68,10 +71,8 @@ def test_tpu_hlo_schedule_overlaps_permute_with_compute():
     mesh = Mesh(devices, ("model",))
 
     def f(qw, x):
-        # jnp dequant path: the AOT topology cannot reach the sandbox's
-        # remote Mosaic compiler; XLA fuses dequant into the dots anyway
         return row_parallel_mul_mat_overlapped(qw, x, mesh,
-                                               use_pallas=False)
+                                               use_pallas=use_pallas)
 
     lowered = jax.jit(f).lower(qw, x)
     hlo = lowered.compile().as_text()
@@ -81,11 +82,16 @@ def test_tpu_hlo_schedule_overlaps_permute_with_compute():
     assert len(starts) >= 7 and len(dones) >= 7, (len(starts), len(dones))
 
     # at least one async window must contain real compute (the schedule is
-    # linear text of the entry computation in order)
-    compute = [m.start() for m in re.finditer(r"fusion|dot\(|convolution", hlo)]
+    # linear text of the entry computation in order). With pallas the
+    # compute IS the Mosaic custom call ("tpu_custom_call").
+    pat = r"custom-call|fusion|dot\(" if use_pallas else \
+        r"fusion|dot\(|convolution"
+    compute = [m.start() for m in re.finditer(pat, hlo)]
     overlapped = 0
     for s, d in zip(starts, dones):
         if any(s < c < d for c in compute):
             overlapped += 1
     assert overlapped >= 4, (
         f"only {overlapped} of {len(starts)} permute windows contain compute")
+    if use_pallas:
+        assert "tpu_custom_call" in hlo or "custom-call" in hlo
