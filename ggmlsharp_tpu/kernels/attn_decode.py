@@ -49,9 +49,21 @@ from .config import interpret_mode
 _NEG = -1e30
 
 
-def pick_chunk(T: int, cap: int = 512) -> int:
+def pick_chunk(T: int, cap: int = 512, E: int | None = None,
+               itemsize: int = 2, budget: int = 14 * 1024 * 1024) -> int:
     """Largest cache-chunk length ≤ cap that divides T (halving search —
-    T is a power-of-two bucket multiple in practice)."""
+    T is a power-of-two bucket multiple in practice).
+
+    When E is given, the cap is VMEM-aware: a single-trip grid (Tc == T)
+    holds k+v whole (2 buffers), while a multi-trip grid double-buffers
+    both chunk streams (4 buffers of Tc·E·itemsize) — at E=4096 bf16 and
+    T=2048 the naive Tc=512 chunks allocate 16.8 MB of scoped VMEM and the
+    compile dies 17 KB over the 16 MB limit (observed on v5e)."""
+    if E is not None:
+        if T <= cap and 2 * T * E * itemsize <= budget:
+            return T  # single trip: no double-buffering
+        while cap >= 128 and 4 * cap * E * itemsize > budget:
+            cap //= 2
     Tc = T if T <= cap else cap
     while T % Tc:
         Tc //= 2
@@ -209,7 +221,7 @@ def flash_decode_flat(q_heads, k_new, v_new, k_cache, v_cache, npast,
         B, n_head_kv, n_rep, D).transpose(0, 2, 1, 3).reshape(
         B * n_rep, E)
     T = k_cache.shape[1]
-    Tc = pick_chunk(T)
+    Tc = pick_chunk(T, E=E, itemsize=k_cache.dtype.itemsize)
     out = _call_flash_decode(
         qr, k_new.astype(jnp.float32), v_new.astype(jnp.float32),
         k_cache, v_cache, jnp.asarray(npast, jnp.int32).reshape(B),
@@ -229,7 +241,7 @@ def flash_decode_flat_attn(q_att, k_new, v_new, k_cache, v_cache, npast,
     n_rep = n_head // n_head_kv
     scale = 1.0 / (head_dim ** 0.5)
     T = k_cache.shape[1]
-    Tc = pick_chunk(T)
+    Tc = pick_chunk(T, E=Ekv, itemsize=k_cache.dtype.itemsize)
     out = _call_flash_decode(
         (q_att.astype(jnp.float32) * scale).reshape(B * n_rep, Ekv),
         k_new.astype(jnp.float32), v_new.astype(jnp.float32),
