@@ -261,6 +261,14 @@ def _run_serve_mode(mod, cfg, model, fmt, params, slots, t_start):
                                max_new_tokens=2))
             wid += 1
         eng.run()
+    # ... and every cache-length bucket (+ its multi-step windows) the
+    # timed span can grow into: decode executables are keyed by bucket, so
+    # one full-length request compiles each growth bucket OUTSIDE the
+    # timed window (decode always runs the full B-slot array, so a single
+    # warm request covers the batched case too)
+    eng.submit(Request(id=-1 - wid, prompt=prompts[0],
+                       max_new_tokens=n_new))
+    eng.run()
     _log(f"serve engine warm at t={time.perf_counter()-t_start:.1f}s")
 
     for i, p in enumerate(prompts):

@@ -120,6 +120,24 @@ def quantize_params(params, gtype: GType, min_cols: int = 256,
         "ln_f": params["ln_f"],
         "blocks": [],
     }
+    # Dedicated SWAR lm-head: wte must stay in ROW layout for get_rows, but
+    # the logits matvec over it is the single largest weight read of a
+    # GPT-2 decode step (50257x768 = 41 MB wire) and the row-layout kernel
+    # grids it in (TILE_N=256, 768) tiles — 197 grid steps whose per-step
+    # overhead caps it at ~165 GB/s on v5e (diag_gpt2). A SWAR copy padded
+    # to a lane-tile-divisible row count streams it at the packed-bytes
+    # roofline instead; forward prefers params["lm_head"] when present and
+    # slices the padded logits. Costs one duplicate of the lm-head in HBM.
+    if use_swar and not isinstance(params["wte"], QTensor) \
+            and params["wte"].ndim == 2 and params["wte"].shape[-1] % 256 == 0:
+        wte = params["wte"]
+        pad = (-wte.shape[0]) % 1024  # 50257 -> 51200: tile-1024 eligible
+        wpad = jnp.concatenate(
+            [wte, jnp.zeros((pad, wte.shape[1]), wte.dtype)], axis=0) \
+            if pad else wte
+        qh = quantize(wpad.astype(jnp.float32), gtype, search=search)
+        if swar_supported(qh):
+            out["lm_head"] = to_swar(qh)
     import os
 
     layer_fuse = (gtype == GType.Q8_0
@@ -228,7 +246,7 @@ def _forward_wire_decode(params, cfg: GPT2Config, tokens, cache, positions,
                                       positions)
     x = xw[:, inv]
     x = _layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], cfg.ln_eps)
-    wte = params["wte"]
+    wte = params.get("lm_head", params["wte"])  # SWAR copy when present
     if isinstance(wte, QTensor):
         logits = ops.mul_mat(wte, x, quantize_acts=False)
     else:
@@ -331,7 +349,8 @@ def forward(params, cfg: GPT2Config, tokens, cache: kvc.KVCache, positions,
                            blk["mlp"]["c_proj_b"])
 
     x = _layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], cfg.ln_eps)
-    wte = params["wte"]
+    wte = params.get("lm_head", params["wte"]) \
+        if isinstance(params, dict) else params["wte"]
     if isinstance(wte, QTensor):
         logits = ops.mul_mat(wte, x.astype(jnp.float32), quantize_acts=False)
     else:

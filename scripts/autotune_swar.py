@@ -27,25 +27,34 @@ import numpy as np
 import ggmlsharp_tpu.kernels.matmul_q as mq
 from ggmlsharp_tpu import GType
 
-LOOP = 64
-
 # (n, k) weight shapes that dominate the benchmark models
 SHAPES = [
     (12288, 4096), (4096, 4096), (22016, 4096), (4096, 11008),
     (32256, 4096),                      # llama-7B + lm head
-    (2304, 768), (768, 768), (3072, 768), (768, 3072), (50432, 768),
+    (2304, 768), (768, 768), (3072, 768), (768, 3072),
+    (51200, 768),                       # gpt2 lm head (1024-padded rows)
 ]
 KT_GTYPE = {6: GType.Q4_0, 8: GType.Q8_0}
 
 
+def shape_loop(n, k) -> int:
+    """In-jit loop count per shape: small shapes must loop enough that one
+    fn call is >= ~25 ms of device time, or the slope drowns in relay
+    dispatch jitter (the r2 table had negative times at 768-wide shapes)."""
+    est = n * k * 0.8 / 700e9  # ~wire bytes at ~700 GB/s
+    return int(max(64, min(4096, 25e-3 / max(est, 1e-9))))
+
+
 def candidates(n, k, kt):
-    """Legal (tile, nc, kp) triples (VMEM budget as in swar_layout)."""
+    """Legal (tile, nc, kp) triples (VMEM budget as in swar_layout);
+    tile 1024 joins for shapes whose K is small enough to fit the budget
+    (huge-N lm heads: fewer grid steps, less per-step overhead)."""
     budget = 13 * 1024 * 1024
     out = []
     for kp in {k, -(-k // 512) * 512}:
         ncs = [1] + [d for d in range(2, kp // 512 + 1)
                      if kp % d == 0 and (kp // d) % 512 == 0]
-        for tile in (512, 384, 256, 128):
+        for tile in (1024, 512, 384, 256, 128):
             if n % tile:
                 continue
             for nc in ncs:
@@ -55,8 +64,9 @@ def candidates(n, k, kt):
     return sorted(set(out))
 
 
-@functools.partial(jax.jit, static_argnames=("g", "n", "kp", "tile", "nc"))
-def loop_q4(qs_t, d_t, g, n, kp, tile, nc):
+@functools.partial(
+    jax.jit, static_argnames=("g", "n", "kp", "tile", "nc", "loop"))
+def loop_q4(qs_t, d_t, g, n, kp, tile, nc, loop):
     planes = {"qs_t": qs_t, "d_t": d_t}
     x0 = jnp.ones((8, kp // 2), jnp.float32) * 0.01
     # (nc, b, cc) chunk-major ride (matmul_q.mul_mat_swar's layout)
@@ -68,11 +78,12 @@ def loop_q4(qs_t, d_t, g, n, kp, tile, nc):
         reps = (kp // 2 + n - 1) // n
         return jnp.tile(y, (1, reps))[:, : kp // 2] * 1e-3 + 1e-6 * i
 
-    return jax.lax.fori_loop(0, LOOP, body, x0)
+    return jax.lax.fori_loop(0, loop, body, x0)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "kp", "tile", "nc"))
-def loop_q8(qs_t, d_t, n, kp, tile, nc):
+@functools.partial(
+    jax.jit, static_argnames=("n", "kp", "tile", "nc", "loop"))
+def loop_q8(qs_t, d_t, n, kp, tile, nc, loop):
     planes = {"qs_t": qs_t, "d_t": d_t}
     x0 = jnp.ones((8, kp), jnp.float32) * 0.01
 
@@ -81,7 +92,7 @@ def loop_q8(qs_t, d_t, n, kp, tile, nc):
         reps = (kp + n - 1) // n
         return jnp.tile(y, (1, reps))[:, :kp] * 1e-3 + 1e-6 * i
 
-    return jax.lax.fori_loop(0, LOOP, body, x0)
+    return jax.lax.fori_loop(0, loop, body, x0)
 
 
 def slope(fn, *args):
@@ -105,6 +116,7 @@ def main():
     for kt, g in KT_GTYPE.items():
         qdiv = 4 if kt == 8 else 8  # packed rows per K: u32 words
         for n, k in SHAPES:
+            loop = shape_loop(n, k)
             best, best_dt = None, None
             rows = []
             for tile, nc, kp in candidates(n, k, kt):
@@ -112,11 +124,22 @@ def main():
                     jax.random.PRNGKey(n + kp), (kp // qdiv, n), jnp.uint32))()
                 d_t = jax.jit(lambda kp=kp, n=n: jnp.full(
                     (kp // 64, n), word, jnp.uint32))()
-                if kt == 8:
-                    dt = slope(loop_q8, qs_t, d_t, n, kp, tile, nc) / LOOP
+                for attempt in range(2):
+                    lp = loop * (4 if attempt else 1)
+                    if kt == 8:
+                        dt = slope(loop_q8, qs_t, d_t, n, kp, tile, nc,
+                                   lp) / lp
+                    else:
+                        dt = slope(loop_q4, qs_t, d_t, g, n, kp, tile, nc,
+                                   lp) / lp
+                    gbs = (qs_t.size + d_t.size) * 4 / dt / 1e9
+                    if 20.0 <= gbs <= 1200.0:
+                        break  # physically plausible measurement
                 else:
-                    dt = slope(loop_q4, qs_t, d_t, g, n, kp, tile, nc) / LOOP
-                gbs = (qs_t.size + d_t.size) * 4 / dt / 1e9
+                    print(f"  kt{kt} {n}x{k} t={tile:4d} nc={nc:2d} kp={kp}: "
+                          f"UNRELIABLE ({gbs:.0f} GB/s) — skipped",
+                          flush=True)
+                    continue
                 rows.append((tile, nc, kp, dt, gbs))
                 if best_dt is None or dt < best_dt:
                     best, best_dt = (tile, nc, kp), dt
@@ -124,7 +147,9 @@ def main():
                 mark = " <-- best" if (tile, nc, kp) == best else ""
                 print(f"  kt{kt} {n}x{k} t={tile:4d} nc={nc:2d} kp={kp}: "
                       f"{dt*1e3:7.3f} ms {gbs:6.1f} GB/s{mark}", flush=True)
-            table[f"kt{kt}:{n}x{k}"] = list(best) + [round(best_dt * 1e6, 2)]
+            if best is not None:
+                table[f"kt{kt}:{n}x{k}"] = list(best) + [
+                    round(best_dt * 1e6, 2)]
     out_path = os.environ.get(
         "GGML_TPU_TUNE_OUT",
         "/root/repo/ggmlsharp_tpu/kernels/tune_v5e.json")
