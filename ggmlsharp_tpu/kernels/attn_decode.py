@@ -58,12 +58,19 @@ def pick_chunk(T: int, cap: int = 512, E: int | None = None,
     holds k+v whole (2 buffers), while a multi-trip grid double-buffers
     both chunk streams (4 buffers of Tc·E·itemsize) — at E=4096 bf16 and
     T=2048 the naive Tc=512 chunks allocate 16.8 MB of scoped VMEM and the
-    compile dies 17 KB over the 16 MB limit (observed on v5e)."""
+    compile dies 17 KB over the 16 MB limit (observed on v5e). INT8 caches
+    dequantize IN-KERNEL: the f32 expansion dominates at ~24 B per cache
+    element (measured: 24.6 MB scoped at Tc=256, E=4096), independent of
+    trip count."""
     if E is not None:
-        if T <= cap and 2 * T * E * itemsize <= budget:
-            return T  # single trip: no double-buffering
-        while cap >= 128 and 4 * cap * E * itemsize > budget:
-            cap //= 2
+        if itemsize == 1:  # INT8: in-kernel f32 dequant intermediates
+            while cap >= 64 and 24 * cap * E > budget:
+                cap //= 2
+        else:
+            if T <= cap and 2 * T * E * itemsize <= budget:
+                return T  # single trip: no double-buffering
+            while cap >= 128 and 4 * cap * E * itemsize > budget:
+                cap //= 2
     Tc = T if T <= cap else cap
     while T % Tc:
         Tc //= 2

@@ -322,8 +322,16 @@ class Engine:
         window. The clamp is a traced argument of one shared executable.
         Returns 1 for the single-token path."""
         W = self.multi_step
-        if W <= 1 or self.pending or self._chunking:
+        if W <= 1 or self._chunking:
             return 1
+        if self.pending and any(s is None for s in self.slots):
+            return 1  # a slot is free: admit before windowing
+        # pending + FULL slots: window anyway — the min-remaining clamp
+        # below ends the window exactly on the earliest budget-finisher, so
+        # admission is not delayed (only early stop/eos inside a window
+        # trades up to W-1 wasted steps; every tick otherwise pays a full
+        # host->device->host round trip, which dominates serving throughput
+        # on relay-attached chips)
         if not any(ready) or ready != greedy:
             return 1
         occupied = [s for s in self.slots if s is not None]

@@ -100,7 +100,7 @@ def main():
                 h = ops.mul_mat(blk["mlp"]["c_fc_w"], x, quantize_acts=False)
                 x = ops.mul_mat(blk["mlp"]["c_proj_w"], h * 1e-3,
                                 quantize_acts=False) * 1e-3
-        return ops.mul_mat(params["wte"], x, quantize_acts=False)
+        return ops.mul_mat(params.get("lm_head", params["wte"]), x, quantize_acts=False)
 
     for fused in ([True] if has_fused else []) + [False]:
         @functools.partial(jax.jit, static_argnames=("n",))
@@ -127,7 +127,7 @@ def main():
         x0 = jnp.ones((1, 768), jnp.float32) * 0.01
 
         def body(i, x):
-            y = ops.mul_mat(params["wte"], x, quantize_acts=False)
+            y = ops.mul_mat(params.get("lm_head", params["wte"]), x, quantize_acts=False)
             return y[:, :768] * 1e-4 + 1e-6 * i
 
         return jax.lax.fori_loop(0, n, body, x0)
@@ -136,9 +136,10 @@ def main():
     head_mb = 0.0
     from ggmlsharp_tpu.quant.formats import QTensor
 
-    if isinstance(params["wte"], QTensor):
+    head_w = params.get("lm_head", params["wte"])
+    if isinstance(head_w, QTensor):
         head_mb = sum(p.size * p.dtype.itemsize
-                      for p in params["wte"].planes.values()) / 1e6
+                      for p in head_w.planes.values()) / 1e6
     log(f"lm-head matvec: {dt*1e6:7.1f} us  ({head_mb*1e6/dt/1e9:5.0f} GB/s)")
 
 
