@@ -476,13 +476,17 @@ def forward(params, cfg: LlamaConfig, tokens, cache: kvc.KVCache, positions,
 def new_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16, int8=False,
               max_len: int | None = None, flat: bool | None = None):
     """flat=None: auto — flat [B, T, E_kv] element-order cache feeding the
-    fused flash-decode kernel (kernels.attn_decode) for single-slot float
-    decode (GGML_TPU_FLASH_DECODE, default on); head-major otherwise."""
+    fused flash-decode kernel (kernels.attn_decode) vs head-major + einsum
+    attention. Default: head-major (GGML_TPU_FLASH_DECODE=0) — the r3 A/B
+    on v5e measured single-slot decode at 128.5 tok/s (einsum) vs 119.5
+    (flash) at 7B Q4_0; the flash path's win is BATCHED serving with
+    per-slot prefix lengths, where serving.Engine opts into the flat cache
+    itself (its own env default)."""
     if flat is None:
         import os
 
         flat = ((cfg.n_head_kv * cfg.head_dim) % 128 == 0
-                and os.environ.get("GGML_TPU_FLASH_DECODE", "1") == "1")
+                and os.environ.get("GGML_TPU_FLASH_DECODE", "0") == "1")
     return kvc.init_cache(cfg.n_layer, batch, cfg.n_head_kv,
                           max_len or cfg.n_ctx, cfg.head_dim,
                           dtype=dtype, int8=int8, flat=flat)
