@@ -481,12 +481,15 @@ def new_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16, int8=False,
     on v5e measured single-slot decode at 128.5 tok/s (einsum) vs 119.5
     (flash) at 7B Q4_0; the flash path's win is BATCHED serving with
     per-slot prefix lengths, where serving.Engine opts into the flat cache
-    itself (its own env default)."""
+    itself (its own env default) — and INT8 caches, where the in-kernel
+    dequant beats the einsum path's XLA dequant round trip (113.5 vs 112.3
+    tok/s, 7B Q4_K+INT8KV, r3 A/B), so int8 defaults to flat."""
     if flat is None:
         import os
 
         flat = ((cfg.n_head_kv * cfg.head_dim) % 128 == 0
-                and os.environ.get("GGML_TPU_FLASH_DECODE", "0") == "1")
+                and os.environ.get("GGML_TPU_FLASH_DECODE",
+                                   "1" if int8 else "0") == "1")
     return kvc.init_cache(cfg.n_layer, batch, cfg.n_head_kv,
                           max_len or cfg.n_ctx, cfg.head_dim,
                           dtype=dtype, int8=int8, flat=flat)

@@ -46,20 +46,26 @@ def shape_loop(n, k) -> int:
 
 
 def candidates(n, k, kt):
-    """Legal (tile, nc, kp) triples (VMEM budget as in swar_layout);
-    tile 1024 joins for shapes whose K is small enough to fit the budget
-    (huge-N lm heads: fewer grid steps, less per-step overhead)."""
+    """Legal (tile, nc, kp) triples — the SAME budget terms as
+    swar_layout's heuristic (per-chunk unpack intermediates + resident
+    packed planes double-buffered + activation blocks); the r3 autotune
+    crash probed a q8 nc=1 k=11264 tile=128 candidate that the weaker
+    kt*kc*tile-only check admitted (23.4 MB actual scoped VMEM). Tile 1024
+    joins for small-K/huge-N shapes (lm heads: fewer grid steps)."""
     budget = 13 * 1024 * 1024
     out = []
     for kp in {k, -(-k // 512) * 512}:
         ncs = [1] + [d for d in range(2, kp // 512 + 1)
                      if kp % d == 0 and (kp // d) % 512 == 0]
+        wire_pc = (0.625 if kt == 6 else 1.0625) * kp
+        xbytes = 2 * 8 * kp * 4
         for tile in (1024, 512, 384, 256, 128):
             if n % tile:
                 continue
             for nc in ncs:
                 kc = kp // nc
-                if kc % 64 == 0 and kt * kc * tile <= budget:
+                if kc % 64 == 0 and (kt * kc * tile + 2 * wire_pc * tile
+                                     + xbytes) <= budget:
                     out.append((tile, nc, kp))
     return sorted(set(out))
 
@@ -126,16 +132,23 @@ def main():
                     (kp // 64, n), word, jnp.uint32))()
                 for attempt in range(2):
                     lp = loop * (4 if attempt else 1)
-                    if kt == 8:
-                        dt = slope(loop_q8, qs_t, d_t, n, kp, tile, nc,
-                                   lp) / lp
-                    else:
-                        dt = slope(loop_q4, qs_t, d_t, g, n, kp, tile, nc,
-                                   lp) / lp
+                    try:
+                        if kt == 8:
+                            dt = slope(loop_q8, qs_t, d_t, n, kp, tile, nc,
+                                       lp) / lp
+                        else:
+                            dt = slope(loop_q4, qs_t, d_t, g, n, kp, tile,
+                                       nc, lp) / lp
+                    except Exception as e:  # noqa: BLE001 — VMEM/compile
+                        print(f"  kt{kt} {n}x{k} t={tile:4d} nc={nc:2d} "
+                              f"kp={kp}: COMPILE FAIL "
+                              f"({str(e)[:80]})", flush=True)
+                        gbs = -1.0
+                        break
                     gbs = (qs_t.size + d_t.size) * 4 / dt / 1e9
                     if 20.0 <= gbs <= 1200.0:
                         break  # physically plausible measurement
-                else:
+                if not (20.0 <= gbs <= 1200.0):
                     print(f"  kt{kt} {n}x{k} t={tile:4d} nc={nc:2d} kp={kp}: "
                           f"UNRELIABLE ({gbs:.0f} GB/s) — skipped",
                           flush=True)
