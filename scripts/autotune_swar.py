@@ -146,9 +146,9 @@ def main():
                         gbs = -1.0
                         break
                     gbs = (qs_t.size + d_t.size) * 4 / dt / 1e9
-                    if 20.0 <= gbs <= 1200.0:
+                    if 20.0 <= gbs <= 850.0:
                         break  # physically plausible measurement
-                if not (20.0 <= gbs <= 1200.0):
+                if not (20.0 <= gbs <= 850.0):
                     print(f"  kt{kt} {n}x{k} t={tile:4d} nc={nc:2d} kp={kp}: "
                           f"UNRELIABLE ({gbs:.0f} GB/s) — skipped",
                           flush=True)
