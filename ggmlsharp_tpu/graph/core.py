@@ -105,8 +105,15 @@ def _infer_shape(node: "GTensor"):
         return tuple(jnp.shape(d)), jnp.result_type(d)
     try:
         return _eval_shape(node)
-    except Exception:
-        return None, None
+    except Exception as e:
+        # Fail at BUILDER time with the op and operand shapes, matching
+        # the reference's build-time asserts (Ggml.cs:8228-8229) — a
+        # swallowed error here used to resurface at stage time as an
+        # opaque shape=None failure.
+        srcs = ", ".join(str(getattr(s, "shape", None)) for s in node.srcs)
+        raise ValueError(
+            f"ggml op '{node.op}' rejected operand shapes [{srcs}]: {e}"
+        ) from e
 
 
 def leaf(value, name=None) -> GTensor:

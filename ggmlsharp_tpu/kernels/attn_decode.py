@@ -66,11 +66,23 @@ def pick_chunk(T: int, cap: int = 512, E: int | None = None,
         if itemsize == 1:  # INT8: in-kernel f32 dequant intermediates
             while cap >= 64 and 24 * cap * E > budget:
                 cap //= 2
+            if 24 * cap * E > budget:
+                # floored at cap=64 and still over: fail attributably
+                # instead of letting Mosaic die with a raw VMEM error
+                raise ValueError(
+                    f"flash-decode INT8 chunk floor {cap} still needs "
+                    f"~{24 * cap * E} B of VMEM (> {budget} B budget) at "
+                    f"E={E}; split KV heads or lower the cache width")
         else:
             if T <= cap and 2 * T * E * itemsize <= budget:
                 return T  # single trip: no double-buffering
             while cap >= 128 and 4 * cap * E * itemsize > budget:
                 cap //= 2
+            if 4 * cap * E * itemsize > budget:
+                raise ValueError(
+                    f"flash-decode chunk floor {cap} still needs "
+                    f"~{4 * cap * E * itemsize} B of VMEM (> {budget} B "
+                    f"budget) at E={E}, itemsize={itemsize}")
     Tc = T if T <= cap else cap
     while T % Tc:
         Tc //= 2

@@ -419,7 +419,21 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b,
     def build(body_nc: int, t0: int):
         """One pallas call over chunks [t0, t0 + body_nc) of the planes.
         BlockSpec blocks are body_nc chunks wide; t0 is the block index, so
-        per-chunk calls read the shared full planes in place (no copies)."""
+        per-chunk calls read the shared WEIGHT planes in place (sublane-dim
+        chunking, no copies). The x-side operands are host-sliced to the
+        chunk instead of block-indexed: a (tile_b, cc) lane-dim block over
+        the full (b, nc*cc) xs is rejected by real Mosaic whenever
+        cc < 128 (7B kc=512 → cc=16) — a full-minor-dim block over the
+        pre-sliced chunk is always legal."""
+        host_slice = body_nc < nc
+        if host_slice:
+            xlo_a = xlo[:, t0 * (kc // 2) : (t0 + body_nc) * (kc // 2)]
+            xhi_a = xhi[:, t0 * (kc // 2) : (t0 + body_nc) * (kc // 2)]
+            xs_a = xs[:, t0 * cc : (t0 + body_nc) * cc]
+            xcol = 0
+        else:
+            xlo_a, xhi_a, xs_a = xlo, xhi, xs
+            xcol = t0
 
         def kernel(xlo_ref, xhi_ref, xs_ref, *refs):
             rest = list(refs)
@@ -490,15 +504,15 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b,
         grid = (n // tile, b // tile_b)
         in_specs = [
             pl.BlockSpec((tile_b, body_nc * kc // 2),
-                         lambda i, jb: (jb, t0), memory_space=pltpu.VMEM),
+                         lambda i, jb: (jb, xcol), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, body_nc * kc // 2),
-                         lambda i, jb: (jb, t0), memory_space=pltpu.VMEM),
+                         lambda i, jb: (jb, xcol), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, body_nc * cc),
-                         lambda i, jb: (jb, t0), memory_space=pltpu.VMEM),
+                         lambda i, jb: (jb, xcol), memory_space=pltpu.VMEM),
             pl.BlockSpec((body_nc * kc // 8, tile),
                          lambda i, jb: (t0, i), memory_space=pltpu.VMEM),
         ]
-        args = [xlo, xhi, xs, planes["qs_t"]]
+        args = [xlo_a, xhi_a, xs_a, planes["qs_t"]]
         if is_q6 or is_q5:
             in_specs.append(
                 pl.BlockSpec((body_nc * qh_rows, tile),
@@ -562,6 +576,12 @@ def _call_kernel_swar_q8(x, planes, n, k, tile, nc, tile_b,
                  else jax.lax.Precision.HIGHEST)
 
     def build(body_nc: int, t0: int):
+        # per-chunk calls host-slice x (full-minor-dim block; see
+        # _call_kernel_swar.build for the Mosaic lane rule this avoids)
+        host_slice = body_nc < nc
+        x_a = (x[:, t0 * kc : (t0 + body_nc) * kc] if host_slice else x)
+        xcol = 0 if host_slice else t0
+
         def kernel(x_ref, qs_ref, d_ref, o_ref):
             acc = None
             for t in range(body_nc):
@@ -583,7 +603,8 @@ def _call_kernel_swar_q8(x, planes, n, k, tile, nc, tile_b,
             kernel,
             grid=(n // tile, b // tile_b),
             in_specs=[
-                pl.BlockSpec((tile_b, body_nc * kc), lambda i, jb: (jb, t0),
+                pl.BlockSpec((tile_b, body_nc * kc),
+                             lambda i, jb: (jb, xcol),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((body_nc * kc // 4, tile),
                              lambda i, jb: (t0, i), memory_space=pltpu.VMEM),
@@ -603,7 +624,7 @@ def _call_kernel_swar_q8(x, planes, n, k, tile, nc, tile_b,
                 + b * body_nc * kc * 4 + b * n * 4,
                 transcendentals=0,
             ),
-        )(x, planes["qs_t"], planes["d_t"])
+        )(x_a, planes["qs_t"], planes["d_t"])
 
     if host_chunks and nc > 1:
         out = build(1, 0)

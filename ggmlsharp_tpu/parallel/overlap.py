@@ -78,7 +78,7 @@ def row_parallel_mul_mat_overlapped(qt, x, mesh, axis: str = "model",
     (reduce-scatter ring + all-gather of finished tiles — the all-gather
     hops also overlap the final tile adds under the LHS scheduler)."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     D = mesh.shape[axis]
 
@@ -110,5 +110,5 @@ def row_parallel_mul_mat_overlapped(qt, x, mesh, axis: str = "model",
         body, mesh=mesh,
         in_specs=(w_specs, P(*([None] * (x.ndim - 1) + [axis]))),
         out_specs=P(),
-        check_rep=False,  # replication via all_gather, not inferable
+        check_vma=False,  # replication via all_gather, not inferable
     )(qt, x)

@@ -35,7 +35,7 @@ def pipeline_forward(stage_fn, stacked_params, x, mesh, axis: str = "model",
     Returns [B, ...] (replicated), identical to applying the layers
     sequentially.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_stages = mesh.shape[axis]
     B = x.shape[0]
@@ -103,7 +103,7 @@ def pipeline_forward(stage_fn, stacked_params, x, mesh, axis: str = "model",
         mesh=mesh,
         in_specs=(param_specs, P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(stacked_params, x)
 
@@ -126,7 +126,7 @@ def pipeline_train_step(stage_fn, loss_fn, stacked_params, x, y, mesh,
     independent of M). Activations flow with ppermute (+1 ring); gradients
     with the reverse ring.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     S = mesh.shape[axis]
     B = x.shape[0]
@@ -221,6 +221,6 @@ def pipeline_train_step(stage_fn, loss_fn, stacked_params, x, y, mesh,
         mesh=mesh,
         in_specs=(param_specs, P(), P()),
         out_specs=(P(), param_specs),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(stacked_params, x, y)

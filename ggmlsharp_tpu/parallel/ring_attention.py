@@ -101,7 +101,7 @@ def ring_attention(q, k, v, mesh, seq_axis: str = "model",
     q/k/v: [B, H, S, D] global arrays (S divisible by the axis size).
     Returns [B, H, S, D], sequence-sharded the same way.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     sc = scale if scale is not None else 1.0 / (q.shape[-1] ** 0.5)
     n = mesh.shape[seq_axis]
@@ -118,6 +118,6 @@ def ring_attention(q, k, v, mesh, seq_axis: str = "model",
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v)

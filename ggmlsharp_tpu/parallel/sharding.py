@@ -53,6 +53,10 @@ def gpt2_param_specs():
         "wpe": REP,
         "ln_f": {"g": REP, "b": REP},
         "blocks": blk,  # broadcast over the blocks list
+        # SWAR lm-head copy (models.gpt2.quantize_params, swar=True):
+        # replicated — SWAR planes are storage-order and cannot be
+        # plane-sharded; TP runs document swar=False as the supported mode
+        "lm_head": REP,
     }
 
 
@@ -138,7 +142,12 @@ def shard_params(params, specs, mesh):
 
     def walk(p, s):
         if isinstance(p, dict):
-            return {k: walk(v, s[k] if isinstance(s, dict) else s) for k, v in p.items()}
+            # keys absent from the spec tree replicate (e.g. aux params a
+            # model's quantize_params adds after the spec was written) —
+            # an opaque KeyError here is never the right failure mode
+            return {k: walk(v, (s.get(k, REP) if isinstance(s, dict)
+                                else s))
+                    for k, v in p.items()}
         if isinstance(p, list):
             return [walk(v, s) for v in p]
         return place(p, s)

@@ -118,7 +118,21 @@ def main():
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
     h = np.float16(0.01).view(np.uint16)
     word = np.uint32(h) | (np.uint32(h) << 16)
+    # seed from the committed table: a flaky run (all candidates for a
+    # shape UNRELIABLE/COMPILE FAIL) degrades per-shape to the prior
+    # measured winner instead of deleting it from the rewrite
+    out_path = os.environ.get(
+        "GGML_TPU_TUNE_OUT",
+        "/root/repo/ggmlsharp_tpu/kernels/tune_v5e.json")
     table = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                table = json.load(f)
+            print(f"seeded {len(table)} prior entries from {out_path}",
+                  flush=True)
+        except Exception:
+            table = {}
     for kt, g in KT_GTYPE.items():
         qdiv = 4 if kt == 8 else 8  # packed rows per K: u32 words
         for n, k in SHAPES:
@@ -163,9 +177,6 @@ def main():
             if best is not None:
                 table[f"kt{kt}:{n}x{k}"] = list(best) + [
                     round(best_dt * 1e6, 2)]
-    out_path = os.environ.get(
-        "GGML_TPU_TUNE_OUT",
-        "/root/repo/ggmlsharp_tpu/kernels/tune_v5e.json")
     # keep [tile, nc, kp] (lookup ignores the trailing us diagnostic)
     with open(out_path, "w") as f:
         json.dump(table, f, indent=1, sort_keys=True)

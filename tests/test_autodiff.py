@@ -325,3 +325,15 @@ def test_backward_through_attention_ops():
         np.testing.assert_allclose(got, fd, rtol=2e-2, atol=2e-2)
     else:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_builder_shape_error_raises_at_build_time():
+    """Mismatched mul_mat must fail AT THE BUILDER CALL with the op name
+    and operand shapes (reference asserts at build time, Ggml.cs:8228-8229)
+    — not later at compute() with shape=None."""
+    import pytest
+
+    a = leaf(jnp.zeros((4, 5), jnp.float32))
+    b = leaf(jnp.zeros((3, 7), jnp.float32))  # inner dims disagree
+    with pytest.raises(ValueError, match="mul_mat.*(4, 5)"):
+        B.mul_mat(a, b)

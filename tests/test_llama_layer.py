@@ -119,7 +119,13 @@ def test_llama_fused_decode_matches_unfused(monkeypatch):
     quantization-noise level. Exact token equality is NOT expected: the
     fused wo copy is re-quantized with regrouped columns (pack-time column
     permutation), so its quantization error differs from the standard
-    planes' — same magnitude, different rounding."""
+    planes' — same magnitude, different rounding.
+
+    The megakernel path only engages on the FLAT [B,T,E_kv] cache
+    (models/llama.py forward's fused gate), so the test opts in with
+    flat=True: since r3 the float-cache default is head-major einsum
+    attention (measured faster at b=1), under which the fused flag is
+    deliberately inert for this config."""
     monkeypatch.setenv("GGML_TPU_QUANT_ACTS", "0")
     import ggmlsharp_tpu.config as cfgmod
 
@@ -133,7 +139,7 @@ def test_llama_fused_decode_matches_unfused(monkeypatch):
         monkeypatch.setenv("GGML_TPU_LLAMA_FUSED", "1" if fused else "0")
         qp = llama.quantize_params(params, GType.Q4_0, cfg=cfg)
         assert ("layer_fused" in qp["blocks"][0]) == fused
-        cache = llama.new_cache(cfg, 1)
+        cache = llama.new_cache(cfg, 1, flat=True)
         assert cache.k[0].ndim == 3
         prefill, step = sampling.make_decode_fns(llama.forward, cfg)
         logits, cache = prefill(qp, prompt, cache, t_eff=64)

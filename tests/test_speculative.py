@@ -84,8 +84,8 @@ def test_spec_single_token_prompt(target_params, draft_params):
 
 
 def test_spec_llama_flat_cache(monkeypatch):
-    # llama default path: flat cache + fused flash-decode for the draft's
-    # single-token steps, multi-token verify through the prefill path
+    # llama SHIPPED-default path (head-major float cache since r3):
+    # single-token draft steps + multi-token verify through prefill
     cfg = llama.TINY_LLAMA
     tp = llama.init_params(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
     dp = llama.init_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
@@ -110,13 +110,16 @@ def test_spec_cache_headroom_validated(target_params, draft_params):
 
 def test_spec_llama_flat_eligible_cache():
     # E_kv = n_head_kv * head_dim = 128 → the flat [B, T, E] cache + fused
-    # flash-decode engage; verify/seed calls must attend the LIVE prefix
-    # (cached_prefix=True), not just their own fresh K/V
+    # flash-decode are ELIGIBLE; since r3 the float default is head-major,
+    # so the test opts in with flat=True. Verify/seed calls must attend the
+    # LIVE prefix (cached_prefix=True), not just their own fresh K/V.
+    # (Head-major spec decode under the shipped default is covered by
+    # test_spec_llama_flat_cache above.)
     cfg = llama.LlamaConfig(n_vocab=128, n_ctx=96, n_embd=256, n_head=4,
                             n_head_kv=2, n_layer=2, n_ff=512)
     tp = llama.init_params(jax.random.PRNGKey(4), cfg, dtype=jnp.float32)
     dp = llama.init_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
-    tc = llama.new_cache(cfg, 1, dtype=jnp.float32)
+    tc = llama.new_cache(cfg, 1, dtype=jnp.float32, flat=True)
     assert tc.k[0].ndim == 3  # flat cache engaged
     prompt = jnp.asarray([[7, 3, 88, 11]], jnp.int32)
     n = 16
