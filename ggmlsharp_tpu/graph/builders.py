@@ -218,9 +218,12 @@ def conv_1d_2s(x, w):
 
 
 def flash_attn(q, k, v, masked: bool = True):
+    # auto-dispatch: Pallas online-softmax kernel on TPU (differentiable
+    # via dense-recompute custom VJP — ops.attention._flash_pallas),
+    # materialized-scores jnp elsewhere
     return _node(
         "flash_attn",
-        lambda qv, kv, vv, masked: O.flash_attn(qv, kv, vv, masked=masked, use_pallas=False),
+        lambda qv, kv, vv, masked: O.flash_attn(qv, kv, vv, masked=masked),
         q, k, v, masked=masked,
     )
 

@@ -594,9 +594,12 @@ def _np_of(x):
     return np.asarray(x, np.float32)
 
 
-def save_gguf_llama(path: str, cfg, params):
+def save_gguf_llama(path: str, cfg, params, tokenizer=None):
     """Write a llama-arch GGUF (llama.cpp tensor naming; QTensor planes
-    repacked to wire blocks by GGUFWriter)."""
+    repacked to wire blocks by GGUFWriter). `tokenizer`: an
+    io.tokenizer.SPMTokenizer (or (tokens, scores) pair) embedded under
+    the llama.cpp tokenizer.ggml.* keys, so the file is self-contained
+    for the GGUF->tokenize->perplexity chain (io.tokenizer.from_gguf)."""
     w = GGUFWriter()
     w.add_meta("general.architecture", 8, "llama")
     for key, t, v in [("block_count", 4, cfg.n_layer),
@@ -606,6 +609,19 @@ def save_gguf_llama(path: str, cfg, params):
                       ("attention.head_count_kv", 4, cfg.n_head_kv),
                       ("feed_forward_length", 4, cfg.n_ff)]:
         w.add_meta(f"llama.{key}", t, v)
+    if tokenizer is not None:
+        toks, scores = (
+            (tokenizer.tokens, tokenizer.scores)
+            if hasattr(tokenizer, "tokens") else tokenizer)
+        w.add_meta("tokenizer.ggml.model", 8, "llama")
+        w.add_meta("tokenizer.ggml.tokens", 9, (8, [str(t) for t in toks]))
+        w.add_meta("tokenizer.ggml.scores", 9,
+                   (6, [float(s) for s in scores]))
+        for key, val in [("bos_token_id", getattr(tokenizer, "bos_id", 1)),
+                         ("eos_token_id", getattr(tokenizer, "eos_id", 2)),
+                         ("unknown_token_id",
+                          getattr(tokenizer, "unk_id", 0))]:
+            w.add_meta(f"tokenizer.ggml.{key}", 4, int(val))
     names = [("token_embd.weight", params["tok_embd"]),
              ("output_norm.weight", params["norm"])]
     if params.get("output") is not None:

@@ -208,3 +208,53 @@ def from_gguf(reader) -> "SPMTokenizer | BPETokenizer":
             eos_id=md.get("tokenizer.ggml.eos_token_id"),
         )
     raise ValueError(f"unknown tokenizer model {model!r}")
+
+
+def train_spm_vocab(text: str, size: int = 512):
+    """Train a small SentencePiece-style vocab on `text` with BPE merges.
+
+    Returns (tokens, scores) for SPMTokenizer: 3 specials (<unk>/<s>/</s>),
+    256 byte-fallback tokens, every single character seen, then `size`-
+    bounded BPE merges learned greedily over ▁-prefixed words. Scores are
+    -merge_rank so SPMTokenizer.encode's greedy highest-score merge replays
+    the merges in training order (each merged piece is the join of two
+    earlier pieces, so greedy merging is always productive). The reference
+    has no tokenizer at all; this exists so the perplexity chain
+    (scripts/ppl_chain.py) can run GGUF->tokenize->ppl end-to-end without
+    network access to a pretrained vocab.
+    """
+    from collections import Counter
+
+    words = Counter("▁" + w for w in text.split() if w)
+    tokens = ["<unk>", "<s>", "</s>"]
+    tokens += [f"<0x{b:02X}>" for b in range(256)]
+    scores = [0.0] * len(tokens)
+    chars = sorted({c for w in words for c in w})
+    for c in chars:
+        tokens.append(c)
+        scores.append(0.0)
+    seqs = {w: list(w) for w in words}
+    rank = 0
+    while len(tokens) < size:
+        pairs = Counter()
+        for w, seq in seqs.items():
+            n = words[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = pairs.most_common(1)[0]
+        if cnt < 2:
+            break
+        merged = a + b
+        tokens.append(merged)
+        rank += 1
+        scores.append(-float(rank))
+        for w, seq in seqs.items():
+            i = 0
+            while i < len(seq) - 1:
+                if seq[i] == a and seq[i + 1] == b:
+                    seq[i : i + 2] = [merged]
+                else:
+                    i += 1
+    return tokens, scores

@@ -13,14 +13,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def length_bucket(n: int, max_len: int) -> int:
+def length_bucket(n: int, max_len: int, base: int = 256) -> int:
     """Host-side length bucket: smallest geometric chunk bucket ≥ n (see
     common._chunk_buckets). Passing this as the static `t_eff` of the decode
     fns gives one executable per bucket with ZERO in-graph control flow —
-    attention reads only the first `t_eff` cache rows."""
+    attention reads only the first `t_eff` cache rows. `base` sets the
+    smallest bucket: the serving engine uses 64 (short-prompt ticks pay
+    64-row cache reads instead of 256 at the cost of two extra
+    executables); b=1 decode keeps 256."""
     from .common import _chunk_buckets
 
-    for b in _chunk_buckets(max_len):
+    for b in _chunk_buckets(max_len, base=base):
         if n <= b:
             return b
     return max_len

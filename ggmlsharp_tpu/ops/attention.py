@@ -10,6 +10,8 @@ set, implemented here first-class. `flash_attn` here is the jnp reference
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -101,24 +103,8 @@ def alibi(scores, n_past: int, n_head: int, bias_max: float = 8.0):
     return scores + bias.astype(scores.dtype)
 
 
-def flash_attn(q, k, v, masked: bool = True, scale_override: float | None = None,
-               n_past: int = 0, use_pallas: bool | None = None):
-    """GGML_OP_FLASH_ATTN: softmax(q·kᵀ/√d [+mask])·v.
-
-    q: [..., n_q, d], k: [..., n_k, d], v: [..., n_k, d] → [..., n_q, d].
-    `masked` applies the causal mask with n_past offset (diag_mask_inf
-    semantics). Dispatches to the Pallas online-softmax kernel when enabled.
-    """
-    if use_pallas is None:
-        from ..kernels.config import pallas_enabled
-
-        use_pallas = pallas_enabled()
-    if use_pallas:
-        from ..kernels.flash import flash_attention
-
-        return flash_attention(q, k, v, causal=masked, n_past=n_past,
-                               scale=scale_override)
-    sc = scale_override if scale_override is not None else 1.0 / (q.shape[-1] ** 0.5)
+def _flash_dense(q, k, v, masked, sc, n_past):
+    """Materialized-scores reference (and the VJP recompute path)."""
     scores = jnp.einsum(
         "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
     ) * sc
@@ -129,6 +115,50 @@ def flash_attn(q, k, v, masked: bool = True, scale_override: float | None = None
         "...qk,...kd->...qd", p.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     ).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_pallas(q, k, v, masked, sc, n_past):
+    """Pallas online-softmax forward; backward recomputes through the
+    dense reference (pallas_call has no autodiff) — same pattern as
+    kernels.flash._flash_cached. Keeps the graph layer's flash_attn both
+    fast on TPU and differentiable (Test1-style autodiff parity)."""
+    from ..kernels.flash import flash_attention
+
+    return flash_attention(q, k, v, causal=masked, n_past=n_past, scale=sc)
+
+
+def _flash_pallas_fwd(q, k, v, masked, sc, n_past):
+    return _flash_pallas(q, k, v, masked, sc, n_past), (q, k, v)
+
+
+def _flash_pallas_bwd(masked, sc, n_past, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _flash_dense(q, k, v, masked, sc, n_past), q, k, v)
+    return vjp(g)
+
+
+_flash_pallas.defvjp(_flash_pallas_fwd, _flash_pallas_bwd)
+
+
+def flash_attn(q, k, v, masked: bool = True, scale_override: float | None = None,
+               n_past: int = 0, use_pallas: bool | None = None):
+    """GGML_OP_FLASH_ATTN: softmax(q·kᵀ/√d [+mask])·v.
+
+    q: [..., n_q, d], k: [..., n_k, d], v: [..., n_k, d] → [..., n_q, d].
+    `masked` applies the causal mask with n_past offset (diag_mask_inf
+    semantics). Dispatches to the Pallas online-softmax kernel when enabled
+    (differentiable via a dense-recompute custom VJP).
+    """
+    if use_pallas is None:
+        from ..kernels.config import pallas_enabled
+
+        use_pallas = pallas_enabled()
+    sc = scale_override if scale_override is not None else 1.0 / (q.shape[-1] ** 0.5)
+    if use_pallas:
+        return _flash_pallas(q, k, v, bool(masked), float(sc), int(n_past))
+    return _flash_dense(q, k, v, masked, sc, n_past)
 
 
 def flash_ff(x, w0, b0, w1, b1):

@@ -109,7 +109,7 @@ class Engine:
         start offset, cached-prefix attention).
 
         multi_step: decode-window length W (default GGML_TPU_SERVE_MULTISTEP,
-        8; 1 disables). When every live slot is greedy and penalty-free and
+        16 — r4 A/B on v5e; 1 disables). When every live slot is greedy and penalty-free and
         nothing is pending/prefilling, the engine runs up to W decode steps
         in ONE jit-resident while_loop dispatch and fetches a [B, W] token
         block — amortizing the fixed host dispatch+fetch latency (the
@@ -135,12 +135,18 @@ class Engine:
         self.mesh = mesh
 
         # flat cache → batched flash-decode kernel with per-slot prefix
-        # lengths (kernels.attn_decode); INT8 KV dequantizes in-kernel
+        # lengths (kernels.attn_decode); INT8 KV dequantizes in-kernel.
+        # Float caches default HEAD-MAJOR since r4: the einsum step at b=8
+        # measured 12.2 ms vs 18.9 ms flash-flat on v5e (the flash kernel
+        # is VPU-cast-bound on bf16 cache reads — scripts/diag_serve.py);
+        # INT8 keeps flat, where the in-kernel dequant beats XLA's
+        # dequant round trip (r3 A/B).
         flat = (mesh is None
                 and (n_head_kv * cfg.head_dim) % 128 == 0
                 # only forwards that handle the flat [B,T,E] layout (llama)
                 and getattr(cfg, "supports_flat_kv", False)
-                and os.environ.get("GGML_TPU_FLASH_DECODE", "1") == "1")
+                and os.environ.get("GGML_TPU_FLASH_DECODE",
+                                   "1" if int8_kv else "0") == "1")
         self.cache = kvc.init_cache(
             cfg.n_layer, batch_slots, n_head_kv, self.max_len, cfg.head_dim,
             dtype=cache_dtype, int8=int8_kv, flat=flat,
@@ -167,7 +173,7 @@ class Engine:
         self._t_first = None
         self.multi_step = (multi_step if multi_step is not None
                            else int(os.environ.get(
-                               "GGML_TPU_SERVE_MULTISTEP", "8")))
+                               "GGML_TPU_SERVE_MULTISTEP", "16")))
         self.stream_bursts = stream_bursts
         self._multi = None  # built on first all-greedy window
         self._step = self._make_step()
@@ -194,7 +200,8 @@ class Engine:
             d_flat = (mesh is None
                       and (d_hkv * self.d_cfg.head_dim) % 128 == 0
                       and getattr(self.d_cfg, "supports_flat_kv", False)
-                      and os.environ.get("GGML_TPU_FLASH_DECODE", "1") == "1")
+                      and os.environ.get("GGML_TPU_FLASH_DECODE",
+                                         "1" if int8_kv else "0") == "1")
             self.d_cache = kvc.init_cache(
                 self.d_cfg.n_layer, batch_slots, d_hkv, self.max_len,
                 self.d_cfg.head_dim, dtype=cache_dtype, int8=int8_kv,
@@ -359,7 +366,7 @@ class Engine:
         live = [len(s.prompt) + len(s.out_tokens)
                 for s in self.slots if s is not None]
         t_eff = length_bucket(min(max(live) + k, self.max_len),
-                              self.max_len)
+                              self.max_len, base=64)
         logits, self.cache, toks, lps = self._multi(
             self.params, self.cache, self._last_logits, active,
             jnp.int32(k), t_eff=t_eff)
@@ -717,7 +724,7 @@ class Engine:
             return bool(self._spec_chunking)
         hmax = max(len(r.prompt) + len(r.out_tokens) for r in live)
         t_eff = length_bucket(min(hmax + self.spec_k + 2, self.max_len),
-                              self.max_len)
+                              self.max_len, base=64)
         if any(r is not None and r.temperature > 0 for r in self.slots):
             # rejection-sampled round: per-slot traced sampling params;
             # greedy slots ride along with temp 0 (one-hot distributions
@@ -1126,7 +1133,7 @@ class Engine:
         live = [len(s.prompt) + len(s.out_tokens) + 1
                 for s in self.slots if s is not None]
         t_eff = length_bucket(min(max(live, default=1), self.max_len),
-                              self.max_len)
+                              self.max_len, base=64)
         logits2, self.cache = self._step(
             self.params, self.cache, jnp.asarray(toks), active, t_eff=t_eff
         )

@@ -531,6 +531,59 @@ def main():
     if not sok:
         FAILURES.append("speculative greedy-exact")
 
+    # --- graph/compat layer on the chip (VERDICT r3 #6) -----------------
+    # The reference-parity API (graph builders + build_backward) staged
+    # through the real remote compile: forward value, first-order grads,
+    # and the builder flash_attn (now Pallas-routed on TPU) against the
+    # materialized-scores oracle.
+    from ggmlsharp_tpu.graph import (build_backward, build_forward,
+                                     builders as B, leaf, set_param)
+    from ggmlsharp_tpu import ops as O
+
+    xg = set_param(leaf(jnp.full((8, 128), 0.5, jnp.float32)))
+    wg = leaf(jnp.full((128, 128), 0.02, jnp.float32))
+    fg = B.sum(B.sqr(B.mul_mat(wg, B.gelu(xg))))
+    gfwd = build_forward(fg)
+    gbwd = build_backward(gfwd)
+    gfwd.compute()
+    # f = sum((gelu(x) @ w.T)^2); closed form on constant inputs
+    gelu_half = 0.5 * 0.5 * (1.0 + np.tanh(
+        np.sqrt(2.0 / np.pi) * (0.5 + 0.044715 * 0.5 ** 3)))
+    row = gelu_half * 0.02 * 128  # each output element
+    want_f = row * row * 128 * 8
+    got_f = float(np.asarray(fg.data).reshape(-1)[0])
+    gok = abs(got_f - want_f) / max(abs(want_f), 1e-9) < 2e-2
+    print(f"  {'ok ' if gok else 'FAIL'} {'graph fwd on-chip':28s} "
+          f"f={got_f:.4f} want~{want_f:.4f}", flush=True)
+    if not gok:
+        FAILURES.append("graph fwd on-chip")
+    from ggmlsharp_tpu.graph import graph_reset, set_grad_seed
+
+    graph_reset(gfwd)
+    set_grad_seed(fg, 1.0)
+    gbwd.compute()
+    gnorm = float(np.abs(np.asarray(xg.grad.data)).mean())
+    bok = np.isfinite(gnorm) and gnorm > 0
+    print(f"  {'ok ' if bok else 'FAIL'} {'graph bwd on-chip':28s} "
+          f"|dx|={gnorm:.3e}", flush=True)
+    if not bok:
+        FAILURES.append("graph bwd on-chip")
+
+    qf = jnp.asarray(rng.standard_normal((4, 128, 64)), jnp.float32) * 0.3
+    kf = jnp.asarray(rng.standard_normal((4, 128, 64)), jnp.float32) * 0.3
+    vf = jnp.asarray(rng.standard_normal((4, 128, 64)), jnp.float32) * 0.3
+    fa = B.flash_attn(leaf(qf), leaf(kf), leaf(vf), masked=True)
+    gfa = build_forward(fa)
+    gfa.compute()
+    want_fa = np.asarray(jax.jit(
+        lambda q, k, v: O.flash_attn(q, k, v, masked=True,
+                                     use_pallas=False))(qf, kf, vf))
+    fok = np.allclose(np.asarray(fa.data), want_fa, rtol=2e-2, atol=2e-2)
+    print(f"  {'ok ' if fok else 'FAIL'} {'builder flash_attn==pallas':28s}",
+          flush=True)
+    if not fok:
+        FAILURES.append("builder flash_attn pallas")
+
     dt = time.time() - t0
     print(f"{'SMOKE FAILED: ' + ', '.join(FAILURES) if FAILURES else 'SMOKE OK'}"
           f"  ({dt:.0f}s)", flush=True)

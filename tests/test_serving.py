@@ -87,10 +87,12 @@ def test_engine_eos_stops_early():
     assert results[0].out_tokens == [first]
 
 
-def test_engine_llama_flat_flash_decode_matches_sequential():
-    """Llama engine rides the flat cache + batched flash-decode with
+def test_engine_llama_flat_flash_decode_matches_sequential(monkeypatch):
+    """Llama engine on the flat cache + batched flash-decode with
     per-slot prefix lengths; uneven prompts must still match sequential
-    greedy decode exactly."""
+    greedy decode exactly. (Float caches default head-major since r4 —
+    the test opts into the flat path it exercises.)"""
+    monkeypatch.setenv("GGML_TPU_FLASH_DECODE", "1")
     from ggmlsharp_tpu.models import llama
 
     lcfg = llama.LlamaConfig(n_vocab=128, n_ctx=96, n_embd=256, n_head=4,
@@ -175,9 +177,11 @@ def test_prefix_caching_validates_prompt_and_id():
     assert "unknown prefix_id" in eng.run()[0].error
 
 
-def test_prefix_caching_llama_flat_cache():
+def test_prefix_caching_llama_flat_cache(monkeypatch):
     """Prefix install over the flat [B, T, E] cache layout (time axis 1) +
-    batched flash-decode must equal full-prefill decoding."""
+    batched flash-decode must equal full-prefill decoding. (Opt-in since
+    the r4 head-major float default.)"""
+    monkeypatch.setenv("GGML_TPU_FLASH_DECODE", "1")
     from ggmlsharp_tpu.models import llama
 
     lcfg = llama.LlamaConfig(n_vocab=128, n_ctx=96, n_embd=256, n_head=4,
@@ -677,7 +681,7 @@ def test_http_server_robustness_and_cancel():
         ]
         [t.start() for t in threads]
         import time as _time
-        for _ in range(400):  # wait until both blockers occupy the slots
+        for _ in range(1500):  # wait until both blockers occupy the slots
             if all(s is not None for s in srv.engine.slots):
                 break
             _time.sleep(0.02)
@@ -686,7 +690,7 @@ def test_http_server_robustness_and_cancel():
                                                "request_id": "abc"}))
         th.start()
         ok = False
-        for _ in range(400):  # queued (or just-admitted): flag it
+        for _ in range(1500):  # queued (or just-admitted): flag it
             if post("/v1/cancel", {"request_id": "abc"})["cancelled"]:
                 ok = True
                 break
