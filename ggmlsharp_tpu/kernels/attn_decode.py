@@ -122,7 +122,8 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
     nch = T // Tc
     int8 = ks is not None
 
-    def kernel(np_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref, *rest):
+    def kernel(np_ref, qt_ref, kn_ref, vn_ref, kc_ref, vc_ref,
+               *rest):
         if int8:
             ks_ref, vs_ref, o_ref, m_s, l_s, a_s = rest
         else:
@@ -146,26 +147,35 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
 
-        q2 = q_ref[0]
+        # q folded into the one-hot: Wq[j, h] = q[j]·[head(j) == h], built
+        # from the SUBLANE-oriented q copy (E, n_rep) — E·H VPU ops per
+        # grid step instead of Tc·E for kf ⊙ q (the kernel is VPU-bound:
+        # the r3 flat path measured 334 GB/s effective; see diag_serve).
+        wqs = [OH * qt_ref[0][:, r : r + 1] for r in range(n_rep)]
 
         @pl.when(jc == 0)
         def _init():
             knf = kn_ref[0].astype(jnp.float32)
             for r in range(n_rep):
                 # fresh token seeds the recurrence: weight exp(0) = 1
-                m_s[r : r + 1] = dot(knf * q2[r : r + 1], OH)
+                m_s[r : r + 1] = dot(knf, wqs[r])
                 l_s[r : r + 1] = jnp.ones((1, H), jnp.float32)
                 a_s[r : r + 1] = vn_ref[0].astype(jnp.float32)
 
-        kf = kc_ref[0].astype(jnp.float32)
         vf = vc_ref[0].astype(jnp.float32)
         if int8:  # dequantize rows: scale lanes via the one-hot broadcast
-            kf = kf * dot(ks_ref[0], OHT)
+            kf = kc_ref[0].astype(jnp.float32) * dot(ks_ref[0], OHT)
             vf = vf * dot(vs_ref[0], OHT)
+        else:
+            # feed the cache block to the MXU in ITS dtype (bf16 cache
+            # rows are exact in the f32-accumulating HIGHEST dot): skips
+            # the Tc·E cast — the q rounding to the cache dtype is the
+            # same rounding XLA's own einsum decode applies to q
+            kf = kc_ref[0]
         idx = jc * Tc + jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0)
         live = (idx <= npast) & (idx != npast)  # stale fresh row excluded
         for r in range(n_rep):
-            S = dot(kf * q2[r : r + 1], OH)
+            S = dot(kf, wqs[r].astype(kf.dtype))
             S = jnp.where(live, S, _NEG)
             m_old = m_s[r : r + 1]
             m_new = jnp.maximum(m_old, jnp.max(S, axis=0, keepdims=True))
@@ -186,14 +196,14 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
     vspec = lambda shp, im: pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        vspec((1, n_rep, E), lambda jb, jc: (jb, 0, 0)),
+        vspec((1, E, n_rep), lambda jb, jc: (jb, 0, 0)),
         vspec((1, 1, E), lambda jb, jc: (jb, 0, 0)),
         vspec((1, 1, E), lambda jb, jc: (jb, 0, 0)),
         vspec((1, Tc, E), lambda jb, jc: (jb, jc, 0)),
         vspec((1, Tc, E), lambda jb, jc: (jb, jc, 0)),
     ]
-    args = [npast, q.reshape(B, n_rep, E), kn.reshape(B, 1, E),
-            vn.reshape(B, 1, E), kc, vc]
+    args = [npast, jnp.transpose(q.reshape(B, n_rep, E), (0, 2, 1)),
+            kn.reshape(B, 1, E), vn.reshape(B, 1, E), kc, vc]
     if int8:
         in_specs += [vspec((1, Tc, H), lambda jb, jc: (jb, jc, 0)),
                      vspec((1, Tc, H), lambda jb, jc: (jb, jc, 0))]

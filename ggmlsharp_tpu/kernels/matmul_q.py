@@ -680,7 +680,8 @@ def mul_mat_swar(a: QTensor, bx, quantize_acts: bool = True):
     b = x2.shape[0]
     from ..quant.formats import swar_kt_bytes
 
-    tile, nc, kp = swar_layout(n, k, kt_bytes=swar_kt_bytes(a.gtype))
+    tile, nc, kp = swar_layout(n, k, kt_bytes=swar_kt_bytes(a.gtype),
+                               gtype=a.gtype)
     if kp != k:  # layout k-padding: planes hold zero blocks past k
         x2 = jnp.pad(x2, ((0, 0), (0, kp - k)))
     cap = max(8, _MAX_XB_BYTES // (kp * 4))

@@ -38,9 +38,17 @@ def _table() -> dict:
     return _load(path)
 
 
-def lookup(kt_bytes: int, n: int, k: int):
-    """Measured (tile, nc, kp) for a shape, or None to use the heuristic."""
-    ent = _table().get(f"kt{kt_bytes}:{n}x{k}")
+def lookup(kt_bytes: int, n: int, k: int, gtype=None):
+    """Measured (tile, nc, kp) for a shape, or None to use the heuristic.
+    A gtype-specific entry ("g<int>:NxK" — formats whose unpack cost
+    diverges from their kt geometry class: Q6_K/Q5x vs Q8_0) wins over the
+    class entry ("kt<B>:NxK")."""
+    t = _table()
+    ent = None
+    if gtype is not None:
+        ent = t.get(f"g{int(gtype)}:{n}x{k}")
+    if ent is None:
+        ent = t.get(f"kt{kt_bytes}:{n}x{k}")
     if ent is None:
         return None
     tile, nc, kp = int(ent[0]), int(ent[1]), int(ent[2])

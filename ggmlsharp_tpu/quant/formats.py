@@ -499,7 +499,7 @@ def swar_pack_scales(d: jnp.ndarray, n_chunks: int = 1) -> jnp.ndarray:
 
 
 def swar_layout(n: int, k: int, budget: int = 13 * 1024 * 1024,
-                kt_bytes: int = 6) -> tuple[int, int, int]:
+                kt_bytes: int = 6, gtype=None) -> tuple[int, int, int]:
     """Pick (tile, n_chunks, k_padded) jointly for a (N, K) weight.
 
     Legality: kernels take FULL-K blocks (the k-chunk loop runs inside the
@@ -522,7 +522,7 @@ def swar_layout(n: int, k: int, budget: int = 13 * 1024 * 1024,
 
     from ..kernels.tune import lookup
 
-    tuned = lookup(kt_bytes, n, k)
+    tuned = lookup(kt_bytes, n, k, gtype=gtype)
     if tuned is not None:
         return tuned
 
@@ -576,7 +576,8 @@ def to_swar(qt: "QTensor") -> "QTensor":
     from ..dtypes import GType
 
     n, k = qt.shape
-    tile, nc, kp = swar_layout(n, k, kt_bytes=swar_kt_bytes(qt.gtype))
+    tile, nc, kp = swar_layout(n, k, kt_bytes=swar_kt_bytes(qt.gtype),
+                gtype=qt.gtype)
     block = 16 if qt.gtype == GType.Q6_K else 32
 
     def padk(a):  # zero blocks: values 0, and (below) scale d = 0
@@ -647,7 +648,8 @@ def swar_supported(qt: "QTensor") -> bool:
     if any(key not in qt.planes for key in keys):
         return False
     try:
-        swar_layout(n, k, kt_bytes=swar_kt_bytes(qt.gtype))
+        swar_layout(n, k, kt_bytes=swar_kt_bytes(qt.gtype),
+                    gtype=qt.gtype)
     except ValueError:
         return False
     return True

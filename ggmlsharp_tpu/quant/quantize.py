@@ -573,7 +573,8 @@ def dequantize(qt: QTensor):
         )
 
         n, k = qt.shape
-        _, nc, kp = swar_layout(n, k, kt_bytes=swar_kt_bytes(qt.gtype))
+        _, nc, kp = swar_layout(n, k, kt_bytes=swar_kt_bytes(qt.gtype),
+                                gtype=qt.gtype)
 
         def unpad(v):  # drop zero pad blocks (swar_layout k-padding)
             return v if kp == k else v[:, :k]

@@ -24,7 +24,6 @@ jax.distributed initialized (each host feeds its data-shard slots).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
 from functools import partial
 
 import numpy as np
@@ -34,52 +33,14 @@ import jax.numpy as jnp
 from ..models import kv_cache as kvc
 
 
-@dataclass
-class Request:
-    id: int
-    prompt: list
-    max_new_tokens: int = 64
-    temperature: float = 0.0
-    top_k: int = 0
-    top_p: float = 1.0
-    repeat_penalty: float = 1.0
-    repeat_last_n: int = 64
-    eos_id: int | None = None
-    stop: list | None = None  # stop sequences: list of token-id lists
-    prefix_id: int | None = None  # Engine.register_prefix handle
-    on_token: object = None  # streaming callback: on_token(req, token)
-    want_logprobs: bool = False  # fill out_logprobs (plain engine only)
-    out_tokens: list = field(default_factory=list)
-    out_logprobs: list = field(default_factory=list)
-    done: bool = False
-    error: str | None = None
-    # latency instrumentation (engine-stamped, perf_counter seconds)
-    t_submit: float | None = None
-    t_first_token: float | None = None
-    t_done: float | None = None
+from .admission import AdmissionMixin
+from .common import _bucket
+from .prefix import PrefixCacheMixin
+from .request import Request, _stopped
+from .spec import SpecServingMixin
 
 
-def _stopped(req: Request) -> bool:
-    """True when the output ends with eos or any stop sequence."""
-    if req.out_tokens and req.eos_id is not None \
-            and req.out_tokens[-1] == req.eos_id:
-        return True
-    for seq in req.stop or ():
-        n = len(seq)
-        if n and len(req.out_tokens) >= n \
-                and req.out_tokens[-n:] == list(seq):
-            return True
-    return False
-
-
-def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048)) -> int:
-    for b in buckets:
-        if n <= b:
-            return b
-    return buckets[-1]
-
-
-class Engine:
+class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
     def __init__(self, forward, cfg, params, batch_slots: int = 4,
                  max_len: int | None = None, cache_dtype=jnp.float32,
                  int8_kv: bool = False, rng_seed: int = 0,
@@ -109,7 +70,11 @@ class Engine:
         start offset, cached-prefix attention).
 
         multi_step: decode-window length W (default GGML_TPU_SERVE_MULTISTEP,
-        16 — r4 A/B on v5e; 1 disables). When every live slot is greedy and penalty-free and
+        32; 1 disables). W is only the STATIC buffer size — the actual
+        trip count is traced and clamps to the smallest remaining per-slot
+        budget, so a large W costs nothing when budgets are short and
+        saves a ~33 ms relay round trip per extra 16 tokens when they are
+        long (r4 diag). When every live slot is greedy and penalty-free and
         nothing is pending/prefilling, the engine runs up to W decode steps
         in ONE jit-resident while_loop dispatch and fetches a [B, W] token
         block — amortizing the fixed host dispatch+fetch latency (the
@@ -173,7 +138,7 @@ class Engine:
         self._t_first = None
         self.multi_step = (multi_step if multi_step is not None
                            else int(os.environ.get(
-                               "GGML_TPU_SERVE_MULTISTEP", "16")))
+                               "GGML_TPU_SERVE_MULTISTEP", "32")))
         self.stream_bursts = stream_bursts
         self._multi = None  # built on first all-greedy window
         self._step = self._make_step()
@@ -393,189 +358,6 @@ class Engine:
                 self._finish_slot(req, i)
         return True
 
-    def _prefill_slot(self, req: Request, slot: int, tokens=None,
-                      start: int = 0, draft: bool = False):
-        """Prefill `tokens` (default: req.prompt) into the slot's cache rows
-        starting at row `start` (non-zero when a registered prefix was just
-        installed — positions and the final slot length are offset by it).
-        draft=True targets the speculative draft model's cache."""
-        tokens = req.prompt if tokens is None else tokens
-        n = len(tokens)
-        # cap so the bucketed update always fits the cache rows FROM
-        # `start`: dynamic_update_slice would otherwise clamp the write
-        # start backwards over the installed prefix tail (admission
-        # guarantees start + n < max_len, so the cap stays >= n)
-        bucket = min(_bucket(n), self.max_len - start)
-        # static live-prefix bound covering installed prefix + this prompt
-        total = min(_bucket(start + bucket), self.max_len)
-        # non-zero start → queries must attend the installed prefix rows
-        # (flat caches would otherwise flash over fresh K/V only)
-        cached = start > 0 or None
-        key = (bucket, total, cached, draft)
-        if key not in self._compiled_prefill:
-            fwd = self.d_forward if draft else self.forward
-            cfg = self.d_cfg if draft else self.cfg
-
-            # slot AND start are TRACED arguments (dynamic_slice accepts
-            # traced starts) → exactly one prefill executable per
-            # (length bucket, total bound); making them static would
-            # multiply warmup compiles by batch_slots × prefix lengths
-            # (each remote TPU compile takes minutes).
-            @partial(jax.jit, donate_argnums=(1,))
-            def prefill(params, cache, tokens, n_real, slot, start):
-                def _slice(t):
-                    return None if t is None else tuple(
-                        jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=0)
-                        for x in t
-                    )
-
-                def _unslice(t, sub):
-                    return None if t is None else tuple(
-                        jax.lax.dynamic_update_slice_in_dim(x, sx, slot, axis=0)
-                        for x, sx in zip(t, sub)
-                    )
-
-                sub = kvc.KVCache(
-                    _slice(cache.k), _slice(cache.v),
-                    _slice(cache.k_scale), _slice(cache.v_scale),
-                    jnp.zeros((1,), jnp.int32),
-                )
-                positions = (start
-                             + jnp.arange(tokens.shape[1], dtype=jnp.int32)[None])
-                # `total` is static per compiled prefill → static prefix;
-                # queries at positions ≥ start attend the installed prefix
-                # rows below them (mask is kpos <= position)
-                logits, sub2 = fwd(params, cfg, tokens, sub, positions,
-                                   prefix_bound=total, cached_prefix=cached)
-                cache = kvc.KVCache(
-                    _unslice(cache.k, sub2.k), _unslice(cache.v, sub2.v),
-                    _unslice(cache.k_scale, sub2.k_scale),
-                    _unslice(cache.v_scale, sub2.v_scale),
-                    cache.length.at[slot].set(start + n_real),
-                )
-                last = jnp.take_along_axis(
-                    logits, (n_real - 1)[None, None, None], axis=1
-                )[:, 0, :]
-                return last, cache
-
-            self._compiled_prefill[key] = prefill
-        prefill = self._compiled_prefill[key]
-        toks = np.zeros((1, bucket), np.int32)
-        toks[0, :n] = tokens
-        params = self.d_params if draft else self.params
-        cache = self.d_cache if draft else self.cache
-        self._n_prefills += 1
-        last, cache = prefill(
-            params, cache, jnp.asarray(toks), jnp.int32(n),
-            jnp.int32(slot), jnp.int32(start),
-        )
-        if draft:
-            self.d_cache = cache
-        else:
-            self.cache = cache
-            self._last_logits = self._last_logits.at[slot].set(last[0])
-
-    # --- prefix caching ----------------------------------------------------
-    def _compute_prefix_rows(self, fwd, cfg, params, proto, tokens,
-                             plen: int) -> dict:
-        """Prefill `tokens` into a fresh 1-slot cache matching `proto`'s
-        layout and return exactly the prefix rows + last-token logits."""
-        bucket = min(_bucket(plen), self.max_len)
-        n_head_kv = getattr(cfg, "n_head_kv", cfg.n_head)
-
-        @partial(jax.jit, static_argnames=("plen",))
-        def reg(params, toks, plen):
-            cache = kvc.init_cache(
-                cfg.n_layer, 1, n_head_kv, bucket, cfg.head_dim,
-                dtype=proto.k[0].dtype if not proto.int8 else jnp.bfloat16,
-                int8=proto.int8, flat=kvc.is_flat(proto),
-            )
-            positions = jnp.arange(bucket, dtype=jnp.int32)[None]
-            logits, c2 = fwd(params, cfg, toks, cache, positions,
-                             prefix_bound=bucket)
-
-            def cut(t):  # keep exactly the prefix rows (time axis 1 or 2)
-                return None if t is None else tuple(
-                    jax.lax.slice_in_dim(x, 0, plen,
-                                         axis=1 if x.ndim == 3 else 2)
-                    for x in t)
-
-            return (logits[:, plen - 1, :], cut(c2.k), cut(c2.v),
-                    cut(c2.k_scale), cut(c2.v_scale))
-
-        toks = np.zeros((1, bucket), np.int32)
-        toks[0, :plen] = tokens
-        last, k, v, ks, vs = reg(params, jnp.asarray(toks), plen=plen)
-        return dict(k=k, v=v, ks=ks, vs=vs, last=last[0])
-
-    def register_prefix(self, tokens: list) -> int:
-        """Prefill a shared prompt prefix ONCE and keep its KV rows on
-        device; requests carrying the returned id skip recomputing it —
-        admission installs the rows into the slot with one
-        dynamic_update_slice per buffer and prefills only the remainder.
-        In speculative mode the draft model's rows are registered too.
-        Compiles one registration executable per distinct prefix length."""
-        plen = len(tokens)
-        if not 0 < plen < self.max_len:
-            raise ValueError(f"prefix length {plen} must be in (0, "
-                             f"{self.max_len})")
-        entry = dict(
-            tokens=list(tokens), plen=plen,
-            t=self._compute_prefix_rows(self.forward, self.cfg, self.params,
-                                        self.cache, tokens, plen),
-            d=(self._compute_prefix_rows(self.d_forward, self.d_cfg,
-                                         self.d_params, self.d_cache,
-                                         tokens, plen)
-               if self.spec else None),
-        )
-        pid = self._next_prefix_id
-        self._next_prefix_id += 1
-        self._prefixes[pid] = entry
-        return pid
-
-    def drop_prefix(self, prefix_id: int):
-        self._prefixes.pop(prefix_id, None)
-
-    def _install_prefix(self, rows: dict, plen: int, slot: int,
-                        set_len: int, draft: bool = False):
-        """Write `rows` into cache rows [0:plen] of `slot` and set its
-        length to `set_len` (traced — the draft cache sits one token behind
-        when the prompt IS the prefix)."""
-        key = (plen, draft)
-        install = self._compiled_install.get(key)
-        if install is None:
-
-            @partial(jax.jit, donate_argnums=(0,))
-            def install(cache, k, v, ks, vs, slot, set_len):
-                def upd(bufs, rows):
-                    if bufs is None:
-                        return None
-                    out = []
-                    for x, r in zip(bufs, rows):
-                        axis = 1 if x.ndim == 3 else 2  # time axis
-                        sl = jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=0)
-                        sl = jax.lax.dynamic_update_slice_in_dim(
-                            sl, r.astype(sl.dtype), 0, axis=axis)
-                        out.append(jax.lax.dynamic_update_slice_in_dim(
-                            x, sl, slot, axis=0))
-                    return tuple(out)
-
-                return kvc.KVCache(
-                    upd(cache.k, k), upd(cache.v, v),
-                    upd(cache.k_scale, ks), upd(cache.v_scale, vs),
-                    cache.length.at[slot].set(set_len),
-                )
-
-            self._compiled_install[key] = install
-        cache = self.d_cache if draft else self.cache
-        cache = install(cache, rows["k"], rows["v"], rows["ks"], rows["vs"],
-                        jnp.int32(slot), jnp.int32(set_len))
-        if draft:
-            self.d_cache = cache
-        else:
-            self.cache = cache
-
-    # --- speculative mode --------------------------------------------------
     def _free_slot(self, i: int):
         self.cache = kvc.KVCache(
             self.cache.k, self.cache.v, self.cache.k_scale,
@@ -585,192 +367,6 @@ class Engine:
                 self.d_cache.k, self.d_cache.v, self.d_cache.k_scale,
                 self.d_cache.v_scale, self.d_cache.length.at[i].set(0))
 
-    def _validate_spec_cap(self, req: Request) -> bool:
-        """Cap max_new_tokens to the speculative headroom (verify writes
-        k+1 rows past the current history every round); reject prompts that
-        leave none."""
-        cap = self.max_len - len(req.prompt) - self.spec_k - 2
-        if cap <= 0:
-            self._reject(req, f"prompt length {len(req.prompt)} leaves no "
-                         f"speculative headroom (k={self.spec_k}, "
-                         f"max_len={self.max_len})")
-            return False
-        req.max_new_tokens = min(req.max_new_tokens, cap)
-        return True
-
-    def _admit_spec(self, req: Request, slot: int):
-        """Speculative admission: target prefill (emits the first token a0
-        host-side), draft prefill of prompt[:-1], per-slot seed =
-        [prompt[-1], a0] (the models.speculative round invariant). With a
-        registered prefix, both models' stored rows are installed and only
-        the suffix is prefilled (the draft one token short)."""
-        if req.repeat_penalty != 1.0 or req.want_logprobs:
-            self._reject(req, "speculative engine supports temperature/"
-                         "top_k/top_p but not repeat_penalty/want_logprobs")
-            return
-        pfx = None
-        if req.prefix_id is not None:
-            pfx = self._prefixes.get(req.prefix_id)
-            if pfx is None:
-                self._reject(req, f"unknown prefix_id {req.prefix_id}")
-                return
-            if req.prompt[: pfx["plen"]] != pfx["tokens"]:
-                self._reject(req, "prompt does not start with prefix")
-                return
-        if not self._validate_spec_cap(req):
-            return
-        self.slots[slot] = req
-        if pfx is not None:
-            plen = pfx["plen"]
-            suffix = req.prompt[plen:]
-            self._install_prefix(pfx["t"], plen, slot, plen)
-            if suffix:
-                self._prefill_slot(req, slot, tokens=suffix, start=plen)
-            else:  # prompt == prefix: stored last logits are the sampler row
-                self._last_logits = self._last_logits.at[slot].set(
-                    pfx["t"]["last"])
-            if req.temperature > 0:
-                fn, _ = self._slot_sampler(req)
-                self._rng, sub = jax.random.split(self._rng)
-                a0 = int(np.asarray(fn(
-                    self._last_logits, jnp.int32(slot), sub)))
-            else:
-                a0 = int(np.asarray(self._argmax(self._last_logits))[slot])
-            # draft holds history[0:P-1]: prefix rows, minus the last
-            # token when the prompt IS the prefix
-            self._install_prefix(pfx["d"], plen, slot,
-                                 plen if suffix else plen - 1, draft=True)
-            if len(suffix) > 1:
-                self._prefill_slot(req, slot, tokens=suffix[:-1],
-                                   start=plen, draft=True)
-            self._emit(req, a0)
-            if _stopped(req) or \
-                    len(req.out_tokens) >= req.max_new_tokens:
-                self._finish_slot(req, slot)
-                return
-            self._seed[slot] = (req.prompt[-1], a0)
-            return
-        # plain (no-prefix) spec admissions never reach here — _admit
-        # batches them through _admit_spec_batch
-        raise AssertionError("unreachable: plain spec admission")
-
-    def _advance_spec_chunks(self):
-        """One chunk per chunking spec slot per tick: target chunks, then
-        draft chunks of prompt[:-1], then finalize (first token + seed —
-        the round invariants from _admit_spec_batch)."""
-        for i, (phase, pos) in list(self._spec_chunking.items()):
-            req = self.slots[i]
-            if req is None or req.done:  # cancelled mid-prefill
-                del self._spec_chunking[i]
-                continue
-            if phase == "t":
-                chunk = req.prompt[pos : pos + self.prefill_chunk]
-                self._prefill_slot(req, i, tokens=chunk, start=pos)
-                pos += len(chunk)
-                if pos < len(req.prompt):
-                    self._spec_chunking[i] = ("t", pos)
-                    continue
-                phase, pos = ("d", 0) if len(req.prompt) > 1 else ("f", 0)
-            if phase == "d":
-                dtoks = req.prompt[:-1]
-                chunk = dtoks[pos : pos + self.prefill_chunk]
-                self._prefill_slot(req, i, tokens=chunk, start=pos,
-                                   draft=True)
-                pos += len(chunk)
-                if pos < len(dtoks):
-                    self._spec_chunking[i] = ("d", pos)
-                    continue
-            # finalize: draft prefills never touch _last_logits, so the
-            # slot row still holds the last TARGET chunk's logits. Re-pin
-            # both cache lengths absolutely: rounds that ran during the
-            # draft phase drift the (garbage) lengths of chunking slots
-            P = len(req.prompt)
-            self.cache = kvc.KVCache(
-                self.cache.k, self.cache.v, self.cache.k_scale,
-                self.cache.v_scale, self.cache.length.at[i].set(P))
-            self.d_cache = kvc.KVCache(
-                self.d_cache.k, self.d_cache.v, self.d_cache.k_scale,
-                self.d_cache.v_scale, self.d_cache.length.at[i].set(P - 1))
-            del self._spec_chunking[i]
-            if req.temperature > 0:
-                fn, _ = self._slot_sampler(req)
-                self._rng, sub = jax.random.split(self._rng)
-                a0 = int(np.asarray(fn(
-                    self._last_logits, jnp.int32(i), sub)))
-            else:
-                a0 = int(np.asarray(self._argmax(self._last_logits))[i])
-            self._emit(req, a0)
-            if _stopped(req) or len(req.out_tokens) >= req.max_new_tokens:
-                self._finish_slot(req, i)
-                continue
-            self._seed[i] = (req.prompt[-1], a0)
-
-    def _spec_tick(self) -> bool:
-        """One speculative engine tick: ONE draft-chain + verify round for
-        all live slots; each emits 1..k+1 tokens (per-slot accept counts).
-        Chunking slots advance one prefill chunk instead and sit out the
-        round (their cache rows past the chunk boundary are garbage the
-        next chunk/round overwrites — the length-masking design)."""
-        from ..models.sampling import length_bucket
-
-        for i, req in enumerate(self.slots):  # externally-cancelled slots
-            if req is not None and req.done:
-                self._finish_slot(req, i)
-        if self._spec_chunking:
-            self._advance_spec_chunks()
-        live = [r for i, r in enumerate(self.slots)
-                if r is not None and i not in self._spec_chunking]
-        if not live:
-            return bool(self._spec_chunking)
-        hmax = max(len(r.prompt) + len(r.out_tokens) for r in live)
-        t_eff = length_bucket(min(hmax + self.spec_k + 2, self.max_len),
-                              self.max_len, base=64)
-        if any(r is not None and r.temperature > 0 for r in self.slots):
-            # rejection-sampled round: per-slot traced sampling params;
-            # greedy slots ride along with temp 0 (one-hot distributions
-            # degenerate to exact greedy prefix matching)
-            if self._spec_round_sampled is None:
-                from ..models.speculative import make_spec_round_sampled
-
-                self._spec_round_sampled = make_spec_round_sampled(
-                    self.forward, self.cfg, self.d_forward, self.d_cfg,
-                    self.spec_k)
-            temp = np.zeros((self.B,), np.float32)
-            topk = np.zeros((self.B,), np.int32)
-            topp = np.ones((self.B,), np.float32)
-            for i, r in enumerate(self.slots):
-                if r is not None and r.temperature > 0:
-                    temp[i], topk[i], topp[i] = (r.temperature, r.top_k,
-                                                 r.top_p)
-            self._rng, sub = jax.random.split(self._rng)
-            emitted, n_emit, self.cache, self.d_cache, seed = \
-                self._spec_round_sampled(
-                    self.params, self.d_params, self.cache, self.d_cache,
-                    jnp.asarray(self._seed), sub, jnp.asarray(temp),
-                    jnp.asarray(topk), jnp.asarray(topp),
-                    t_eff=t_eff, d_eff=t_eff)
-        else:
-            emitted, n_emit, self.cache, self.d_cache, seed = \
-                self._spec_round(
-                    self.params, self.d_params, self.cache, self.d_cache,
-                    jnp.asarray(self._seed), t_eff=t_eff, d_eff=t_eff)
-        em, ne = np.asarray(emitted), np.asarray(n_emit)
-        self._seed = np.array(seed)  # writable copy — admits update rows
-        for i, req in enumerate(self.slots):
-            if req is None or i in self._spec_chunking:
-                continue
-            for j in range(int(ne[i])):
-                tok = int(em[i, j])
-                self._emit(req, tok)
-                if _stopped(req) or \
-                        len(req.out_tokens) >= req.max_new_tokens:
-                    req.done = True
-                    break
-            if req.done:
-                self._finish_slot(req, i)
-        return True
-
-    # --- host loop -------------------------------------------------------
     def submit(self, req: Request):
         import time as _time
 
@@ -848,213 +444,6 @@ class Engine:
             "mean_latency_s": (self._lat_sum / self._lat_n)
             if self._lat_n else None,
         }
-
-    def _make_prefill_many(self, bucket: int, G: int, draft: bool = False):
-        """One executable prefilling G same-bucket prompts in ONE forward —
-        one weight pass serves the whole admission burst instead of one
-        pass per request. Slot rows, real lengths, and last-logit rows are
-        scattered by traced index vectors; padded duplicate rows (same
-        slot, same values) make the scatter idempotent."""
-        fwd = self.d_forward if draft else self.forward
-        cfg = self.d_cfg if draft else self.cfg
-        ref_cache = self.d_cache if draft else self.cache
-        n_head_kv = getattr(cfg, "n_head_kv", cfg.n_head)
-        flat = ref_cache.k[0].ndim == 3
-        int8 = ref_cache.k_scale is not None
-        dtype = ref_cache.k[0].dtype
-        head_dim = cfg.head_dim
-
-        @partial(jax.jit, donate_argnums=(1,))
-        def prefill_many(params, cache, tokens, n_real, slots, last_logits):
-            # scratch cache sized to the bucket (not max_len): the only
-            # rows written/scattered are [:bucket]
-            sub = kvc.init_cache(cfg.n_layer, G, n_head_kv, bucket,
-                                 head_dim, dtype=dtype, int8=int8, flat=flat)
-            positions = jnp.broadcast_to(
-                jnp.arange(bucket, dtype=jnp.int32)[None], (G, bucket))
-            logits, sub2 = fwd(params, cfg, tokens, sub, positions,
-                               prefix_bound=bucket)
-
-            def scatter(bufs, subs):
-                if bufs is None:
-                    return None
-                out = []
-                for x, s in zip(bufs, subs):
-                    if x.ndim == 3:  # flat [B, T, E] (time axis 1)
-                        out.append(x.at[slots, :bucket].set(
-                            s[:, :bucket].astype(x.dtype)))
-                    else:  # head-major [B, H, T, D] (time axis 2)
-                        out.append(x.at[slots, :, :bucket].set(
-                            s[:, :, :bucket].astype(x.dtype)))
-                return tuple(out)
-
-            cache = kvc.KVCache(
-                scatter(cache.k, sub2.k), scatter(cache.v, sub2.v),
-                scatter(cache.k_scale, sub2.k_scale),
-                scatter(cache.v_scale, sub2.v_scale),
-                cache.length.at[slots].set(n_real),
-            )
-            last = jnp.take_along_axis(
-                logits, (n_real - 1)[:, None, None], axis=1)[:, 0, :]
-            if draft:  # draft logits are never sampled from
-                return last_logits, cache
-            return last_logits.at[slots].set(last), cache
-
-        return prefill_many
-
-    def _prefill_group(self, admits: list, draft: bool = False,
-                       tokens_of=None):
-        """Prefill a tick's plain admissions, same-bucket ones batched into
-        one dispatch (group size padded to a power of two ≤ batch_slots so
-        compile count stays at buckets × log2(B)). draft=True prefills the
-        speculative draft model's cache (tokens_of selects the per-request
-        token list, e.g. prompt[:-1]); its logits are discarded."""
-        from collections import defaultdict
-
-        tokens_of = tokens_of or (lambda r: r.prompt)
-        groups = defaultdict(list)
-        for req, slot in admits:
-            groups[min(_bucket(len(tokens_of(req))), self.max_len)].append(
-                (req, slot))
-        for bucket, grp in groups.items():
-            if len(grp) == 1:
-                req, slot = grp[0]
-                self._prefill_slot(req, slot, tokens=tokens_of(req),
-                                   draft=draft)
-                continue
-            G = 1
-            while G < len(grp):
-                G *= 2
-            G = min(G, self.B)
-            padded = grp + [grp[-1]] * (G - len(grp))
-            key = ("many", bucket, G, draft)
-            fn = self._compiled_prefill.get(key)
-            if fn is None:
-                fn = self._make_prefill_many(bucket, G, draft)
-                self._compiled_prefill[key] = fn
-            toks = np.zeros((G, bucket), np.int32)
-            n_real = np.zeros((G,), np.int32)
-            slots = np.zeros((G,), np.int32)
-            for j, (req, slot) in enumerate(padded):
-                t = tokens_of(req)
-                toks[j, : len(t)] = t
-                n_real[j] = len(t)
-                slots[j] = slot
-            self._n_prefills += 1
-            params = self.d_params if draft else self.params
-            cache = self.d_cache if draft else self.cache
-            last, cache = fn(
-                params, cache, jnp.asarray(toks),
-                jnp.asarray(n_real), jnp.asarray(slots), self._last_logits)
-            if draft:
-                self.d_cache = cache
-            else:
-                self._last_logits, self.cache = last, cache
-
-    def _admit_spec_batch(self, admits: list):
-        """Batched speculative admission: ONE grouped target prefill for
-        the burst, one fused argmax for every first token, then ONE grouped
-        draft prefill of the prompts[:-1] (the models.speculative round
-        invariant: draft holds history[0:P-1])."""
-        self._prefill_group(admits)
-        gtoks = np.asarray(self._argmax(self._last_logits))
-        drafts = []
-        for req, slot in admits:
-            if req.temperature > 0:
-                fn, _ = self._slot_sampler(req)
-                self._rng, sub = jax.random.split(self._rng)
-                a0 = int(np.asarray(fn(
-                    self._last_logits, jnp.int32(slot), sub)))
-            else:
-                a0 = int(gtoks[slot])
-            self._emit(req, a0)
-            if _stopped(req) or \
-                    len(req.out_tokens) >= req.max_new_tokens:
-                self._finish_slot(req, slot)
-                continue
-            self._seed[slot] = (req.prompt[-1], a0)
-            if len(req.prompt) > 1:
-                drafts.append((req, slot))
-        if drafts:
-            self._prefill_group(drafts, draft=True,
-                                tokens_of=lambda r: r.prompt[:-1])
-
-    def _admit(self):
-        plain, spec_plain = [], []
-        for i in range(self.B):
-            while self.slots[i] is None and self.pending:
-                req = self.pending.pop(0)
-                if len(req.prompt) >= self.max_len:
-                    # would overflow the cache inside the jitted prefill —
-                    # reject up front (caller sees done=True, no tokens)
-                    self._reject(req, f"prompt length {len(req.prompt)} "
-                                 f">= max_len {self.max_len}")
-                    continue
-                if len(req.prompt) + req.max_new_tokens > self.max_len:
-                    req.max_new_tokens = self.max_len - len(req.prompt)
-                if self.spec:
-                    if (req.prefix_id is not None
-                            or req.repeat_penalty != 1.0
-                            or req.want_logprobs):
-                        # rejection + prefix paths stay per-slot
-                        self._admit_spec(req, i)
-                    elif self._validate_spec_cap(req):
-                        self.slots[i] = req
-                        if (self.prefill_chunk
-                                and len(req.prompt) > self.prefill_chunk):
-                            self._spec_chunking[i] = ("t", 0)
-                        else:
-                            spec_plain.append((req, i))
-                    continue
-                if req.prefix_id is not None:
-                    pfx = self._prefixes.get(req.prefix_id)
-                    if pfx is None:
-                        self._reject(req,
-                                     f"unknown prefix_id {req.prefix_id}")
-                        continue
-                    plen = pfx["plen"]
-                    if req.prompt[:plen] != pfx["tokens"]:
-                        self._reject(req, "prompt does not start with prefix")
-                        continue
-                    self.slots[i] = req
-                    self._install_prefix(pfx["t"], plen, i, plen)
-                    suffix = req.prompt[plen:]
-                    if (suffix and self.prefill_chunk
-                            and len(suffix) > self.prefill_chunk):
-                        self._chunking[i] = plen  # chunk the suffix
-                    elif suffix:
-                        self._prefill_slot(req, i, tokens=suffix, start=plen)
-                    else:  # prompt == prefix: reuse its stored last logits
-                        self._last_logits = self._last_logits.at[i].set(
-                            pfx["t"]["last"])
-                    continue
-                self.slots[i] = req
-                if (self.prefill_chunk
-                        and len(req.prompt) > self.prefill_chunk):
-                    self._chunking[i] = 0  # chunked prefill, one per tick
-                else:
-                    plain.append((req, i))
-                break  # slot filled; prefill happens batched below
-        if plain:
-            self._prefill_group(plain)
-        if spec_plain:
-            self._admit_spec_batch(spec_plain)
-
-    def _advance_chunks(self):
-        """Prefill ONE chunk per chunking slot per tick; a slot joins
-        decode the tick after its last chunk lands."""
-        for i, pos in list(self._chunking.items()):
-            req = self.slots[i]
-            if req is None or req.done:  # cancelled mid-prefill
-                del self._chunking[i]
-                continue
-            chunk = req.prompt[pos : pos + self.prefill_chunk]
-            self._prefill_slot(req, i, tokens=chunk, start=pos)
-            pos += len(chunk)
-            if pos >= len(req.prompt):
-                del self._chunking[i]  # _last_logits[i] now holds the end
-            else:
-                self._chunking[i] = pos
 
     def step_once(self):
         """One engine tick: admit, sample per live slot, batched decode.

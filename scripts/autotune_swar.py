@@ -35,6 +35,43 @@ SHAPES = [
     (51200, 768),                       # gpt2 lm head (1024-padded rows)
 ]
 KT_GTYPE = {6: GType.Q4_0, 8: GType.Q8_0}
+# gtype-specific targets: formats whose in-kernel unpack cost differs from
+# their geometry class (Q6_K/Q5x share kt8's VMEM footprint with Q8_0 but
+# do 2-5x the VPU work, so their best tile/nc differ). Keys "g<int>:NxK"
+# are consulted by tune.lookup before the kt class key. 7B shapes only.
+GTYPE_TARGETS = [GType.Q6_K, GType.Q5_0, GType.Q5_1]
+GTYPE_SHAPES = [(12288, 4096), (4096, 4096), (22016, 4096),
+                (4096, 11008), (32256, 4096)]
+
+
+def make_planes(g, n, kp, word):
+    """Synthetic SWAR planes with the right shapes for gtype g."""
+    import jax
+
+    def bits(rows, seed):
+        return jax.jit(lambda: jax.random.bits(
+            jax.random.PRNGKey(seed), (rows, n), jnp.uint32))()
+
+    def dplane(rows):
+        return jax.jit(lambda: jnp.full((rows, n), word, jnp.uint32))()
+
+    if g == GType.Q8_0:
+        return {"qs_t": bits(kp // 4, n + kp), "d_t": dplane(kp // 64)}
+    planes = {"qs_t": bits(kp // 8, n + kp)}
+    if g == GType.Q6_K:
+        planes["qh_t"] = bits(kp // 16, n + kp + 1)
+        planes["kd_t"] = dplane(kp // 32)
+    elif g in (GType.Q5_0, GType.Q5_1):
+        planes["qh_t"] = bits(kp // 32, n + kp + 1)
+        planes["d_t"] = dplane(kp // 64)
+        if g == GType.Q5_1:
+            planes["m_t"] = dplane(kp // 64)
+    elif g == GType.Q4_K:
+        planes["kd_t"] = dplane(kp // 64)
+        planes["km_t"] = dplane(kp // 64)
+    else:
+        planes["d_t"] = dplane(kp // 64)
+    return planes
 
 
 def shape_loop(n, k) -> int:
@@ -72,11 +109,13 @@ def candidates(n, k, kt):
 
 @functools.partial(
     jax.jit, static_argnames=("g", "n", "kp", "tile", "nc", "loop"))
-def loop_q4(qs_t, d_t, g, n, kp, tile, nc, loop):
-    planes = {"qs_t": qs_t, "d_t": d_t}
+def loop_q4(planes, g, n, kp, tile, nc, loop):
+    """Any _call_kernel_swar format (Q4x/Q5x/Q6_K/Q4_K): planes is the
+    format's SWAR plane dict (make_planes)."""
+    bs = 16 if g == GType.Q6_K else 32
     x0 = jnp.ones((8, kp // 2), jnp.float32) * 0.01
     # (nc, b, cc) chunk-major ride (matmul_q.mul_mat_swar's layout)
-    xs0 = jnp.ones((8, kp // 32), jnp.float32) * 0.32
+    xs0 = jnp.ones((8, kp // bs), jnp.float32) * 0.32
 
     def body(i, xlo):
         y = mq._call_kernel_swar(xlo, xlo, xs0, planes, g, n, kp,
@@ -133,38 +172,45 @@ def main():
                   flush=True)
         except Exception:
             table = {}
-    for kt, g in KT_GTYPE.items():
-        qdiv = 4 if kt == 8 else 8  # packed rows per K: u32 words
-        for n, k in SHAPES:
+    from ggmlsharp_tpu.quant.formats import swar_kt_bytes
+
+    targets = [(f"kt{kt}", g, SHAPES) for kt, g in KT_GTYPE.items()]
+    targets += [(f"g{int(g)}", g, GTYPE_SHAPES) for g in GTYPE_TARGETS]
+    only = os.environ.get("GGML_TPU_TUNE_ONLY")  # e.g. "g15,g6,g7"
+    if only:
+        keep = set(only.split(","))
+        targets = [t for t in targets if t[0] in keep]
+    for key_pfx, g, shapes in targets:
+        kt = swar_kt_bytes(g)
+        for n, k in shapes:
             loop = shape_loop(n, k)
             best, best_dt = None, None
             rows = []
             for tile, nc, kp in candidates(n, k, kt):
-                qs_t = jax.jit(lambda kp=kp, n=n: jax.random.bits(
-                    jax.random.PRNGKey(n + kp), (kp // qdiv, n), jnp.uint32))()
-                d_t = jax.jit(lambda kp=kp, n=n: jnp.full(
-                    (kp // 64, n), word, jnp.uint32))()
+                planes = make_planes(g, n, kp, word)
+                wire = sum(v.size for v in planes.values()) * 4
                 for attempt in range(2):
                     lp = loop * (4 if attempt else 1)
                     try:
-                        if kt == 8:
-                            dt = slope(loop_q8, qs_t, d_t, n, kp, tile, nc,
+                        if g == GType.Q8_0:
+                            dt = slope(loop_q8, planes["qs_t"],
+                                       planes["d_t"], n, kp, tile, nc,
                                        lp) / lp
                         else:
-                            dt = slope(loop_q4, qs_t, d_t, g, n, kp, tile,
+                            dt = slope(loop_q4, planes, g, n, kp, tile,
                                        nc, lp) / lp
                     except Exception as e:  # noqa: BLE001 — VMEM/compile
-                        print(f"  kt{kt} {n}x{k} t={tile:4d} nc={nc:2d} "
+                        print(f"  {key_pfx} {n}x{k} t={tile:4d} nc={nc:2d} "
                               f"kp={kp}: COMPILE FAIL "
                               f"({str(e)[:80]})", flush=True)
                         gbs = -1.0
                         break
-                    gbs = (qs_t.size + d_t.size) * 4 / dt / 1e9
+                    gbs = wire / dt / 1e9
                     if 20.0 <= gbs <= 850.0:
                         break  # physically plausible measurement
                 if not (20.0 <= gbs <= 850.0):
-                    print(f"  kt{kt} {n}x{k} t={tile:4d} nc={nc:2d} kp={kp}: "
-                          f"UNRELIABLE ({gbs:.0f} GB/s) — skipped",
+                    print(f"  {key_pfx} {n}x{k} t={tile:4d} nc={nc:2d} "
+                          f"kp={kp}: UNRELIABLE ({gbs:.0f} GB/s) — skipped",
                           flush=True)
                     continue
                 rows.append((tile, nc, kp, dt, gbs))
@@ -172,10 +218,11 @@ def main():
                     best, best_dt = (tile, nc, kp), dt
             for tile, nc, kp, dt, gbs in rows:
                 mark = " <-- best" if (tile, nc, kp) == best else ""
-                print(f"  kt{kt} {n}x{k} t={tile:4d} nc={nc:2d} kp={kp}: "
-                      f"{dt*1e3:7.3f} ms {gbs:6.1f} GB/s{mark}", flush=True)
+                print(f"  {key_pfx} {n}x{k} t={tile:4d} nc={nc:2d} "
+                      f"kp={kp}: {dt*1e3:7.3f} ms {gbs:6.1f} GB/s{mark}",
+                      flush=True)
             if best is not None:
-                table[f"kt{kt}:{n}x{k}"] = list(best) + [
+                table[f"{key_pfx}:{n}x{k}"] = list(best) + [
                     round(best_dt * 1e6, 2)]
     # keep [tile, nc, kp] (lookup ignores the trailing us diagnostic)
     with open(out_path, "w") as f:

@@ -193,8 +193,9 @@ def test_swar_hostchunk_all_formats(gtype, monkeypatch):
     real_layout = F.swar_layout
     monkeypatch.setattr(
         F, "swar_layout",
-        lambda nn, kk, budget=0, kt_bytes=6: (128, 2, kk)
-        if kk == k else real_layout(nn, kk, kt_bytes=kt_bytes))
+        lambda nn, kk, budget=0, kt_bytes=6, gtype=None: (128, 2, kk)
+        if kk == k else real_layout(nn, kk, kt_bytes=kt_bytes,
+                                    gtype=gtype))
     w = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.1)
     x = jnp.asarray(rng.standard_normal((3, k)).astype(np.float32))
     qt = quantize(w, gtype)
