@@ -407,8 +407,12 @@ def run_workload():
     # cache.length is RESET to its post-prefill value before every timed
     # window (the decoded positions repeat; attention cost is identical), so
     # the bucket only needs to cover one window regardless of BENCH_REPS
+    # base=64: the run's live prefix is prefill+steps (~60 rows at the
+    # default workload) — attention reads the 64-row bucket instead of 256
+    # (same one-executable-per-bucket mechanism the serving engine uses;
+    # the bucket still covers the whole timed window)
     t_eff = sampling.length_bucket(
-        prefill_len + n1 + n2 + 8, getattr(cfg, "n_ctx", 2048))
+        prefill_len + n1 + n2 + 8, getattr(cfg, "n_ctx", 2048), base=64)
     logits, cache = prefill(params, prompt, cache,
                             t_eff=sampling.length_bucket(
                                 prefill_len, getattr(cfg, "n_ctx", 2048)))

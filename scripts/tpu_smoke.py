@@ -557,10 +557,10 @@ def main():
           f"f={got_f:.4f} want~{want_f:.4f}", flush=True)
     if not gok:
         FAILURES.append("graph fwd on-chip")
-    from ggmlsharp_tpu.graph import graph_reset, set_grad_seed
+    from ggmlsharp_tpu.graph import set_f32
 
-    graph_reset(gfwd)
-    set_grad_seed(fg, 1.0)
+    gfwd.reset()
+    set_f32(fg.grad, 1.0)
     gbwd.compute()
     gnorm = float(np.abs(np.asarray(xg.grad.data)).mean())
     bok = np.isfinite(gnorm) and gnorm > 0
