@@ -243,8 +243,20 @@ def _run_serve_mode(mod, cfg, model, fmt, params, slots, t_start):
     prompts = [rng.integers(0, cfg.n_vocab, size=plen).tolist()
                for _ in range(n_req)]
 
+    # size the per-slot KV allocation to the workload (BENCH_SERVE_MAXLEN):
+    # a serving deployment preallocates KV for its configured context
+    # budget, and the decode-step cost has a term proportional to the
+    # ALLOCATED rows, not just the live prefix (scripts/diag_kv.py r4:
+    # the per-slot-position KV write lowers as a whole-buffer pass) —
+    # max_len=2048 cost +3.5 ms/step over max_len=512 at the same bucket
+    _pow2 = 1
+    while _pow2 < plen + n_new + 8:
+        _pow2 *= 2
+    max_len = int(os.environ.get("BENCH_SERVE_MAXLEN", "0")) or \
+        min(cfg.n_ctx, max(256, _pow2))
     eng = Engine(mod.forward, cfg, params, batch_slots=slots,
-                 cache_dtype=jnp.bfloat16, int8_kv=int8_kv)
+                 cache_dtype=jnp.bfloat16, int8_kv=int8_kv,
+                 max_len=max_len)
     # warmup: compile the decode step, fused argmax, the single-slot
     # prefill, and every power-of-two batched-admission group size the
     # timed run can hit (admission bursts compile one executable per
@@ -283,7 +295,7 @@ def _run_serve_mode(mod, cfg, model, fmt, params, slots, t_start):
     roofline = slots * _hbm_bw() / wbytes
     print(json.dumps({
         "metric": f"serving tokens/sec/chip ({model} {fmt} slots={slots} "
-                  f"reqs={n_req} new={n_new})",
+                  f"reqs={n_req} new={n_new} max_len={max_len})",
         "value": round(toks_per_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(toks_per_s / roofline, 4),

@@ -97,12 +97,17 @@ class AdmissionMixin:
             self._last_logits = self._last_logits.at[slot].set(last[0])
 
     # --- prefix caching ----------------------------------------------------
-    def _make_prefill_many(self, bucket: int, G: int, draft: bool = False):
+    def _make_prefill_many(self, bucket: int, G: int, draft: bool = False,
+                           full: bool = False):
         """One executable prefilling G same-bucket prompts in ONE forward —
         one weight pass serves the whole admission burst instead of one
         pass per request. Slot rows, real lengths, and last-logit rows are
         scattered by traced index vectors; padded duplicate rows (same
-        slot, same values) make the scatter idempotent."""
+        slot, same values) make the scatter idempotent. full=True: the
+        burst covers slots [0..B) in order (G == B) — the install becomes a
+        STATIC slice update (in-place under donation) instead of a general
+        scatter, which XLA rewrites as a whole-buffer pass over the
+        max_len-sized cache (scripts/diag_kv.py r4)."""
         fwd = self.d_forward if draft else self.forward
         cfg = self.d_cfg if draft else self.cfg
         ref_cache = self.d_cache if draft else self.cache
@@ -129,24 +134,33 @@ class AdmissionMixin:
                 out = []
                 for x, s in zip(bufs, subs):
                     if x.ndim == 3:  # flat [B, T, E] (time axis 1)
-                        out.append(x.at[slots, :bucket].set(
-                            s[:, :bucket].astype(x.dtype)))
+                        if full:
+                            out.append(x.at[:, :bucket].set(
+                                s[:, :bucket].astype(x.dtype)))
+                        else:
+                            out.append(x.at[slots, :bucket].set(
+                                s[:, :bucket].astype(x.dtype)))
                     else:  # head-major [B, H, T, D] (time axis 2)
-                        out.append(x.at[slots, :, :bucket].set(
-                            s[:, :, :bucket].astype(x.dtype)))
+                        if full:
+                            out.append(x.at[:, :, :bucket].set(
+                                s[:, :, :bucket].astype(x.dtype)))
+                        else:
+                            out.append(x.at[slots, :, :bucket].set(
+                                s[:, :, :bucket].astype(x.dtype)))
                 return tuple(out)
 
             cache = kvc.KVCache(
                 scatter(cache.k, sub2.k), scatter(cache.v, sub2.v),
                 scatter(cache.k_scale, sub2.k_scale),
                 scatter(cache.v_scale, sub2.v_scale),
-                cache.length.at[slots].set(n_real),
+                n_real if full else cache.length.at[slots].set(n_real),
             )
             last = jnp.take_along_axis(
                 logits, (n_real - 1)[:, None, None], axis=1)[:, 0, :]
             if draft:  # draft logits are never sampled from
                 return last_logits, cache
-            return last_logits.at[slots].set(last), cache
+            return (last if full
+                    else last_logits.at[slots].set(last)), cache
 
         return prefill_many
 
@@ -174,11 +188,17 @@ class AdmissionMixin:
             while G < len(grp):
                 G *= 2
             G = min(G, self.B)
+            # full burst (every slot, one admission wave): static in-place
+            # install — sort rows by slot so row i IS slot i
+            full = (len(grp) == self.B
+                    and sorted(s for _, s in grp) == list(range(self.B)))
+            if full:
+                grp = sorted(grp, key=lambda rs: rs[1])
             padded = grp + [grp[-1]] * (G - len(grp))
-            key = ("many", bucket, G, draft)
+            key = ("many", bucket, G, draft, full)
             fn = self._compiled_prefill.get(key)
             if fn is None:
-                fn = self._make_prefill_many(bucket, G, draft)
+                fn = self._make_prefill_many(bucket, G, draft, full)
                 self._compiled_prefill[key] = fn
             toks = np.zeros((G, bucket), np.int32)
             n_real = np.zeros((G,), np.int32)

@@ -22,7 +22,7 @@ if not _REAL and not os.environ.get("_GGML_TPU_REEXEC"):
     env["_GGML_TPU_REEXEC"] = "1"
     env["PYTHONPATH"] = ""  # drop the axon sitecustomize
     env["JAX_PLATFORMS"] = "cpu"
-    env.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")  # silence AOT-loader warnings
+    env.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # silence AOT-loader warnings
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)

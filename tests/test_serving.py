@@ -510,10 +510,11 @@ def test_spec_batched_admission_executables():
     got = eng.run()
 
     keys = set(eng._compiled_prefill)
+    # ("many", bucket, G, draft, full) since the r4 full-burst install
     assert any(k[0] == "many" and k[3] is False for k in keys
-               if isinstance(k, tuple) and len(k) == 4), keys
+               if isinstance(k, tuple) and len(k) == 5), keys
     assert any(k[0] == "many" and k[3] is True for k in keys
-               if isinstance(k, tuple) and len(k) == 4), keys
+               if isinstance(k, tuple) and len(k) == 5), keys
     for i, req in enumerate(sorted(got, key=lambda r: r.id)):
         want = _sequential_greedy(params, prompts[i], n_new)
         assert req.out_tokens == want, (i, req.out_tokens, want)
