@@ -113,15 +113,25 @@ def _replace(t: tuple, i: int, v):
 
 def _write_rows(buf, rows, positions):
     """buf [B, H, T, D]; rows [B, H, S, D]; positions int32 [B, S] CONTIGUOUS
-    per batch row → per-batch dynamic_update_slice (in-place under
-    donation; a general scatter costs ~50x on TPU decode)."""
+    per batch row → UNROLLED per-slot dynamic_update_slice chain.
 
-    def upd(buf_b, rows_b, start_b):
+    vmap(dynamic_update_slice) over per-batch starts lowers to a batched
+    select/scatter that measured 1.94 ms/step at B=8 on v5e (vs 0.31 ms
+    for a single uniform-position DUS; a general at[].set scatter also
+    COPIES every cache buffer — scripts/diag_kv.py r4). A chain of B plain
+    DUS ops (static batch index, traced row start) stays in-place under
+    donation and costs ~the uniform floor; B is small (decode slots)."""
+    B = buf.shape[0]
+    starts = positions[:, 0]
+    rows = rows.astype(buf.dtype)
+    if B == 1:
         return jax.lax.dynamic_update_slice(
-            buf_b, rows_b.astype(buf_b.dtype), (0, start_b, 0)
-        )
-
-    return jax.vmap(upd)(buf, rows, positions[:, 0])
+            buf, rows, (0, 0, starts[0], 0))
+    for b in range(B):
+        buf = jax.lax.dynamic_update_slice(
+            buf, jax.lax.dynamic_slice_in_dim(rows, b, 1, axis=0),
+            (b, 0, starts[b], 0))
+    return buf
 
 
 def update_layer(cache: KVCache, layer: int, k_new, v_new, positions) -> KVCache:
@@ -165,12 +175,23 @@ def update_layer_flat(cache: KVCache, layer: int, k_rows, v_rows,
     """Write flat-layout rows into a flat cache. k_rows/v_rows: [B, S, E]
     float; positions int32 [B, S] contiguous per batch row. INT8 caches
     quantize per (token, head) — same granularity as the head-major INT8
-    path — storing scales [B, S, H]."""
+    path — storing scales [B, S, H]. Writes use the unrolled per-slot DUS
+    chain (see _write_rows: the vmap'd batched-start DUS lowering costs
+    ~6x on v5e decode)."""
 
-    def upd(buf_b, rows_b, start_b):
-        return jax.lax.dynamic_update_slice(
-            buf_b, rows_b.astype(buf_b.dtype), (start_b, 0))
+    def upd(buf, rows, starts):
+        rows = rows.astype(buf.dtype)
+        B = buf.shape[0]
+        if B == 1:
+            return jax.lax.dynamic_update_slice(
+                buf, rows, (0, starts[0], 0))
+        for b in range(B):
+            buf = jax.lax.dynamic_update_slice(
+                buf, jax.lax.dynamic_slice_in_dim(rows, b, 1, axis=0),
+                (b, starts[b], 0))
+        return buf
 
+    starts = positions[:, 0]
     if cache.int8:
         H = cache.k_scale[layer].shape[-1]
         B, S, E = k_rows.shape
@@ -182,17 +203,17 @@ def update_layer_flat(cache: KVCache, layer: int, k_rows, v_rows,
 
         kq, ks = qrows(k_rows)
         vq, vs = qrows(v_rows)
-        k = jax.vmap(upd)(cache.k[layer], kq, positions[:, 0])
-        v = jax.vmap(upd)(cache.v[layer], vq, positions[:, 0])
-        kss = jax.vmap(upd)(cache.k_scale[layer], ks, positions[:, 0])
-        vss = jax.vmap(upd)(cache.v_scale[layer], vs, positions[:, 0])
+        k = upd(cache.k[layer], kq, starts)
+        v = upd(cache.v[layer], vq, starts)
+        kss = upd(cache.k_scale[layer], ks, starts)
+        vss = upd(cache.v_scale[layer], vs, starts)
         return KVCache(
             _replace(cache.k, layer, k), _replace(cache.v, layer, v),
             _replace(cache.k_scale, layer, kss),
             _replace(cache.v_scale, layer, vss), cache.length)
 
-    k = jax.vmap(upd)(cache.k[layer], k_rows, positions[:, 0])
-    v = jax.vmap(upd)(cache.v[layer], v_rows, positions[:, 0])
+    k = upd(cache.k[layer], k_rows, starts)
+    v = upd(cache.v[layer], v_rows, starts)
     return KVCache(_replace(cache.k, layer, k), _replace(cache.v, layer, v),
                    None, None, cache.length)
 
