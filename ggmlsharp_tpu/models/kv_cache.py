@@ -18,6 +18,7 @@ config 3 requires an INT8 cache. Design:
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -111,27 +112,45 @@ def _replace(t: tuple, i: int, v):
     return t[:i] + (v,) + t[i + 1 :]
 
 
+def _unroll_writes(buf) -> bool:
+    """Pick the per-slot write formulation for this buffer.
+
+    UNROLLED chain of B plain DUS ops (static batch index, traced row
+    start): 0.45 ms per 32-layer step at B=8 on v5e, allocation-size
+    independent — the fast path (scripts/diag_kv.py r4). vmap'd per-batch
+    DUS: lowers to a batched select costing 1.94 ms/step, but is the only
+    form XLA compiles cleanly when the cache pushes HBM occupancy (at
+    max_len=2048 x 8 slots x 7B the unrolled chain makes the multi-step
+    while_loop flip cache layouts — 4x-padded 512 MB remat copies per
+    buffer, compile-time OOM). Auto: unroll iff the buffer is under 64 MB;
+    GGML_TPU_KV_UNROLL=1|0 forces."""
+    env = os.environ.get("GGML_TPU_KV_UNROLL")
+    if env is not None:
+        return env == "1"
+    return buf.size * buf.dtype.itemsize <= 64 * 1024 * 1024
+
+
 def _write_rows(buf, rows, positions):
     """buf [B, H, T, D]; rows [B, H, S, D]; positions int32 [B, S] CONTIGUOUS
-    per batch row → UNROLLED per-slot dynamic_update_slice chain.
-
-    vmap(dynamic_update_slice) over per-batch starts lowers to a batched
-    select/scatter that measured 1.94 ms/step at B=8 on v5e (vs 0.31 ms
-    for a single uniform-position DUS; a general at[].set scatter also
-    COPIES every cache buffer — scripts/diag_kv.py r4). A chain of B plain
-    DUS ops (static batch index, traced row start) stays in-place under
-    donation and costs ~the uniform floor; B is small (decode slots)."""
+    per batch row → unrolled per-slot DUS chain or vmap'd per-batch DUS
+    (see _unroll_writes for the measured tradeoff)."""
     B = buf.shape[0]
     starts = positions[:, 0]
     rows = rows.astype(buf.dtype)
     if B == 1:
         return jax.lax.dynamic_update_slice(
             buf, rows, (0, 0, starts[0], 0))
-    for b in range(B):
-        buf = jax.lax.dynamic_update_slice(
-            buf, jax.lax.dynamic_slice_in_dim(rows, b, 1, axis=0),
-            (b, 0, starts[b], 0))
-    return buf
+    if _unroll_writes(buf):
+        for b in range(B):
+            buf = jax.lax.dynamic_update_slice(
+                buf, jax.lax.dynamic_slice_in_dim(rows, b, 1, axis=0),
+                (b, 0, starts[b], 0))
+        return buf
+
+    def upd(buf_b, rows_b, start_b):
+        return jax.lax.dynamic_update_slice(buf_b, rows_b, (0, start_b, 0))
+
+    return jax.vmap(upd)(buf, rows, starts)
 
 
 def update_layer(cache: KVCache, layer: int, k_new, v_new, positions) -> KVCache:
@@ -185,11 +204,15 @@ def update_layer_flat(cache: KVCache, layer: int, k_rows, v_rows,
         if B == 1:
             return jax.lax.dynamic_update_slice(
                 buf, rows, (0, starts[0], 0))
-        for b in range(B):
-            buf = jax.lax.dynamic_update_slice(
-                buf, jax.lax.dynamic_slice_in_dim(rows, b, 1, axis=0),
-                (b, starts[b], 0))
-        return buf
+        if _unroll_writes(buf):
+            for b in range(B):
+                buf = jax.lax.dynamic_update_slice(
+                    buf, jax.lax.dynamic_slice_in_dim(rows, b, 1, axis=0),
+                    (b, starts[b], 0))
+            return buf
+        return jax.vmap(
+            lambda bb, rb, sb: jax.lax.dynamic_update_slice(bb, rb, (sb, 0))
+        )(buf, rows, starts)
 
     starts = positions[:, 0]
     if cache.int8:

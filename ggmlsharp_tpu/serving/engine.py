@@ -133,6 +133,7 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
         # first, then draft chunks of prompt[:-1], then finalize (a0+seed)
         self._spec_chunking: dict[int, tuple] = {}
         self._n_ticks = self._n_emitted = self._n_prefills = 0
+        self._n_preadmits = 0  # slots re-filled behind an in-flight window
         self._lat_sum = self._ttft_sum = 0.0
         self._lat_n = self._ttft_n = 0
         self._t_first = None
@@ -319,7 +320,15 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
     def _multi_tick(self, k: int) -> bool:
         """One W-token decode window across all live slots: single device
         dispatch, single [B, W] host fetch; host-side emit/stop/budget
-        truncation per slot."""
+        truncation per slot.
+
+        Speculative admission (r4): a slot whose remaining budget is <= k
+        is GUARANTEED free after this window (early stop/eos only frees it
+        sooner), so when requests are pending, the next admission burst's
+        prefill is dispatched BEHIND the in-flight window — the device runs
+        it during the ~30 ms window-fetch relay round trip that it would
+        otherwise spend idle. Admission prefills set the slot's cache
+        length themselves, so skipping the free-slot length reset is safe."""
         import numpy as np
 
         from ..models.sampling import length_bucket
@@ -332,13 +341,25 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
                 for s in self.slots if s is not None]
         t_eff = length_bucket(min(max(live) + k, self.max_len),
                               self.max_len, base=64)
+        window_reqs = list(self.slots)  # the requests the window ran for
         logits, self.cache, toks, lps = self._multi(
             self.params, self.cache, self._last_logits, active,
             jnp.int32(k), t_eff=t_eff)
         self._last_logits = logits
+        pre: dict[int, Request] = {}
+        if self.pending and not self.spec and not self._chunking:
+            for i, req in enumerate(self.slots):
+                if req is not None and not req.done and \
+                        req.max_new_tokens - len(req.out_tokens) <= k:
+                    pre[i] = req
+            if pre:
+                for i in pre:
+                    self.slots[i] = None
+                self._n_preadmits += len(pre)
+                self._admit()  # dispatches prefill behind the window
         toks = np.asarray(toks)  # ONE fetch for the whole window
         lps_np = None
-        for i, req in enumerate(self.slots):
+        for i, req in enumerate(window_reqs):
             if req is None:
                 continue
             for j in range(k):
@@ -353,8 +374,14 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
                 if _stopped(req) or \
                         len(req.out_tokens) >= req.max_new_tokens:
                     req.done = True
+        for i, req in pre.items():
+            req.done = True
+            self._finished(req)
+            if self.slots[i] is None:  # pending ran out: free normally
+                self._free_slot(i)
+            # else: the admitted request's prefill set the slot length
         for i, req in enumerate(self.slots):
-            if req is not None and req.done:
+            if req is not None and i not in pre and req.done:
                 self._finish_slot(req, i)
         return True
 
@@ -435,6 +462,7 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
             "ticks": self._n_ticks,
             "tokens_emitted": self._n_emitted,
             "prefill_dispatches": self._n_prefills,
+            "speculative_admissions": self._n_preadmits,
             "queue_depth": len(self.pending),
             "live_slots": sum(s is not None for s in self.slots),
             "finished": len(self.finished),

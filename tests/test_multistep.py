@@ -207,3 +207,42 @@ def test_window_stats_count_every_token():
         sum(len(r.out_tokens) for r in win)
     assert len(win) == len(base) == 4
     assert ws["ticks"] < bs["ticks"]  # the whole point of the window
+
+
+def test_speculative_admission_behind_window():
+    """When every live slot's remaining budget fits the window, the next
+    admission wave's prefill is dispatched BEFORE the window fetch
+    (speculative admission). Outputs stay token-identical to single-step;
+    the stats counter proves the overlapped path actually ran."""
+    params = _params()
+    base, _ = _run(params, _mk_reqs(), multi_step=1)
+    # multi_step >= budget: the first window drains the whole wave with
+    # requests still pending -> both slots pre-admit behind the fetch
+    win, eng = _run(params, _mk_reqs(), multi_step=32)
+    st = eng.stats()
+    assert st["speculative_admissions"] > 0, st
+    for a, b in zip(base, win):
+        assert a.out_tokens == b.out_tokens, (a.id, a.out_tokens, b.out_tokens)
+
+
+def test_speculative_admission_early_stop_inside_window():
+    """A pre-admitted slot whose request stops EARLY inside the window
+    (stop sequence) still truncates at the right token and the next
+    request's output is unaffected (its prefill overwrote the dead rows)."""
+    params = _params()
+    probe, _ = _run(params, [Request(id=0, prompt=[5, 17, 99],
+                                     max_new_tokens=24)], multi_step=1)
+    stream = probe[0].out_tokens
+    stop_tok = stream[10]  # stops strictly inside the 24-token budget
+    reqs = lambda: [
+        Request(id=0, prompt=[5, 17, 99], max_new_tokens=24,
+                stop=[[stop_tok]]),
+        Request(id=1, prompt=[7, 1, 2, 3, 4, 5, 6, 8], max_new_tokens=24),
+        Request(id=2, prompt=[11], max_new_tokens=24),
+        Request(id=3, prompt=[3, 3, 3, 3], max_new_tokens=24),
+    ]
+    base, _ = _run(params, reqs(), multi_step=1)
+    win, eng = _run(params, reqs(), multi_step=32)
+    assert eng.stats()["speculative_admissions"] > 0
+    for a, b in zip(base, win):
+        assert a.out_tokens == b.out_tokens, (a.id, a.out_tokens, b.out_tokens)
