@@ -254,8 +254,10 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
         fwd, cfg = self.forward, self.cfg
         B, W = self.B, self.multi_step
 
-        @partial(jax.jit, donate_argnums=(1,), static_argnames=("t_eff",))
-        def multi(params, cache, last_logits, active, n_steps, t_eff=None):
+        @partial(jax.jit, donate_argnums=(1,),
+                 static_argnames=("t_eff", "want_lps"))
+        def multi(params, cache, last_logits, active, n_steps, t_eff=None,
+                  want_lps=True):
             toks0 = jnp.zeros((B, W), jnp.int32)
             lps0 = jnp.zeros((B, W), jnp.float32)
 
@@ -266,10 +268,11 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
                 i, logits, cache, toks, lps = c
                 tok = jnp.argmax(
                     logits, axis=-1, keepdims=True).astype(jnp.int32)
-                lp = jnp.take_along_axis(
-                    jax.nn.log_softmax(logits, axis=-1), tok, axis=-1)
                 toks = jax.lax.dynamic_update_slice(toks, tok, (0, i))
-                lps = jax.lax.dynamic_update_slice(lps, lp, (0, i))
+                if want_lps:  # static: skip the [B, V] log_softmax pass
+                    lp = jnp.take_along_axis(
+                        jax.nn.log_softmax(logits, axis=-1), tok, axis=-1)
+                    lps = jax.lax.dynamic_update_slice(lps, lp, (0, i))
                 positions = cache.length[:, None]
                 lg, cache2 = fwd(params, cfg, tok, cache, positions,
                                  prefix_bound=t_eff)
@@ -317,20 +320,9 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
         rem = min(s.max_new_tokens - len(s.out_tokens) for s in occupied)
         return max(1, min(W, rem, self.max_len - L))
 
-    def _multi_tick(self, k: int) -> bool:
-        """One W-token decode window across all live slots: single device
-        dispatch, single [B, W] host fetch; host-side emit/stop/budget
-        truncation per slot.
-
-        Speculative admission (r4): a slot whose remaining budget is <= k
-        is GUARANTEED free after this window (early stop/eos only frees it
-        sooner), so when requests are pending, the next admission burst's
-        prefill is dispatched BEHIND the in-flight window — the device runs
-        it during the ~30 ms window-fetch relay round trip that it would
-        otherwise spend idle. Admission prefills set the slot's cache
-        length themselves, so skipping the free-slot length reset is safe."""
-        import numpy as np
-
+    def _dispatch_window(self, k: int) -> dict:
+        """Dispatch one W-token decode window (no fetch) + speculative
+        admission behind it; returns the drain record."""
         from ..models.sampling import length_bucket
 
         if self._multi is None:
@@ -342,11 +334,14 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
         t_eff = length_bucket(min(max(live) + k, self.max_len),
                               self.max_len, base=64)
         window_reqs = list(self.slots)  # the requests the window ran for
+        want_lps = any(s is not None and s.want_logprobs
+                       for s in self.slots)
         logits, self.cache, toks, lps = self._multi(
             self.params, self.cache, self._last_logits, active,
-            jnp.int32(k), t_eff=t_eff)
+            jnp.int32(k), t_eff=t_eff, want_lps=want_lps)
         self._last_logits = logits
         pre: dict[int, Request] = {}
+        n_live = sum(s is not None and not s.done for s in self.slots)
         if self.pending and not self.spec and not self._chunking:
             for i, req in enumerate(self.slots):
                 if req is not None and not req.done and \
@@ -357,9 +352,18 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
                     self.slots[i] = None
                 self._n_preadmits += len(pre)
                 self._admit()  # dispatches prefill behind the window
-        toks = np.asarray(toks)  # ONE fetch for the whole window
+        return {"k": k, "reqs": window_reqs, "toks": toks, "lps": lps,
+                "pre": pre, "drained_all": len(pre) == n_live and n_live > 0}
+
+    def _drain_window(self, rec: dict):
+        """Fetch one dispatched window's tokens and do the host-side emit/
+        stop/budget bookkeeping."""
+        import numpy as np
+
+        k, pre = rec["k"], rec["pre"]
+        toks = np.asarray(rec["toks"])  # ONE fetch for the whole window
         lps_np = None
-        for i, req in enumerate(window_reqs):
+        for i, req in enumerate(rec["reqs"]):
             if req is None:
                 continue
             for j in range(k):
@@ -369,20 +373,61 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
                 self._emit(req, tok)
                 if req.want_logprobs:
                     if lps_np is None:
-                        lps_np = np.asarray(lps)
+                        lps_np = np.asarray(rec["lps"])
                     req.out_logprobs.append(float(lps_np[i, j]))
                 if _stopped(req) or \
                         len(req.out_tokens) >= req.max_new_tokens:
                     req.done = True
         for i, req in pre.items():
             req.done = True
-            self._finished(req)
+            if req.t_done is None:  # not already finished (e.g. cancelled)
+                self._finished(req)
             if self.slots[i] is None:  # pending ran out: free normally
                 self._free_slot(i)
             # else: the admitted request's prefill set the slot length
         for i, req in enumerate(self.slots):
             if req is not None and i not in pre and req.done:
                 self._finish_slot(req, i)
+
+    def _multi_tick(self, k: int) -> bool:
+        """Decode-window tick: dispatch up to GGML_TPU_SERVE_PIPELINE
+        windows (default 4) back-to-back BEFORE the first token fetch,
+        then drain them in order.
+
+        Speculative admission (r4): a slot whose remaining budget is <= k
+        is GUARANTEED free after this window (early stop/eos only frees it
+        sooner), so when requests are pending, the next admission burst's
+        prefill is dispatched BEHIND the in-flight window — the device runs
+        it during the ~30 ms window-fetch relay round trip it would
+        otherwise spend idle. When a window provably drains EVERY live slot
+        and the admitted wave is again all-greedy, the NEXT wave's window
+        is dispatched too (window pipelining) — the device chains
+        window -> prefill -> window without a host round trip between
+        waves; only the final window's fetch is paid. Early stop inside a
+        pipelined window wastes at most that wave's remaining steps (same
+        tradeoff as a single window)."""
+        depth = max(1, int(os.environ.get("GGML_TPU_SERVE_PIPELINE", "4")))
+        records = [self._dispatch_window(k)]
+        while len(records) < depth and records[-1]["drained_all"]:
+            ready = [s is not None and not s.done and i not in self._chunking
+                     for i, s in enumerate(self.slots)]
+            if not any(ready):
+                break
+            greedy = [r and s.temperature <= 0.0 and s.repeat_penalty == 1.0
+                      for r, s in zip(ready, self.slots)]
+            k2 = self._window_k(ready, greedy)
+            if k2 <= 1:
+                break
+            # provable full drain again: every live slot's whole budget
+            # fits this window (fresh admissions have empty out_tokens)
+            if not all(s is None or
+                       s.max_new_tokens - len(s.out_tokens) <= k2
+                       for s in self.slots):
+                break
+            self._n_ticks += 1
+            records.append(self._dispatch_window(k2))
+        for rec in records:
+            self._drain_window(rec)
         return True
 
     def _free_slot(self, i: int):

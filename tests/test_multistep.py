@@ -246,3 +246,21 @@ def test_speculative_admission_early_stop_inside_window():
     assert eng.stats()["speculative_admissions"] > 0
     for a, b in zip(base, win):
         assert a.out_tokens == b.out_tokens, (a.id, a.out_tokens, b.out_tokens)
+
+
+def test_window_pipelining_multi_wave():
+    """Six admission waves through the depth-4 window pipeline (every wave
+    drains fully -> windows chain device-side): outputs token-identical to
+    single-step, all requests complete."""
+    params = _params()
+    prompts = [[5, 17, 99], [7, 1, 2], [11], [3, 3, 3, 3],
+               [9, 9], [2, 4, 6], [1], [8, 8, 8], [13, 21], [34, 55],
+               [6, 7], [10, 20, 30]]
+    mk = lambda: [Request(id=i, prompt=p, max_new_tokens=12)
+                  for i, p in enumerate(prompts)]
+    base, _ = _run(params, mk(), multi_step=1)
+    win, eng = _run(params, mk(), multi_step=16)
+    assert eng.stats()["speculative_admissions"] >= 8, eng.stats()
+    assert len(win) == len(base) == 12
+    for a, b in zip(base, win):
+        assert a.out_tokens == b.out_tokens, (a.id, a.out_tokens, b.out_tokens)
