@@ -636,29 +636,30 @@ def _call_kernel_swar_q8(x, planes, n, k, tile, nc, tile_b,
 
 def swar_permute_x_q8(x2, k: int, nc: int):
     """Element-order activations (b, K) → q8 swar k-order: per chunk,
-    position i ← element 32·(i mod C) + i//C."""
+    position i ← element 32·(i mod C) + i//C.
+
+    Vectorized over chunks (ONE reshape/transpose instead of a python loop
+    emitting 3 XLA ops per chunk — at nc=22 the per-chunk form added ~66
+    host-graph ops to every matmul call, measurable launch glue in the
+    decode chain)."""
     b = x2.shape[0]
     kc = k // nc
     cc = kc // 32
-    outs = []
-    for j in range(nc):
-        xc = x2[:, j * kc : (j + 1) * kc].reshape(b, cc, 32)
-        outs.append(jnp.transpose(xc, (0, 2, 1)).reshape(b, kc))
-    return jnp.concatenate(outs, axis=1)
+    x3 = x2.reshape(b, nc, cc, 32)
+    return jnp.transpose(x3, (0, 1, 3, 2)).reshape(b, k)
 
 
 def swar_permute_x(x2, k: int, nc: int, block: int = 32):
     """Element-order activations (b, K) → (x_lo, x_hi) in the swar k-order:
-    per chunk, row i ← element block·(i mod C) + 2·(i//C) (+1 for hi)."""
+    per chunk, row i ← element block·(i mod C) + 2·(i//C) (+1 for hi).
+    Vectorized over chunks (see swar_permute_x_q8)."""
     b = x2.shape[0]
     kc = k // nc
     cc = kc // block
-    los, his = [], []
-    for j in range(nc):
-        xc = x2[:, j * kc : (j + 1) * kc].reshape(b, cc, block // 2, 2)
-        los.append(jnp.transpose(xc[..., 0], (0, 2, 1)).reshape(b, kc // 2))
-        his.append(jnp.transpose(xc[..., 1], (0, 2, 1)).reshape(b, kc // 2))
-    return jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
+    x5 = x2.reshape(b, nc, cc, block // 2, 2)
+    lo = jnp.transpose(x5[..., 0], (0, 1, 3, 2)).reshape(b, k // 2)
+    hi = jnp.transpose(x5[..., 1], (0, 1, 3, 2)).reshape(b, k // 2)
+    return lo, hi
 
 
 def mul_mat_swar(a: QTensor, bx, quantize_acts: bool = True):
