@@ -407,16 +407,29 @@ def run_workload():
         # 2*params_dense FLOPs per token (weight matmuls; attention FLOPs
         # excluded — negligible at bench prompt lengths) — the VERDICT r3
         # "prefill MFU unquantified" item.
+        # lookup-only tables are not matmul FLOPs (ADVICE r4): wpe is a
+        # positional lookup; tok_embd(dings) is a lookup whenever a
+        # separate output/lm_head matmul exists; lm_head is the SWAR
+        # DUPLICATE of gpt2's wte (which IS the lm-head matmul) — skip it
+        # so the tied weight counts once
+        lookup_only = {"wpe", "lm_head"}
+        if isinstance(params, dict) and params.get("output") is not None:
+            lookup_only |= {"tok_embd", "tok_embeddings"}
         n_dense = sum(
-            int(_np.prod(t.shape)) for t in jax.tree.leaves(
-                params, is_leaf=lambda x: hasattr(x, "planes"))
-            if len(getattr(t, "shape", ())) == 2)
+            int(_np.prod(t.shape))
+            for path, t in jax.tree_util.tree_flatten_with_path(
+                params, is_leaf=lambda x: hasattr(x, "planes"))[0]
+            if len(getattr(t, "shape", ())) == 2
+            and not any(getattr(k, "key", None) in lookup_only
+                        for k in path))
         flops_per_tok = 2 * n_dense
-        peak = 197e12 if "v5" in jax.devices()[0].device_kind.lower() \
-            else 275e12
-        mfu = toks_per_s * flops_per_tok / peak
-        _log(f"prefill MFU {mfu:.3f} ({toks_per_s:.0f} tok/s x "
-             f"{flops_per_tok/1e9:.2f} GFLOP/tok vs {peak/1e12:.0f} TF peak)")
+        kind = jax.devices()[0].device_kind.lower()
+        peak = 197e12 if "v5" in kind else None  # unknown kind: skip MFU
+        mfu = toks_per_s * flops_per_tok / peak if peak else 0.0
+        if peak:
+            _log(f"prefill MFU {mfu:.3f} ({toks_per_s:.0f} tok/s x "
+                 f"{flops_per_tok/1e9:.2f} GFLOP/tok vs "
+                 f"{peak/1e12:.0f} TF peak)")
         print(json.dumps({
             "metric": f"prefill tokens/sec/chip ({model} {fmt} len={prefill_len} b={batch} mfu={mfu:.3f})",
             "value": round(toks_per_s, 2),

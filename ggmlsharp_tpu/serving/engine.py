@@ -134,6 +134,10 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
         self._spec_chunking: dict[int, tuple] = {}
         self._n_ticks = self._n_emitted = self._n_prefills = 0
         self._n_preadmits = 0  # slots re-filled behind an in-flight window
+        # dispatched-but-undrained pre-admitted requests (removed from
+        # slots at dispatch, finished at drain): cancel() consults this so
+        # the request stays cancellable in that span (ADVICE r4)
+        self._inflight_pre: dict[int, Request] = {}
         self._lat_sum = self._ttft_sum = 0.0
         self._lat_n = self._ttft_n = 0
         self._t_first = None
@@ -310,8 +314,11 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
         # on relay-attached chips)
         if not any(ready) or ready != greedy:
             return 1
-        occupied = [s for s in self.slots if s is not None]
-        if any(s.done for s in occupied):
+        # snapshot: an external cancel() on another thread may null slots
+        # mid-scan (ADVICE r4) — a stale entry only costs wasted window
+        # steps, never an exception
+        occupied = [s for s in list(self.slots) if s is not None]
+        if not occupied or any(s.done for s in occupied):
             return 1
         if not self.stream_bursts and \
                 any(s.on_token is not None for s in occupied):
@@ -327,13 +334,14 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
 
         if self._multi is None:
             self._multi = self._make_multi_step()
+        window_reqs = list(self.slots)  # one snapshot: the requests the
+        # window runs for (cancel() on another thread may null slots)
         active = jnp.asarray(
-            [s is not None and not s.done for s in self.slots], bool)
+            [s is not None and not s.done for s in window_reqs], bool)
         live = [len(s.prompt) + len(s.out_tokens)
-                for s in self.slots if s is not None]
-        t_eff = length_bucket(min(max(live) + k, self.max_len),
+                for s in window_reqs if s is not None]
+        t_eff = length_bucket(min(max(live, default=1) + k, self.max_len),
                               self.max_len, base=64)
-        window_reqs = list(self.slots)  # the requests the window ran for
         want_lps = any(s is not None and s.want_logprobs
                        for s in self.slots)
         logits, self.cache, toks, lps = self._multi(
@@ -348,8 +356,9 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
                         req.max_new_tokens - len(req.out_tokens) <= k:
                     pre[i] = req
             if pre:
-                for i in pre:
+                for i, r in pre.items():
                     self.slots[i] = None
+                    self._inflight_pre[r.id] = r
                 self._n_preadmits += len(pre)
                 self._admit()  # dispatches prefill behind the window
         return {"k": k, "reqs": window_reqs, "toks": toks, "lps": lps,
@@ -380,6 +389,7 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
                     req.done = True
         for i, req in pre.items():
             req.done = True
+            self._inflight_pre.pop(req.id, None)
             if req.t_done is None:  # not already finished (e.g. cancelled)
                 self._finished(req)
             if self.slots[i] is None:  # pending ran out: free normally
@@ -494,6 +504,14 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
                 self.slots[i] = None
                 self._free_slot(i)
                 return True
+        # dispatched-but-undrained pre-admitted request: flag it done so
+        # the drain skips its window tokens (drain sees t_done set and
+        # does not double-finish)
+        r = self._inflight_pre.pop(request_id, None)
+        if r is not None and r.t_done is None:
+            r.done, r.error = True, "cancelled"
+            self._finished(r)
+            return True
         return False
 
     def stats(self) -> dict:

@@ -131,6 +131,13 @@ class EngineServer:
                 if r is not None and r.id == rid and not r.done:
                     r.done, r.error = True, "cancelled"
                     return True
+            # pre-admitted behind an in-flight window (not in slots until
+            # the drain): still logically live — flag it (engine drain
+            # finishes it with the cancelled error)
+            r = getattr(self.engine, "_inflight_pre", {}).get(rid)
+            if r is not None and not r.done:
+                r.done, r.error = True, "cancelled"
+                return True
         return False
 
     # --- http ---------------------------------------------------------------

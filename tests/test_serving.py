@@ -686,8 +686,12 @@ def test_http_server_robustness_and_cancel():
             if all(s is not None for s in srv.engine.slots):
                 break
             _time.sleep(0.02)
+        # an effectively-unbounded budget makes the cancel DETERMINISTIC
+        # (ADVICE r4): "c" can never self-finish, so it is always visible
+        # to /v1/cancel — pending, live in a slot, or pre-admitted behind
+        # an in-flight window (engine._inflight_pre)
         th = _t.Thread(target=req, args=("c", {"prompt": [5, 17],
-                                               "max_new_tokens": 500,
+                                               "max_new_tokens": 10 ** 6,
                                                "request_id": "abc"}))
         th.start()
         ok = False
@@ -700,7 +704,7 @@ def test_http_server_robustness_and_cancel():
         th.join(timeout=180)
         [t.join(timeout=180) for t in threads]
         assert out["c"]["error"] == "cancelled"
-        assert len(out["c"]["tokens"]) < 500
+        assert len(out["c"]["tokens"]) < 10 ** 6
         assert out["b0"]["error"] is None and out["b1"]["error"] is None
 
         # server still healthy afterwards
