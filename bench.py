@@ -238,7 +238,12 @@ def _run_serve_mode(mod, cfg, model, fmt, params, slots, t_start):
     n_new = int(os.environ.get("BENCH_SERVE_NEW", "24"))
     n_req = int(os.environ.get("BENCH_SERVE_REQUESTS", str(slots * 3)))
     plen = int(os.environ.get("BENCH_PREFILL", "16"))
-    int8_kv = os.environ.get("BENCH_INT8_KV") == "1"
+    # serving default (r5): INT8 KV + flash-decode v2 — the measured b=8
+    # step is 6.2 ms vs 9.1 einsum-bf16 at max_len=512 (diag_serve5);
+    # BENCH_INT8_KV=0 opts back into the bf16 head-major cache. Only
+    # models whose forward handles the flat cache ride it.
+    int8_default = "1" if getattr(cfg, "supports_flat_kv", False) else "0"
+    int8_kv = os.environ.get("BENCH_INT8_KV", int8_default) == "1"
     rng = _np.random.default_rng(7)
     prompts = [rng.integers(0, cfg.n_vocab, size=plen).tolist()
                for _ in range(n_req)]
@@ -295,7 +300,8 @@ def _run_serve_mode(mod, cfg, model, fmt, params, slots, t_start):
     roofline = slots * _hbm_bw() / wbytes
     print(json.dumps({
         "metric": f"serving tokens/sec/chip ({model} {fmt} slots={slots} "
-                  f"reqs={n_req} new={n_new} max_len={max_len})",
+                  f"reqs={n_req} new={n_new} max_len={max_len} "
+                  f"kv={'int8' if int8_kv else 'bf16'})",
         "value": round(toks_per_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(toks_per_s / roofline, 4),

@@ -22,9 +22,9 @@ lane j of the cache belongs to head j // D, so per-head score reduction is
 one MXU dot against an iota-built one-hot matrix OH[j, h] = (j//D == h),
 and broadcasting per-head weights back to lanes uses its transpose:
 
-    S(Tc, H)  = (K_chunk ∘ q) · OH
+    S(Tc, H)  = K_chunk · (OH ∘ q)
     P         = exp(S − m_run)            # online max/denominator per head
-    acc(1, E) += Σ_T (P · OHᵀ) ∘ V_chunk
+    acc(1, E) += Σ_H OH ∘ (Pᵀ · V_chunk)  # both reductions on the MXU
 
 GQA rides the same kernel: the caller pre-splits each slot's query into
 n_rep rows (1 kv-aligned sub-query per repeat group, q.reshape(Hkv, n_rep,
@@ -59,19 +59,19 @@ def pick_chunk(T: int, cap: int = 512, E: int | None = None,
     both chunk streams (4 buffers of Tc·E·itemsize) — at E=4096 bf16 and
     T=2048 the naive Tc=512 chunks allocate 16.8 MB of scoped VMEM and the
     compile dies 17 KB over the 16 MB limit (observed on v5e). INT8 caches
-    dequantize IN-KERNEL: the f32 expansion dominates at ~24 B per cache
-    element (measured: 24.6 MB scoped at Tc=256, E=4096), independent of
-    trip count."""
+    dequantize IN-KERNEL to bf16 (scales fold into scores/weights, r5):
+    ~12 B per cache element covers the double-buffered int8 streams plus
+    both bf16 cast copies."""
     if E is not None:
-        if itemsize == 1:  # INT8: in-kernel f32 dequant intermediates
-            while cap >= 64 and 24 * cap * E > budget:
+        if itemsize == 1:  # INT8: in-kernel bf16 dequant intermediates
+            while cap >= 64 and 12 * cap * E > budget:
                 cap //= 2
-            if 24 * cap * E > budget:
+            if 12 * cap * E > budget:
                 # floored at cap=64 and still over: fail attributably
                 # instead of letting Mosaic die with a raw VMEM error
                 raise ValueError(
                     f"flash-decode INT8 chunk floor {cap} still needs "
-                    f"~{24 * cap * E} B of VMEM (> {budget} B budget) at "
+                    f"~{12 * cap * E} B of VMEM (> {budget} B budget) at "
                     f"E={E}; split KV heads or lower the cache width")
         else:
             if T <= cap and 2 * T * E * itemsize <= budget:
@@ -104,9 +104,9 @@ def _onehot(E, H, D, shape, head_axis, layout="heads"):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "D", "n_rep", "Tc", "layout"))
+    jax.jit, static_argnames=("H", "D", "n_rep", "Tc", "layout", "mode"))
 def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
-                       layout="heads", ks=None, vs=None):
+                       layout="heads", ks=None, vs=None, mode="bf16"):
     """q: (B, n_rep, E_kv) f32 PRE-SCALED sub-queries; kn/vn: (B, 1, E_kv)
     fresh rows; kc/vc: (B, T, E_kv) flat cache (row npast[b] stale per
     slot); npast: (B,) int32. ks/vs: optional (B, T, H) f32 per-(token,
@@ -135,17 +135,31 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
         OH = _onehot(E, H, D, (E, H), 1, layout)
         OHT = _onehot(E, H, D, (H, E), 0, layout)
 
+        def _prec(a, w):
+            # f32 operands: HIGHEST (DEFAULT would round the f32 products
+            # to bf16 before summing, and softmax amplifies that 2^-9
+            # score noise past what XLA's own decode einsum produces —
+            # smoke: 1.67e-3 vs its 1e-3 bar on real v5e). bf16 operands:
+            # DEFAULT — a bf16 MXU pass multiplies exactly into the f32
+            # accumulator, and Mosaic REJECTS bf16×HIGHEST outright
+            # ("Bad lhs type", probed on this libtpu).
+            both_f32 = (a.dtype == jnp.float32 and w.dtype == jnp.float32)
+            return (jax.lax.Precision.HIGHEST if both_f32
+                    else jax.lax.Precision.DEFAULT)
+
         def dot(a, w):
-            # HIGHEST, not DEFAULT: every dot here has a one-hot operand
-            # (score reductions / head->lane broadcasts), so the MXU work is
-            # trivial next to the cache-read bandwidth — but DEFAULT rounds
-            # the f32 q·k products to bf16 before summing, and softmax
-            # amplifies that 2^-9 score noise past what XLA's own decode
-            # einsum produces (smoke: 1.67e-3 vs its 1e-3 bar on real v5e).
             return jax.lax.dot_general(
                 a, w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=_prec(a, w))
+
+        def dot0(a, w):
+            # contract axis 0 with axis 0 (a "transposed" matmul without a
+            # physical transpose): the P·V reduction over the chunk axis
+            return jax.lax.dot_general(
+                a, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_prec(a, w))
 
         # q folded into the one-hot: Wq[j, h] = q[j]·[head(j) == h], built
         # from the SUBLANE-oriented q copy (E, n_rep) — E·H VPU ops per
@@ -162,20 +176,36 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
                 l_s[r : r + 1] = jnp.ones((1, H), jnp.float32)
                 a_s[r : r + 1] = vn_ref[0].astype(jnp.float32)
 
-        vf = vc_ref[0].astype(jnp.float32)
-        if int8:  # dequantize rows: scale lanes via the one-hot broadcast
-            kf = kc_ref[0].astype(jnp.float32) * dot(ks_ref[0], OHT)
-            vf = vf * dot(vs_ref[0], OHT)
-        else:
-            # feed the cache block to the MXU in ITS dtype (bf16 cache
-            # rows are exact in the f32-accumulating HIGHEST dot): skips
-            # the Tc·E cast — the q rounding to the cache dtype is the
-            # same rounding XLA's own einsum decode applies to q
-            kf = kc_ref[0]
+        # Fast mode (default): feed cache blocks to the MXU in THEIR dtype
+        # (bf16 — or int8 cast to bf16, exact: |q| <= 127 fits bf16's
+        # mantissa and the MXU multiplies exactly into the f32
+        # accumulator); int8 scales fold into the scores (S ∘ ks) and the
+        # softmax weights (P ∘ vs) instead of being broadcast over lanes.
+        # The r3/r4 path cast whole Tc×E chunks to f32 and reduced P·V on
+        # the VPU (sum over a Tc×E broadcast product — measured VPU-bound
+        # at ~334 GB/s); both reductions now ride the MXU. Exact mode
+        # (GGML_TPU_MM_DOT=f32, the repo-wide parity convention): f32
+        # casts + lane-broadcast dequant, bit-comparable to dequantized
+        # attention — P then stays f32 through the dot.
+        exact = mode == "f32"
+        kf = kc_ref[0]
+        vf = vc_ref[0]
+        if int8:
+            if exact:  # lane-broadcast scale expansion, all-f32
+                kf = kf.astype(jnp.float32) * dot(ks_ref[0], OHT)
+                vf = vf.astype(jnp.float32) * dot(vs_ref[0], OHT)
+            else:
+                kf = kf.astype(jnp.bfloat16)
+                vf = vf.astype(jnp.bfloat16)
+        elif exact:
+            kf = kf.astype(jnp.float32)
+            vf = vf.astype(jnp.float32)
         idx = jc * Tc + jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0)
         live = (idx <= npast) & (idx != npast)  # stale fresh row excluded
         for r in range(n_rep):
             S = dot(kf, wqs[r].astype(kf.dtype))
+            if int8 and not exact:  # K dequant folded into the scores
+                S = S * ks_ref[0]
             S = jnp.where(live, S, _NEG)
             m_old = m_s[r : r + 1]
             m_new = jnp.maximum(m_old, jnp.max(S, axis=0, keepdims=True))
@@ -183,7 +213,14 @@ def _call_flash_decode(q, kn, vn, kc, vc, npast, H, D, n_rep, Tc,
             P = jnp.exp(S - m_new)
             l_s[r : r + 1] = l_s[r : r + 1] * corr + jnp.sum(
                 P, axis=0, keepdims=True)
-            contrib = jnp.sum(dot(P, OHT) * vf, axis=0, keepdims=True)
+            if int8 and not exact:  # V dequant folded into the weights
+                P = P * vs_ref[0]
+            # o[e] += Σ_t P[t, head(e)]·V[t, e]  =  (Pᵀ·V)[head(e), e]:
+            # one (H, Tc)x(Tc, E) MXU dot + an H×E one-hot row-select —
+            # P rides in the cache dtype, the same rounding XLA's own
+            # DEFAULT einsum decode applies to the attention weights
+            PV = dot0(P.astype(vf.dtype), vf)
+            contrib = jnp.sum(OHT * PV, axis=0, keepdims=True)
             a_s[r : r + 1] = a_s[r : r + 1] * dot(corr, OHT) + contrib
             m_s[r : r + 1] = m_new
 
@@ -251,10 +288,13 @@ def flash_decode_flat(q_heads, k_new, v_new, k_cache, v_cache, npast,
         B * n_rep, E)
     T = k_cache.shape[1]
     Tc = pick_chunk(T, E=E, itemsize=k_cache.dtype.itemsize)
+    from .config import mm_dot_mode
+
     out = _call_flash_decode(
         qr, k_new.astype(jnp.float32), v_new.astype(jnp.float32),
         k_cache, v_cache, jnp.asarray(npast, jnp.int32).reshape(B),
-        n_head_kv, head_dim, n_rep, Tc, ks=k_scale, vs=v_scale)
+        n_head_kv, head_dim, n_rep, Tc, ks=k_scale, vs=v_scale,
+        mode=mm_dot_mode())
     return out.reshape(B, n_rep, n_head_kv, D).transpose(0, 2, 1, 3).reshape(
         B, Hq, D)
 
@@ -271,9 +311,11 @@ def flash_decode_flat_attn(q_att, k_new, v_new, k_cache, v_cache, npast,
     scale = 1.0 / (head_dim ** 0.5)
     T = k_cache.shape[1]
     Tc = pick_chunk(T, E=Ekv, itemsize=k_cache.dtype.itemsize)
+    from .config import mm_dot_mode
+
     out = _call_flash_decode(
         (q_att.astype(jnp.float32) * scale).reshape(B * n_rep, Ekv),
         k_new.astype(jnp.float32), v_new.astype(jnp.float32),
         k_cache, v_cache, jnp.asarray(npast, jnp.int32).reshape(B),
-        n_head_kv, head_dim, n_rep, Tc, layout="attn")
+        n_head_kv, head_dim, n_rep, Tc, layout="attn", mode=mm_dot_mode())
     return out.reshape(B, E)

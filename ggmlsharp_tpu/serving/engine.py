@@ -43,7 +43,7 @@ from .spec import SpecServingMixin
 class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
     def __init__(self, forward, cfg, params, batch_slots: int = 4,
                  max_len: int | None = None, cache_dtype=jnp.float32,
-                 int8_kv: bool = False, rng_seed: int = 0,
+                 int8_kv: bool | None = None, rng_seed: int = 0,
                  draft_forward=None, draft_cfg=None, draft_params=None,
                  spec_k: int = 4, mesh=None,
                  prefill_chunk: int | None = None,
@@ -98,6 +98,11 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
         n_head_kv = getattr(cfg, "n_head_kv", cfg.n_head)
         self.max_len = max_len or cfg.n_ctx
         self.mesh = mesh
+        if int8_kv is None:  # config default (GGML_TPU_INT8_KV)
+            from ..config import get_config
+
+            int8_kv = get_config().int8_kv
+        self.int8_kv = int8_kv
 
         # flat cache → batched flash-decode kernel with per-slot prefix
         # lengths (kernels.attn_decode); INT8 KV dequantizes in-kernel.

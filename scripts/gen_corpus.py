@@ -49,10 +49,14 @@ TAILS = ["in one pass", "per block", "once per step", "for every row",
          "after the reduction", "inside the inner loop"]
 
 
-def main():
-    rng = random.Random(20260819)
+def make_text(n_sent: int = 260, seed: int = 20260819) -> str:
+    """Deterministic synthetic-English stream: the hand-written base text
+    plus n_sent template sentences (the committed tiny corpus is
+    make_text(260); scripts/ppl_chain.py uses a much larger draw so its
+    held-out half scores >=20k tokens)."""
+    rng = random.Random(seed)
     parts = [BASE.strip().replace("\n", " ")]
-    for _ in range(260):
+    for _ in range(n_sent):
         s = (f"The {rng.choice(ADJS)} {rng.choice(NOUNS)} "
              f"{rng.choice(VERBS)} the {rng.choice(ADJS)} "
              f"{rng.choice(NOUNS)} {rng.choice(TAILS)}.")
@@ -60,7 +64,11 @@ def main():
         if rng.random() < 0.25:
             parts.append(rng.choice(BASE.strip().split(". "))
                          .strip().rstrip(".") + ".")
-    text = " ".join(parts)
+    return " ".join(parts)
+
+
+def main():
+    text = make_text()
     out = os.path.join(os.path.dirname(__file__), "..", "tests", "data",
                        "tiny_corpus.txt")
     os.makedirs(os.path.dirname(out), exist_ok=True)

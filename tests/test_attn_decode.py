@@ -101,9 +101,15 @@ def test_llama_flat_batched_decode(monkeypatch):
     np.testing.assert_array_equal(run(False), run(True))
 
 
-def test_flash_decode_int8_kernel_parity():
-    """INT8 flat cache: in-kernel per-(token, head) scale expansion matches
-    explicit dequantized attention."""
+@pytest.mark.parametrize("mode", ["f32", "bf16"])
+def test_flash_decode_int8_kernel_parity(mode):
+    """INT8 flat cache. Exact mode (GGML_TPU_MM_DOT=f32): in-kernel
+    per-(token, head) scale expansion matches explicit dequantized
+    attention bit-comparably. Fast mode (default bf16): scales fold into
+    scores/softmax-weights and the P·V dot rides bf16 — bounded by the
+    bf16 rounding of the attention weights (2^-8 relative on a convex
+    combination of |v|<=127·s values), NOT a parity bar (CLAUDE.md:
+    fixed atol on DEFAULT-precision kernels is a trap)."""
     rng = np.random.default_rng(21)
     B, Hq, Hkv, D, T = 2, 4, 2, 64, 128
     E = Hkv * D
@@ -123,18 +129,27 @@ def test_flash_decode_int8_kernel_parity():
     kn = jnp.asarray(rng.standard_normal((B, E)).astype(np.float32))
     vn = jnp.asarray(rng.standard_normal((B, E)).astype(np.float32))
     npasts = [17, 99]
-    got = np.asarray(flash_decode_flat(
-        q, kn, vn, kq, vq, jnp.asarray(npasts, jnp.int32), Hkv, D,
-        k_scale=ks, v_scale=vs))
+    from ggmlsharp_tpu.kernels.config import mm_dot_mode, set_mm_dot
+
+    prev = mm_dot_mode()
+    set_mm_dot(mode)
+    try:
+        got = np.asarray(flash_decode_flat(
+            q, kn, vn, kq, vq, jnp.asarray(npasts, jnp.int32), Hkv, D,
+            k_scale=ks, v_scale=vs))
+    finally:
+        set_mm_dot(prev)
     kdq = np.asarray(kq).reshape(B, T, Hkv, D) * np.asarray(ks)[..., None]
     vdq = np.asarray(vq).reshape(B, T, Hkv, D) * np.asarray(vs)[..., None]
+    tol = dict(rtol=2e-5, atol=2e-5) if mode == "f32" else \
+        dict(rtol=2e-2, atol=2e-2)  # bf16 weight rounding, |out| ~ |v|
     for b, npast in enumerate(npasts):
         kr = kdq[b].reshape(T, E).copy()
         vr = vdq[b].reshape(T, E).copy()
         kr[npast] = np.asarray(kn)[b]
         vr[npast] = np.asarray(vn)[b]
         want = _ref(np.asarray(q[b]), kr, vr, npast, Hkv, D)
-        np.testing.assert_allclose(got[b], want, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(got[b], want, **tol)
 
 
 def test_llama_flat_int8_decode_matches_head_cache():
