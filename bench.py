@@ -238,12 +238,13 @@ def _run_serve_mode(mod, cfg, model, fmt, params, slots, t_start):
     n_new = int(os.environ.get("BENCH_SERVE_NEW", "24"))
     n_req = int(os.environ.get("BENCH_SERVE_REQUESTS", str(slots * 3)))
     plen = int(os.environ.get("BENCH_PREFILL", "16"))
-    # serving default (r5): INT8 KV + flash-decode v2 — the measured b=8
-    # step is 6.2 ms vs 9.1 einsum-bf16 at max_len=512 (diag_serve5);
-    # BENCH_INT8_KV=0 opts back into the bf16 head-major cache. Only
-    # models whose forward handles the flat cache ride it.
-    int8_default = "1" if getattr(cfg, "supports_flat_kv", False) else "0"
-    int8_kv = os.environ.get("BENCH_INT8_KV", int8_default) == "1"
+    # serving cache default: bf16 head-major einsum — at the bench
+    # workload's short prefixes (t_eff=64) the r5 A/B measured the b=8
+    # step at 9.3 ms einsum vs 11.5 int8-flat-flash (the flash win is
+    # LONG prefixes: einsum reads grow +4.9 ms by t_eff=1024 vs ~half
+    # that for int8 flash; scripts/diag_win.py / probe notes in
+    # PERFORMANCE.md). BENCH_INT8_KV=1 opts into the int8 flat cache.
+    int8_kv = os.environ.get("BENCH_INT8_KV") == "1"
     rng = _np.random.default_rng(7)
     prompts = [rng.integers(0, cfg.n_vocab, size=plen).tolist()
                for _ in range(n_req)]

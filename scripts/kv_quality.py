@@ -55,7 +55,7 @@ def main():
     n_sent = int(os.environ.get("PPL_SENT", "3000"))
     text = make_text(n_sent, seed=20260820)
     ids = np.asarray(tk.encode(text), np.int32)
-    heldout = ids[len(ids) // 2 :]
+    heldout = ids[len(ids) // 3 :]  # ppl_chain trains on the first third
 
     S = 128
     B = min(int(os.environ.get("KVQ_CHUNKS", "96")),

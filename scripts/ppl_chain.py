@@ -66,7 +66,10 @@ def main():
     tokens, scores = train_spm_vocab(text, size=vocab_size)
     tk = SPMTokenizer(tokens, scores)
     ids = np.asarray(tk.encode(text), np.int32)
-    half = len(ids) // 2
+    # train on the first third, hold out the rest: the held-out scored
+    # count stays large while the full-batch training cost (the wall-clock
+    # budget here) shrinks with the train split
+    half = len(ids) // 3
     log(f"vocab={len(tokens)} corpus={len(ids)} tokens "
         f"({len(text)} chars); train={half} heldout={len(ids)-half}")
 

@@ -356,6 +356,23 @@ def main():
             qd_, knr, vnr, kr, vr, npd)
         check_vs_oracle(label, got, exact, base)
 
+        # bf16 cache (the serving flat-cache dtype): scores + P·V ride
+        # single-pass bf16 MXU dots (Mosaic rejects bf16×HIGHEST — r5) —
+        # bar is the DEFAULT-precision einsum's own deviation
+        got_bf = jax.jit(lambda a, b, c, d, e, f: flash_decode_flat(
+            a, b, c, d, e, f, Hkv, Dd))(
+            qd_, knr, vnr, kr.astype(jnp.bfloat16),
+            vr.astype(jnp.bfloat16), npd)
+        exact_bf = jax.jit(functools.partial(
+            fd_ref, precision=jax.lax.Precision.HIGHEST))(
+            qd_, knr, vnr, kr.astype(jnp.bfloat16).astype(jnp.float32),
+            vr.astype(jnp.bfloat16).astype(jnp.float32), npd)
+        base_bf = jax.jit(functools.partial(
+            fd_ref, precision=jax.lax.Precision.DEFAULT))(
+            qd_, knr, vnr, kr.astype(jnp.bfloat16).astype(jnp.float32),
+            vr.astype(jnp.bfloat16).astype(jnp.float32), npd)
+        check_vs_oracle(label + " bf16-cache", got_bf, exact_bf, base_bf)
+
         if Hq != Hkv:
             continue
         # INT8 KV: per-(token, head) scales expanded to lanes in-kernel via
