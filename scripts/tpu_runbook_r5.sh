@@ -62,6 +62,15 @@ pipeline)
   run serve_gpt2_p1 1800 env BENCH_CHILD=1 BENCH_MODE=serve \
     BENCH_MODEL=gpt2-124m BENCH_FORMAT=q8_0 BENCH_SERVE_SLOTS=8 \
     GGML_TPU_SERVE_PIPELINE=1 python bench.py ;;
+serve_extra)
+  # glue levers at b=8: MLP megakernel (129->97 pallas calls/step) and a
+  # longer window (fetch amortization)
+  run serve_7b_mlpfused 2400 env BENCH_CHILD=1 BENCH_MODE=serve \
+    BENCH_MODEL=llama-7b BENCH_FORMAT=q4_0 BENCH_SERVE_SLOTS=8 \
+    GGML_TPU_MLP_FUSED=1 python bench.py
+  run serve_7b_w64 2400 env BENCH_CHILD=1 BENCH_MODE=serve \
+    BENCH_MODEL=llama-7b BENCH_FORMAT=q4_0 BENCH_SERVE_SLOTS=8 \
+    GGML_TPU_SERVE_MULTISTEP=64 python bench.py ;;
 prefill)
   run bench_prefill 1800 env BENCH_CHILD=1 BENCH_MODE=prefill \
     BENCH_MODEL=llama-7b BENCH_FORMAT=q4_0 BENCH_PREFILL=512 \
