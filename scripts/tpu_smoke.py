@@ -289,10 +289,17 @@ def main():
             p = p.astype(jnp.bfloat16).astype(jnp.float32)
         return jnp.einsum("bhst,bhtd->bhsd", p, v, precision=precision)
 
-    def check_vs_oracle(name, got, exact, baseline):
+    def check_vs_oracle(name, got, exact, baseline, floor=1e-3):
+        """floor: the minimum bar. 1e-3 suits HIGHEST-dot kernels; pass
+        ~2^-8·|out| (4e-3 here) for DEFAULT/bf16-mode kernels, whose own
+        roundings are independent of the baseline einsum's — the
+        structural-correctness guarantee for those paths is their
+        GGML_TPU_MM_DOT=f32 exact-mode case (measured 2.4e-07), not this
+        noise-class bound (CLAUDE.md: fixed tight atol on a
+        DEFAULT-precision kernel is a trap)."""
         got, exact, baseline = map(np.asarray, (got, exact, baseline))
         dev = np.abs(got - exact).max()
-        bar = max(1.5 * np.abs(baseline - exact).max(), 1e-3)
+        bar = max(1.5 * np.abs(baseline - exact).max(), floor)
         ok = dev <= bar and np.isfinite(got).all()
         print(f"  {'ok ' if ok else 'FAIL'} {name:28s} "
               f"dev-vs-exact {dev:.2e} (bar {bar:.2e})", flush=True)
@@ -378,7 +385,8 @@ def main():
             fd_ref, precision=jax.lax.Precision.DEFAULT, round_p=True))(
             qd_, knr, vnr, kr.astype(jnp.bfloat16).astype(jnp.float32),
             vr.astype(jnp.bfloat16).astype(jnp.float32), npd)
-        check_vs_oracle(label + " bf16-cache", got_bf, exact_bf, base_bf)
+        check_vs_oracle(label + " bf16-cache", got_bf, exact_bf, base_bf,
+                        floor=4e-3)
 
         if Hq != Hkv:
             continue
@@ -407,7 +415,8 @@ def main():
         base8 = jax.jit(functools.partial(
             fd_ref, precision=jax.lax.Precision.DEFAULT, round_p=True))(
             qd_, knr, vnr, kdq, vdq, npd)
-        check_vs_oracle("flash-decode flat INT8 KV", got8, exact8, base8)
+        check_vs_oracle("flash-decode flat INT8 KV", got8, exact8, base8,
+                        floor=4e-3)
 
     # --- GPT-2 whole-layer megakernel (kernels.gpt2_layer) --------------
     from ggmlsharp_tpu.kernels.gpt2_layer import (
