@@ -459,32 +459,39 @@ def _call_kernel_swar(xlo, xhi, xs, planes, gtype, n, k, tile, nc, tile_b,
                 d_dec = _decode_f16x2_arr(
                     d_ref[t * (cc // 2) : (t + 1) * (cc // 2), :])
                 d16 = pltpu.repeat(d_dec, rep, axis=0)
-                flo = vlo.astype(jnp.float32)
-                fhi = vhi.astype(jnp.float32)
                 if is_q6:
-                    # 2-bit high plane: 4 dense masks + bitcasts; concat
-                    # rows land in [lo-plane; hi-plane] order
-                    # (formats.swar_pack_qh2)
+                    # 2-bit high plane. Field s of byte b sits at word bits
+                    # 8b+2s (formats.swar_pack_qh2); the net shift (4-2s)
+                    # re-positions it at bits 4-5 of its byte IN the uint32
+                    # domain, so the merge with the lo nibbles is one int8
+                    # OR — no f32 cast/scale/add per element (the r5 unpack
+                    # redesign: was cast+*16.0+add, ~3 extra f32 VPU
+                    # ops/elt in a VPU-bound kernel).
                     q = qh_ref[t * qh_rows : (t + 1) * qh_rows, :]
-                    m2 = jnp.uint32(0x03030303)
+                    m2 = jnp.uint32(0x30303030)
                     hcat = jnp.concatenate(
-                        [pltpu.bitcast((q >> jnp.uint32(2 * s)) & m2,
-                                       jnp.int8)
-                         for s in range(4)], axis=0)  # (kc, tile)
-                    flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0
-                    fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0
+                        [pltpu.bitcast(
+                            ((q << jnp.uint32(4 - 2 * s)) if s < 2
+                             else (q >> jnp.uint32(2 * s - 4))) & m2,
+                            jnp.int8)
+                         for s in range(4)], axis=0)  # (kc, tile), 16·h
+                    vlo = vlo | hcat[: kc // 2]
+                    vhi = vhi | hcat[kc // 2 :]
                 elif is_q5:
-                    # 1-bit high plane: 8 dense masks + bitcasts; same
-                    # combined-row contract as qh2 (formats.swar_pack_qh1)
+                    # 1-bit high plane: same trick, net shift (4-s) puts
+                    # bit s at byte bit 4 (formats.swar_pack_qh1 contract).
                     q = qh_ref[t * qh_rows : (t + 1) * qh_rows, :]
-                    m1 = jnp.uint32(0x01010101)
+                    m1 = jnp.uint32(0x10101010)
                     hcat = jnp.concatenate(
-                        [pltpu.bitcast((q >> jnp.uint32(s)) & m1, jnp.int8)
-                         for s in range(8)], axis=0)  # (kc, tile)
-                    flo = flo + hcat[: kc // 2].astype(jnp.float32) * 16.0
-                    fhi = fhi + hcat[kc // 2 :].astype(jnp.float32) * 16.0
-                wlo = flo * d16
-                whi = fhi * d16
+                        [pltpu.bitcast(
+                            ((q << jnp.uint32(4 - s)) if s < 4
+                             else (q >> jnp.uint32(s - 4))) & m1,
+                            jnp.int8)
+                         for s in range(8)], axis=0)  # (kc, tile), 16·h
+                    vlo = vlo | hcat[: kc // 2]
+                    vhi = vhi | hcat[kc // 2 :]
+                wlo = vlo.astype(jnp.float32) * d16
+                whi = vhi.astype(jnp.float32) * d16
                 # per-block affine coefficients (cc, tile): off·d and/or ±m
                 caff = d_dec * jnp.float32(voff) if voff else None
                 if m_ref is not None:

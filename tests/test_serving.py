@@ -642,8 +642,18 @@ def test_http_server_robustness_and_cancel():
 
     from ggmlsharp_tpu.serving import EngineServer
 
-    params = _params()
-    srv = EngineServer(Engine(gpt2.forward, CFG, params, batch_slots=2),
+    # Determinism of the cancel subtest (ADVICE r4): the engine budget is
+    # silently capped at n_ctx, and a W=32 × pipeline=4 window wave can
+    # cover a whole 94-token generation inside ONE tick-thread lock hold —
+    # on a fast host the "unbounded" request then finishes before any
+    # /v1/cancel poll can land. multi_step=1 gives one lock boundary per
+    # token and the 1024-token context gives the poll loop thousands of
+    # chances; the cancel lands on the first tick boundary after it.
+    cfg = gpt2.GPT2Config(n_vocab=128, n_ctx=1024, n_embd=64, n_head=4,
+                          n_layer=2)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    srv = EngineServer(Engine(gpt2.forward, cfg, params, batch_slots=2,
+                              multi_step=1),
                        port=0).start()
     base = f"http://127.0.0.1:{srv.port}"
 
@@ -686,10 +696,10 @@ def test_http_server_robustness_and_cancel():
             if all(s is not None for s in srv.engine.slots):
                 break
             _time.sleep(0.02)
-        # an effectively-unbounded budget makes the cancel DETERMINISTIC
-        # (ADVICE r4): "c" can never self-finish, so it is always visible
-        # to /v1/cancel — pending, live in a slot, or pre-admitted behind
-        # an in-flight window (engine._inflight_pre)
+        # the budget is capped at n_ctx (1024 here), NOT truly unbounded —
+        # but at multi_step=1 "c" stays visible to /v1/cancel (pending,
+        # live in a slot, or pre-admitted in engine._inflight_pre) for
+        # ~1000 tick boundaries, so the first poll after admission lands
         th = _t.Thread(target=req, args=("c", {"prompt": [5, 17],
                                                "max_new_tokens": 10 ** 6,
                                                "request_id": "abc"}))
