@@ -95,6 +95,21 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
         self.cfg = cfg
         self.params = params
         self.B = batch_slots
+        if batch_slots & (batch_slots - 1):
+            # measured on v5e (PERFORMANCE.md r5 concurrency table):
+            # non-pow2 batches hit (8,128) tile padding on every [B,...]
+            # buffer plus XLA remat copy thrash — slots=24 served at 473
+            # tok/s vs 1058 at 16 and 1231 at 32. Warn, don't refuse:
+            # tiny-model/CPU uses are unaffected.
+            import warnings
+
+            warnings.warn(
+                f"batch_slots={batch_slots} is not a power of two; TPU "
+                "[B,...] buffers pad to (8,128) tiles and decode-step "
+                "throughput degrades sharply (see PERFORMANCE.md). Use "
+                f"{1 << (batch_slots - 1).bit_length()} or "
+                f"{1 << (batch_slots.bit_length() - 1)}.",
+                stacklevel=2)
         n_head_kv = getattr(cfg, "n_head_kv", cfg.n_head)
         self.max_len = max_len or cfg.n_ctx
         self.mesh = mesh

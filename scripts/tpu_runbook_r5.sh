@@ -62,6 +62,26 @@ pipeline)
   run serve_gpt2_p1 1800 env BENCH_CHILD=1 BENCH_MODE=serve \
     BENCH_MODEL=gpt2-124m BENCH_FORMAT=q8_0 BENCH_SERVE_SLOTS=8 \
     GGML_TPU_SERVE_PIPELINE=1 python bench.py ;;
+scale)
+  # serving concurrency curve (r5): the decode step is weight-chain bound,
+  # so aggregate scales with slots until KV terms/memory bite. POWER-OF-TWO
+  # slots only (24 measured pathological: tile padding + remat thrash);
+  # bf16 KV OOMs at 32 slots — INT8 KV unlocks 32-64.
+  run serve_7b_s16 2400 env BENCH_CHILD=1 BENCH_MODE=serve \
+    BENCH_MODEL=llama-7b BENCH_FORMAT=q4_0 BENCH_SERVE_SLOTS=16 \
+    python bench.py
+  run serve_7b_s32_int8 2400 env BENCH_CHILD=1 BENCH_MODE=serve \
+    BENCH_MODEL=llama-7b BENCH_FORMAT=q4_0 BENCH_SERVE_SLOTS=32 \
+    BENCH_INT8_KV=1 python bench.py
+  run serve_7b_s64_int8 3000 env BENCH_CHILD=1 BENCH_MODE=serve \
+    BENCH_MODEL=llama-7b BENCH_FORMAT=q4_0 BENCH_SERVE_SLOTS=64 \
+    BENCH_INT8_KV=1 python bench.py
+  run serve_gpt2_s32 2400 env BENCH_CHILD=1 BENCH_MODE=serve \
+    BENCH_MODEL=gpt2-124m BENCH_FORMAT=q8_0 BENCH_SERVE_SLOTS=32 \
+    python bench.py
+  run serve_gpt2_s64 2400 env BENCH_CHILD=1 BENCH_MODE=serve \
+    BENCH_MODEL=gpt2-124m BENCH_FORMAT=q8_0 BENCH_SERVE_SLOTS=64 \
+    python bench.py ;;
 serve_extra)
   # glue levers at b=8: MLP megakernel (129->97 pallas calls/step) and a
   # longer window (fetch amortization)
