@@ -183,7 +183,10 @@ def main():
             procs.append(subprocess.Popen(
                 cmd, env=env, stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE, text=True))
-        outs, errs = zip(*(p.communicate(timeout=600) for p in procs))
+        # emulated hosts are compile-dominated on a cold cache; a 2-host
+        # rendezvous alone can take >10 min on a fresh machine
+        tmo = int(os.environ.get("SCALING_PROC_TIMEOUT", "1800"))
+        outs, errs = zip(*(p.communicate(timeout=tmo) for p in procs))
         if any(p.returncode != 0 for p in procs):
             sys.stderr.write(errs[0][-2000:])
             raise SystemExit([p.returncode for p in procs])
