@@ -166,6 +166,7 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
                                "GGML_TPU_SERVE_MULTISTEP", "32")))
         self.stream_bursts = stream_bursts
         self._multi = None  # built on first all-greedy window
+        self._chain = None  # host-chained window step (_window_chained)
         self._step = self._make_step()
         self._argmax = jax.jit(
             lambda l: jnp.argmax(l, axis=-1).astype(jnp.int32))
@@ -266,6 +267,64 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
 
         return step
 
+    def _make_chain_step(self):
+        """One greedy decode step taking LOGITS (not a token): argmax +
+        forward in a single dispatch, so a W-token window can be issued as
+        W back-to-back host dispatches with every carried value (logits,
+        cache, per-step token/logprob columns) staying on-device and ONE
+        fetch at drain time. Measured motivation (scripts/diag_win.py +
+        /tmp probe, b=64 int8 7B): a jit-resident loop (while_loop AND
+        static fori_loop alike) pays ~34.5 ms/step because loop iterations
+        serialize on the carry, while host-dispatched plain steps pipeline
+        through the relay at ~28.4 ms/step — the dispatch queue overlaps
+        the next step's weight DMA with the current step's tail. Host
+        chaining buys that overlap without the per-token fetch."""
+        fwd, cfg = self.forward, self.cfg
+
+        @partial(jax.jit, donate_argnums=(1,),
+                 static_argnames=("t_eff", "want_lps"))
+        def cstep(params, cache, logits, active, t_eff=None,
+                  want_lps=False):
+            tok = jnp.argmax(
+                logits, axis=-1, keepdims=True).astype(jnp.int32)
+            if want_lps:
+                lp = jnp.take_along_axis(
+                    jax.nn.log_softmax(logits, axis=-1), tok, axis=-1)
+            else:
+                lp = jnp.zeros((self.B, 1), jnp.float32)
+            positions = cache.length[:, None]
+            lg, cache2 = fwd(params, cfg, tok, cache, positions,
+                             prefix_bound=t_eff)
+            cache2 = kvc.KVCache(
+                cache2.k, cache2.v, cache2.k_scale, cache2.v_scale,
+                jnp.where(active, cache2.length, cache2.length - 1),
+            )
+            return lg[:, -1, :], cache2, tok, lp
+
+        return cstep
+
+    def _window_chained(self) -> bool:
+        """Window formulation: host-chained dispatches vs jit-resident
+        while_loop. GGML_TPU_SERVE_CHAIN=1|0|auto (default auto: chained
+        when the KV cache tops 256 MB — big-model/high-slot configs where
+        the ~20% loop-carry serialization dwarfs per-dispatch jitter;
+        sub-ms models keep the single-dispatch window that exists to
+        amortize exactly that jitter)."""
+        mode = os.environ.get("GGML_TPU_SERVE_CHAIN", "auto")
+        if mode in ("1", "0"):
+            return mode == "1"
+        try:
+            nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                         for a in self.cache.k + self.cache.v)
+        except Exception:
+            return False
+        # measured crossover (v5e, 7B Q4_0, PERFORMANCE.md): slots=8 bf16
+        # (1.07 GB cache) serves 683 while_loop vs 645 chained — per-step
+        # dispatch jitter beats the small carry cost; slots=16 (2.1 GB)
+        # 1058 vs 1141 — the carry serialization dominates. Threshold
+        # between those two points.
+        return nbytes > 1536 * 1024 * 1024
+
     def _make_multi_step(self):
         """Up to W greedy decode steps in one dispatch (lax.while_loop —
         strict carry aliasing keeps the KV cache in place, models.sampling
@@ -352,8 +411,6 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
         admission behind it; returns the drain record."""
         from ..models.sampling import length_bucket
 
-        if self._multi is None:
-            self._multi = self._make_multi_step()
         window_reqs = list(self.slots)  # one snapshot: the requests the
         # window runs for (cancel() on another thread may null slots)
         active = jnp.asarray(
@@ -364,9 +421,30 @@ class Engine(AdmissionMixin, PrefixCacheMixin, SpecServingMixin):
                               self.max_len, base=64)
         want_lps = any(s is not None and s.want_logprobs
                        for s in self.slots)
-        logits, self.cache, toks, lps = self._multi(
-            self.params, self.cache, self._last_logits, active,
-            jnp.int32(k), t_eff=t_eff, want_lps=want_lps)
+        if self._window_chained():
+            # W host dispatches, all carries on-device, one drain fetch
+            if self._chain is None:
+                self._chain = self._make_chain_step()
+            logits = self._last_logits
+            tcols, lcols = [], []
+            for _ in range(k):
+                # reassign self.cache per dispatch: donation invalidates
+                # the previous buffers immediately
+                logits, self.cache, tok, lp = self._chain(
+                    self.params, self.cache, logits, active,
+                    t_eff=t_eff, want_lps=want_lps)
+                tcols.append(tok)
+                lcols.append(lp)
+            toks = jnp.concatenate(tcols, axis=1) if len(tcols) > 1 \
+                else tcols[0]
+            lps = jnp.concatenate(lcols, axis=1) if len(lcols) > 1 \
+                else lcols[0]
+        else:
+            if self._multi is None:
+                self._multi = self._make_multi_step()
+            logits, self.cache, toks, lps = self._multi(
+                self.params, self.cache, self._last_logits, active,
+                jnp.int32(k), t_eff=t_eff, want_lps=want_lps)
         self._last_logits = logits
         pre: dict[int, Request] = {}
         n_live = sum(s is not None and not s.done for s in self.slots)

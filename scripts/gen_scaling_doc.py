@@ -29,7 +29,8 @@ def run_one(hosts: int, dev: int, steps: int, batch: int) -> dict:
            "--hosts", str(hosts), "--devices-per-host", str(dev),
            "--steps", str(steps), "--batch-per-host", str(batch)]
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                         timeout=900)
+                         timeout=int(os.environ.get("SCALING_TIMEOUT",
+                                                    "2400")))
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-2000:])
         raise SystemExit(out.returncode)

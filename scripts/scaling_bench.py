@@ -190,8 +190,18 @@ def main():
         if any(p.returncode != 0 for p in procs):
             sys.stderr.write(errs[0][-2000:])
             raise SystemExit([p.returncode for p in procs])
-        rows = [json.loads(next(ln for ln in o.splitlines()
-                                if ln.startswith("{"))) for o in outs]
+        # the decode worker prints JSON on process 0 only; worker_serve on
+        # every host — collect whatever JSON lines exist, error if none
+        rows = []
+        for o, e in zip(outs, errs):
+            line = next((ln for ln in o.splitlines()
+                         if ln.startswith("{")), None)
+            if line is not None:
+                rows.append(json.loads(line))
+        if not rows:
+            sys.stderr.write("worker stdout tail: %r\n" % outs[0][-500:])
+            sys.stderr.write("worker stderr tail: %s\n" % errs[0][-2000:])
+            raise SystemExit("no scaling worker produced JSON")
         return rows if collect_all else rows[0]
 
     if args.serve:

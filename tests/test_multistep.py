@@ -43,7 +43,8 @@ def test_window_matches_single_step_greedy():
     params = _params()
     base, _ = _run(params, _mk_reqs(want_logprobs=True), multi_step=1)
     win, eng = _run(params, _mk_reqs(want_logprobs=True), multi_step=8)
-    assert eng._multi is not None  # the window path actually ran
+    # the window path actually ran (while_loop or host-chained machinery)
+    assert eng._multi is not None or eng._chain is not None
     for a, b in zip(base, win):
         assert a.out_tokens == b.out_tokens, (a.id, a.out_tokens, b.out_tokens)
         np.testing.assert_allclose(a.out_logprobs, b.out_logprobs,
@@ -123,10 +124,13 @@ def test_window_clamps_to_smallest_budget():
         assert len(b.out_tokens) == b.max_new_tokens  # exactly the budget
     # the traced clamp means windows of length 3, 8, ... share executables:
     # at most one compile per t_eff length-bucket, never per window length
-    from ggmlsharp_tpu.models.sampling import length_bucket
-    n_buckets = len({length_bucket(n, eng.max_len)
-                     for n in range(1, 30 + eng.multi_step)})
-    assert eng._multi._cache_size() <= n_buckets
+    # (the host-chained formulation shares ONE step executable by design,
+    # so the bound only needs checking on the while_loop machinery)
+    if eng._multi is not None:
+        from ggmlsharp_tpu.models.sampling import length_bucket
+        n_buckets = len({length_bucket(n, eng.max_len)
+                         for n in range(1, 30 + eng.multi_step)})
+        assert eng._multi._cache_size() <= n_buckets
 
 
 def test_window_streaming_gating():
@@ -144,8 +148,9 @@ def test_window_streaming_gating():
     r2, e2 = _run(params, reqs(seen2), multi_step=8, stream_bursts=True)
     assert r1[0].out_tokens == r2[0].out_tokens
     assert seen1 == r1[0].out_tokens and seen2 == r2[0].out_tokens
-    assert e1._multi is None      # gated: window never built
-    assert e2._multi is not None  # opt-in bursts rode the window
+    assert e1._multi is None and e1._chain is None  # gated: no window
+    # opt-in bursts rode the window (either machinery)
+    assert e2._multi is not None or e2._chain is not None
 
 
 def test_window_interacts_with_admission():
